@@ -1,0 +1,19 @@
+"""chan_vese_tpu: TPU-native Chan-Vese active-contour segmentation.
+
+A ground-up JAX/XLA/Pallas re-design (not a port) of the capabilities of the
+C++ reference ``ktht/chan_vese`` (see SURVEY.md; the reference checkout was
+empty at build time, so the published scheme pinned by BASELINE.json is the
+spec): scalar, vector-valued (RGB) and multiphase (Vese-Chan) energies, a
+semi-implicit red-black Gauss-Seidel solver fused into Pallas kernels,
+vmap-batched stacks, and a 2D-sharded grid with ICI halo exchange.
+"""
+
+from .params import CVParams, DEFAULTS
+from .models.scalar import SegResult, SegTrace, segment, segment_fixed, step
+
+__all__ = [
+    "CVParams", "DEFAULTS",
+    "segment", "segment_fixed", "step", "SegResult", "SegTrace",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,113 @@
+"""Scalar (grayscale) Chan-Vese segmentation driver (SURVEY.md L3, §3.1).
+
+TPU-first structure: the whole outer iteration is a device-side
+``lax.while_loop`` (tolerance mode) or ``lax.scan`` (fixed-iteration /
+trace mode) under one ``jit`` - control crosses host->device exactly once
+per segmentation. Per iteration:
+
+    c1, c2 = region_means(u0, phi)         # fused masked reductions
+    f      = data_term(u0, c1, c2, ...)    # pointwise
+    phi    = semi_implicit_step(phi, f)    # red-black (default) sweep
+    delta  = ||phi' - phi|| per pixel      # convergence (SURVEY.md C8)
+
+Public surface mirrors the reference's single entry point
+``segment(image, params) -> phi/mask`` (SURVEY.md §1 L3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.reductions import data_term, delta_norm, energy, region_means
+from ..ops.reinit import reinit
+from ..ops.sweep import semi_implicit_step
+from ..params import CVParams
+from ..utils.init_phi import init_phi
+
+
+def _maybe_reinit(phi, n, p: CVParams):
+    """Redistance phi every p.reinit_every iterations (no-op when 0)."""
+    if not p.reinit_every:
+        return phi
+    return jax.lax.cond(
+        (n + 1) % p.reinit_every == 0,
+        lambda x: reinit(x, p.reinit_steps), lambda x: x, phi)
+
+
+class SegResult(NamedTuple):
+    phi: jax.Array      # final level set (H, W)
+    mask: jax.Array     # phi >= 0 (bool)
+    iters: jax.Array    # iterations actually run (int32 scalar)
+    delta: jax.Array    # final per-pixel update norm
+    c1: jax.Array       # inside mean(s)
+    c2: jax.Array       # outside mean(s)
+
+
+def step(phi, u0, p: CVParams, lambda1=None, lambda2=None, parity: int = 0):
+    """One full Chan-Vese iteration; returns (phi_new, c1, c2, delta)."""
+    c1, c2 = region_means(u0, phi, p.eps)
+    l1 = p.lambda1 if lambda1 is None else jnp.asarray(lambda1, phi.dtype)
+    l2 = p.lambda2 if lambda2 is None else jnp.asarray(lambda2, phi.dtype)
+    f = data_term(u0, c1, c2, p.nu, l1, l2)
+    phi_new = semi_implicit_step(phi, f, p, parity)
+    return phi_new, c1, c2, delta_norm(phi_new, phi, p.conv_norm)
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def segment(u0, p: CVParams = CVParams(), phi0: Optional[jax.Array] = None
+            ) -> SegResult:
+    """Segment to convergence (per-pixel tol) or max_iter, fully on device."""
+    phi0 = init_phi(u0.shape[:2], p.init, u0.dtype) if phi0 is None else phi0
+
+    def cond(state):
+        phi, n, delta = state
+        return jnp.logical_and(n < p.max_iter, delta >= p.tol)
+
+    def body(state):
+        phi, n, _ = state
+        phi_new, _, _, delta = step(phi, u0, p)
+        phi_new = _maybe_reinit(phi_new, n, p)
+        return (phi_new, n + 1, delta)
+
+    init = (phi0, jnp.int32(0), jnp.asarray(jnp.inf, phi0.dtype))
+    phi, iters, delta = jax.lax.while_loop(cond, body, init)
+    c1, c2 = region_means(u0, phi, p.eps)
+    return SegResult(phi, phi >= 0, iters, delta, c1, c2)
+
+
+class SegTrace(NamedTuple):
+    phi: jax.Array
+    mask: jax.Array
+    energy: jax.Array   # (iters,) energy after each iteration
+    delta: jax.Array    # (iters,) update norm of each iteration
+    c1: jax.Array       # (iters, ...) means used by each iteration
+    c2: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("p", "iters"))
+def segment_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
+                  phi0: Optional[jax.Array] = None) -> SegTrace:
+    """Fixed-iteration segmentation returning the per-iteration energy trace.
+
+    The trace (energy after each sweep, evaluated with means recomputed
+    from the post-sweep phi) is the parity artifact of BASELINE.json:5
+    ("energy-trace agreement <=1e-5 at fixed iteration count"); the same
+    convention is implemented by the native C baseline.
+    """
+    phi0 = init_phi(u0.shape[:2], p.init, u0.dtype) if phi0 is None else phi0
+
+    def body(carry, _):
+        phi, n = carry
+        phi_new, c1, c2, delta = step(phi, u0, p)
+        c1n, c2n = region_means(u0, phi_new, p.eps)
+        e = energy(u0, phi_new, c1n, c2n, p)
+        phi_new = _maybe_reinit(phi_new, n, p)
+        return (phi_new, n + 1), (e, delta, c1, c2)
+
+    (phi, _), (es, ds, c1s, c2s) = jax.lax.scan(
+        body, (phi0, jnp.int32(0)), None, length=iters)
+    return SegTrace(phi, phi >= 0, es, ds, c1s, c2s)

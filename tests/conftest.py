@@ -1,0 +1,41 @@
+"""Test configuration: force the CPU backend with 8 virtual devices.
+
+The dev box has one real TPU chip on the experimental 'axon' platform and
+exports JAX_PLATFORMS=axon; tests run on CPU (f64 available, 8 fake devices
+for the distributed tests - SURVEY.md §2.9 verified recipe). Env vars are
+set before jax import AND config is updated in-process, because the profile
+export shadows command-line env in some setups.
+
+TPU-only tests (compiled Pallas) are marked ``tpu`` and skipped here; run
+them with RUN_TPU_TESTS=1 on the real chip (tests/run_tpu_tests.sh).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: needs a real TPU chip (set RUN_TPU_TESTS=1)")
+
+
+def pytest_runtest_setup(item):
+    if "tpu" in [m.name for m in item.iter_markers()]:
+        if not os.environ.get("RUN_TPU_TESTS"):
+            pytest.skip("TPU-only test (set RUN_TPU_TESTS=1 on a TPU host)")
