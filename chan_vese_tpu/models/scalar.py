@@ -57,10 +57,16 @@ def step(phi, u0, p: CVParams, lambda1=None, lambda2=None, parity: int = 0):
     return phi_new, c1, c2, delta_norm(phi_new, phi, p.conv_norm)
 
 
-@functools.partial(jax.jit, static_argnames=("p",))
-def segment(u0, p: CVParams = CVParams(), phi0: Optional[jax.Array] = None
-            ) -> SegResult:
-    """Segment to convergence (per-pixel tol) or max_iter, fully on device."""
+@functools.partial(jax.jit, static_argnames=("p", "lambda1", "lambda2"))
+def segment(u0, p: CVParams = CVParams(), phi0: Optional[jax.Array] = None,
+            lambda1=None, lambda2=None) -> SegResult:
+    """Segment to convergence (per-pixel tol) or max_iter, fully on device.
+
+    Works for grayscale (H, W) and vector-valued (H, W, C) images alike
+    (Chan-Sandberg-Vese for the latter; SURVEY.md C9 / §3.2); pass
+    per-channel weight tuples via lambda1/lambda2 for the weighted
+    vector-valued energy.
+    """
     phi0 = init_phi(u0.shape[:2], p.init, u0.dtype) if phi0 is None else phi0
 
     def cond(state):
@@ -69,7 +75,7 @@ def segment(u0, p: CVParams = CVParams(), phi0: Optional[jax.Array] = None
 
     def body(state):
         phi, n, _ = state
-        phi_new, _, _, delta = step(phi, u0, p)
+        phi_new, _, _, delta = step(phi, u0, p, lambda1, lambda2)
         phi_new = _maybe_reinit(phi_new, n, p)
         return (phi_new, n + 1, delta)
 
@@ -88,9 +94,11 @@ class SegTrace(NamedTuple):
     c2: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("p", "iters"))
+@functools.partial(jax.jit,
+                   static_argnames=("p", "iters", "lambda1", "lambda2"))
 def segment_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
-                  phi0: Optional[jax.Array] = None) -> SegTrace:
+                  phi0: Optional[jax.Array] = None,
+                  lambda1=None, lambda2=None) -> SegTrace:
     """Fixed-iteration segmentation returning the per-iteration energy trace.
 
     The trace (energy after each sweep, evaluated with means recomputed
@@ -102,9 +110,9 @@ def segment_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
 
     def body(carry, _):
         phi, n = carry
-        phi_new, c1, c2, delta = step(phi, u0, p)
+        phi_new, c1, c2, delta = step(phi, u0, p, lambda1, lambda2)
         c1n, c2n = region_means(u0, phi_new, p.eps)
-        e = energy(u0, phi_new, c1n, c2n, p)
+        e = energy(u0, phi_new, c1n, c2n, p, lambda1, lambda2)
         phi_new = _maybe_reinit(phi_new, n, p)
         return (phi_new, n + 1), (e, delta, c1, c2)
 

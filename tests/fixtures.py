@@ -23,12 +23,13 @@ def two_disks(h=64, w=64, fg=217.0, bg=38.0, noise=0.0, seed=0, dtype=np.float64
 def colored_squares(h=64, w=64, noise=0.0, seed=1, dtype=np.float64):
     """RGB image: colored squares on a gray background + GT mask (B:8)."""
     rng = np.random.default_rng(seed)
-    img = np.full((h, w, 3), 128.0, dtype=dtype)
+    img = np.full((h, w, 3), (30.0, 40.0, 50.0), dtype=dtype)
     gt = np.zeros((h, w), dtype=bool)
-    # two squares whose *mean* intensity differs from background per channel
-    img[h // 8: h // 8 + h // 4, w // 8: w // 8 + w // 4] = (230.0, 51.0, 51.0)
+    # two differently-colored squares, both far from the dark background and
+    # closer to their mutual mean than to it (feasible for 2-phase vector CV)
+    img[h // 8: h // 8 + h // 4, w // 8: w // 8 + w // 4] = (230.0, 200.0, 60.0)
     gt[h // 8: h // 8 + h // 4, w // 8: w // 8 + w // 4] = True
-    img[h // 2: h // 2 + h // 3, w // 2: w // 2 + w // 3] = (51.0, 230.0, 77.0)
+    img[h // 2: h // 2 + h // 3, w // 2: w // 2 + w // 3] = (210.0, 60.0, 230.0)
     gt[h // 2: h // 2 + h // 3, w // 2: w // 2 + w // 3] = True
     if noise:
         img = img + noise * rng.standard_normal(img.shape)

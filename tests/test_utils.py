@@ -1,0 +1,110 @@
+"""Tests for diffusion pre-smoothing, reinit, image I/O."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chan_vese_tpu.ops.diffusion import perona_malik
+from chan_vese_tpu.ops.reinit import reinit
+from chan_vese_tpu.utils import image_io
+
+F64 = jnp.float64
+
+
+class TestPeronaMalik:
+    def test_reduces_noise_preserves_edges(self):
+        rng = np.random.default_rng(0)
+        img = np.full((64, 64), 40.0)
+        img[:, 32:] = 200.0
+        noisy = img + 10.0 * rng.standard_normal(img.shape)
+        out = np.asarray(perona_malik(jnp.asarray(noisy, F64), steps=20,
+                                      kappa=15.0))
+        # noise reduced within flat regions
+        assert out[:, :28].std() < noisy[:, :28].std() * 0.6
+        # edge contrast preserved
+        assert (out[:, 40:].mean() - out[:, :24].mean()) > 140.0
+
+    def test_constant_image_fixed_point(self):
+        img = jnp.full((16, 16), 7.0, F64)
+        out = perona_malik(img, steps=5)
+        np.testing.assert_allclose(np.asarray(out), 7.0, rtol=1e-12)
+
+    def test_multichannel(self):
+        rng = np.random.default_rng(1)
+        img = jnp.asarray(rng.uniform(0, 255, (16, 16, 3)))
+        out = perona_malik(img, steps=3)
+        assert out.shape == (16, 16, 3)
+        # channels diffuse independently
+        ch0 = perona_malik(img[..., 0], steps=3)
+        np.testing.assert_allclose(np.asarray(out[..., 0]), np.asarray(ch0),
+                                   rtol=1e-12)
+
+    def test_conductance_variants(self):
+        img = jnp.asarray(np.random.default_rng(2).uniform(0, 255, (16, 16)))
+        a = perona_malik(img, steps=3, conductance="exp")
+        b = perona_malik(img, steps=3, conductance="frac")
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+        with pytest.raises(ValueError):
+            perona_malik(img, steps=1, conductance="nope")
+
+
+class TestReinit:
+    def test_sdf_is_fixed_point(self):
+        i, j = np.mgrid[0:48, 0:48].astype(float)
+        sdf = 15.0 - np.hypot(i - 24, j - 24)
+        out = np.asarray(reinit(jnp.asarray(sdf), steps=20))
+        # exclude the medial axis (the SDF kink at the disk center is not a
+        # grid-exact fixed point of the upwind scheme) and the outer border
+        band = (np.abs(sdf) < 10) & (np.hypot(i - 24, j - 24) > 2)
+        band[:3, :] = band[-3:, :] = band[:, :3] = band[:, -3:] = False
+        np.testing.assert_allclose(out[band], sdf[band], atol=0.2)
+
+    def test_zero_contour_preserved_steep(self):
+        i, j = np.mgrid[0:48, 0:48].astype(float)
+        phi = (15.0 - np.hypot(i - 24, j - 24)) * 40.0
+        out = np.asarray(reinit(jnp.asarray(phi), steps=40))
+        np.testing.assert_array_equal(out >= 0, phi >= 0)
+
+
+class TestImageIO:
+    def test_roundtrip_png_gray(self, tmp_path):
+        rng = np.random.default_rng(0)
+        arr = rng.integers(0, 256, (32, 40)).astype(np.uint8)
+        p = tmp_path / "img.png"
+        image_io._save_u8(p, arr)
+        back = image_io.load_image(p)
+        np.testing.assert_array_equal(back.astype(np.uint8), arr)
+        assert back.dtype == np.float32
+
+    def test_load_color(self, tmp_path):
+        rng = np.random.default_rng(1)
+        arr = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+        p = tmp_path / "img.png"
+        image_io._save_u8(p, arr)
+        back = image_io.load_image(p, color=True)
+        assert back.shape == (16, 16, 3)
+        np.testing.assert_array_equal(back.astype(np.uint8), arr)
+
+    def test_save_mask_and_overlay(self, tmp_path):
+        mask = np.zeros((20, 20), bool)
+        mask[5:15, 5:15] = True
+        image_io.save_mask(tmp_path / "m.png", mask)
+        back = image_io.load_image(tmp_path / "m.png")
+        np.testing.assert_array_equal(back > 127, mask)
+        img = np.full((20, 20), 100.0)
+        ov = image_io.contour_overlay(img, mask)
+        assert ov.shape == (20, 20, 3)
+        assert (ov == [255, 0, 0]).all(axis=-1).sum() > 0
+
+    def test_npy_roundtrip(self, tmp_path):
+        arr = np.random.default_rng(2).uniform(0, 255, (8, 9)).astype(np.float32)
+        np.save(tmp_path / "x.npy", arr)
+        back = image_io.load_image(tmp_path / "x.npy")
+        np.testing.assert_allclose(back, arr)
+
+    def test_evolution_gif(self, tmp_path):
+        img = np.full((16, 16), 128.0)
+        frames = [np.where(np.hypot(*np.mgrid[0:16, 0:16] - 8) < r, 1.0, -1.0)
+                  for r in (3, 5, 7)]
+        image_io.save_evolution_gif(tmp_path / "e.gif", img, frames)
+        assert (tmp_path / "e.gif").stat().st_size > 0
