@@ -1,0 +1,102 @@
+"""Flagship single-chip driver: fused-Pallas-kernel segmentation.
+
+The whole solver is `jit(while_loop(fused_iteration))`: one Pallas kernel
+per iteration (ops/pallas_sweep.py - red+black sweep and next-iteration
+reductions in a single ~3-HBM-pass kernel), scalars carried on device, one
+host<->device crossing per segmentation. Trajectory is EXACTLY the jnp
+red-black path (verified elementwise in tests/test_pallas.py); shapes the
+kernel doesn't support (W % 128 != 0 or tiny H) fall back to the jnp path
+transparently, so this is safe as the default entry point on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import pallas_sweep
+from ..ops.reductions import means_from_sums, region_means, region_sums
+from ..params import CVParams
+from ..utils.init_phi import init_phi
+from .scalar import SegResult, segment as _segment_jnp, step as _step_jnp
+
+
+def _delta_from_partials(parts, n_pixels, p: CVParams, dtype):
+    if p.conv_norm == "flips":
+        return parts[3] / n_pixels
+    if p.conv_norm == "rms":
+        return jnp.sqrt(parts[2] / n_pixels)
+    return parts[4] / n_pixels  # mean_abs
+
+
+@functools.partial(jax.jit, static_argnames=("p", "interpret"))
+def segment_fused(u0, p: CVParams = CVParams(),
+                  phi0: Optional[jax.Array] = None,
+                  interpret: bool = False) -> SegResult:
+    """Tolerance-mode segmentation on the fused kernel (grayscale 2-phase)."""
+    if u0.ndim != 2:
+        raise ValueError("fused path is the scalar grayscale solver; use "
+                         "models.vector / models.multiphase for the rest")
+    H, W = u0.shape
+    if not pallas_sweep.supports(H, W):
+        return _segment_jnp(u0, p, phi0)
+
+    phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
+    n_pix = jnp.asarray(H * W, u0.dtype)
+    sum_u = jnp.sum(u0)
+
+    c1_0, c2_0 = region_means(u0, phi0, p.eps)
+
+    def cond(state):
+        _, _, _, n, delta, streak = state
+        done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
+        return jnp.logical_and(n < p.max_iter, jnp.logical_not(done))
+
+    def body(state):
+        phi, c1, c2, n, _, streak = state
+        phi_new, parts = pallas_sweep.fused_iteration(
+            phi, u0, c1, c2, p, interpret=interpret)
+        c1n, c2n = means_from_sums(parts[0], parts[1], sum_u, n_pix)
+        delta = _delta_from_partials(parts, n_pix, p, u0.dtype)
+        streak = jnp.where(delta < p.tol, streak + 1, 0)
+        return (phi_new, c1n, c2n, n + 1, delta, streak)
+
+    init = (phi0, c1_0, c2_0, jnp.int32(0),
+            jnp.asarray(jnp.inf, u0.dtype), jnp.int32(0))
+    phi, c1, c2, iters, delta, _ = jax.lax.while_loop(cond, body, init)
+    return SegResult(phi, phi >= 0, iters, delta, c1, c2)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "iters", "interpret"))
+def segment_fused_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
+                        phi0: Optional[jax.Array] = None,
+                        interpret: bool = False):
+    """Fixed-iteration fused run (the benchmark loop). Returns (phi, mask)."""
+    H, W = u0.shape
+    if not pallas_sweep.supports(H, W):
+        phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
+
+        def body_jnp(carry, _):
+            return _step_jnp(carry, u0, p)[0], None
+
+        phi, _ = jax.lax.scan(body_jnp, phi0, None, length=iters)
+        return phi, phi >= 0
+
+    phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
+    n_pix = jnp.asarray(H * W, u0.dtype)
+    sum_u = jnp.sum(u0)
+    c1_0, c2_0 = region_means(u0, phi0, p.eps)
+
+    def body(carry, _):
+        phi, c1, c2 = carry
+        phi_new, parts = pallas_sweep.fused_iteration(
+            phi, u0, c1, c2, p, interpret=interpret)
+        c1n, c2n = means_from_sums(parts[0], parts[1], sum_u, n_pix)
+        return (phi_new, c1n, c2n), None
+
+    (phi, _, _), _ = jax.lax.scan(body, (phi0, c1_0, c2_0), None,
+                                  length=iters)
+    return phi, phi >= 0

@@ -186,18 +186,21 @@ def segment_multiphase(u0, p: CVParams = CVParams(), m_sets: int = 2,
         phis0 = init_multiphase(u0.shape[:2], m_sets, dtype=u0.dtype)
 
     def cond(state):
-        _, n, delta = state
-        return jnp.logical_and(n < p.max_iter, delta >= p.tol)
+        _, n, delta, streak = state
+        done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
+        return jnp.logical_and(n < p.max_iter, jnp.logical_not(done))
 
     def body(state):
-        phis, n, _ = state
+        phis, n, _, streak = state
         new, _ = multiphase_step(phis, u0, p)
         flips = jnp.mean((labels_from_phis(new)
                           != labels_from_phis(phis)).astype(u0.dtype))
-        return (new, n + 1, flips)
+        streak = jnp.where(flips < p.tol, streak + 1, 0)
+        return (new, n + 1, flips, streak)
 
-    init = (phis0, jnp.int32(0), jnp.asarray(jnp.inf, phis0.dtype))
-    phis, iters, delta = jax.lax.while_loop(cond, body, init)
+    init = (phis0, jnp.int32(0), jnp.asarray(jnp.inf, phis0.dtype),
+            jnp.int32(0))
+    phis, iters, delta, _ = jax.lax.while_loop(cond, body, init)
     cs = jnp.stack(phase_means(u0, phis, p.eps))
     return MultiphaseResult(phis, labels_from_phis(phis), iters, delta, cs)
 

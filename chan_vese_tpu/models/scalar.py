@@ -70,17 +70,20 @@ def segment(u0, p: CVParams = CVParams(), phi0: Optional[jax.Array] = None,
     phi0 = init_phi(u0.shape[:2], p.init, u0.dtype) if phi0 is None else phi0
 
     def cond(state):
-        phi, n, delta = state
-        return jnp.logical_and(n < p.max_iter, delta >= p.tol)
+        phi, n, delta, streak = state
+        done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
+        return jnp.logical_and(n < p.max_iter, jnp.logical_not(done))
 
     def body(state):
-        phi, n, _ = state
+        phi, n, _, streak = state
         phi_new, _, _, delta = step(phi, u0, p, lambda1, lambda2)
         phi_new = _maybe_reinit(phi_new, n, p)
-        return (phi_new, n + 1, delta)
+        streak = jnp.where(delta < p.tol, streak + 1, 0)
+        return (phi_new, n + 1, delta, streak)
 
-    init = (phi0, jnp.int32(0), jnp.asarray(jnp.inf, phi0.dtype))
-    phi, iters, delta = jax.lax.while_loop(cond, body, init)
+    init = (phi0, jnp.int32(0), jnp.asarray(jnp.inf, phi0.dtype),
+            jnp.int32(0))
+    phi, iters, delta, _ = jax.lax.while_loop(cond, body, init)
     c1, c2 = region_means(u0, phi, p.eps)
     return SegResult(phi, phi >= 0, iters, delta, c1, c2)
 

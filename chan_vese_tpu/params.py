@@ -46,6 +46,11 @@ class CVParams:
         sign may still change per iteration (converged when below); with
         'rms'/'mean_abs' it is the classic per-pixel delta-phi tolerance.
       max_iter: iteration cap.
+      min_iter: never declare convergence before this many iterations.
+      patience: the update metric must stay below tol for this many
+        CONSECUTIVE iterations - guards against the near-symmetric start,
+        where c1 ~ c2 makes the data force (and hence flips) vanish for an
+        iteration or two before the dynamics pick up.
       eta2: curvature-denominator regularizer eta^2 inside the sqrt,
         |grad phi| ~ sqrt(eta2 + ...). Keeps 1/|grad phi| finite on flats.
       conv_norm: 'flips' (fraction of mask sign changes; scale-invariant
@@ -73,6 +78,8 @@ class CVParams:
     max_iter: int = 500
     eta2: float = 1e-8
     conv_norm: str = "flips"
+    min_iter: int = 5
+    patience: int = 3
     order: str = "redblack"
     init: str = "checkerboard"
     reinit_every: int = 0

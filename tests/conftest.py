@@ -12,20 +12,25 @@ them with RUN_TPU_TESTS=1 on the real chip (tests/run_tpu_tests.sh).
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+_TPU_MODE = bool(os.environ.get("RUN_TPU_TESTS"))
+
+if not _TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-try:
-    jax.config.update("jax_num_cpu_devices", 8)
-except Exception:
-    pass
-jax.config.update("jax_enable_x64", True)
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass
+    # f64 for parity goldens (CPU only; the axon TPU platform is f32)
+    jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 
