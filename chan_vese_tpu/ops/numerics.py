@@ -102,14 +102,15 @@ def curvature(phi, eta2: float):
     coefficient indices (harmless: multiplied by the vanishing difference).
     """
     A, B = face_coeffs(phi, 1.0, eta2)
+    Am, Bm = face_coeffs_backward(phi, 1.0, eta2)
     return (A * (shift_down(phi) - phi)
-            + shift_up(A) * (shift_up(phi) - phi)
+            + Am * (shift_up(phi) - phi)
             + B * (shift_right(phi) - phi)
-            + shift_left(B) * (shift_left(phi) - phi))
+            + Bm * (shift_left(phi) - phi))
 
 
 def face_coeffs(phi, mu: float, eta2: float):
-    """Half-point curvature coefficients of the semi-implicit scheme.
+    """Forward half-point curvature coefficients of the scheme.
 
     SURVEY.md §3.1:
         A[i,j] = mu / sqrt(eta2 + (phi[i+1,j]-phi[i,j])^2
@@ -118,9 +119,10 @@ def face_coeffs(phi, mu: float, eta2: float):
                                 + (phi[i,j+1]-phi[i,j])^2)
 
     A lives on the (i+1/2, j) face (couples phi[i,j] <-> phi[i+1,j]);
-    B on the (i, j+1/2) face. The backward coefficients of the update are
-    the same fields shifted: A-[i,j] = A[i-1,j], B-[i,j] = B[i,j-1].
-    All out-of-range indices clamp (Neumann).
+    B on the (i, j+1/2) face. Boundary convention is *replica-eval*
+    (Getreuer IPOL 2012 / pad-then-compute lineage): every out-of-range
+    VALUE read clamps to the edge, so out-of-range differences vanish.
+    See :func:`face_coeffs_backward` for A-, B-.
     """
     dxp = shift_down(phi) - phi                      # phi[i+1,j] - phi[i,j]
     dyp = shift_right(phi) - phi                     # phi[i,j+1] - phi[i,j]
@@ -129,3 +131,29 @@ def face_coeffs(phi, mu: float, eta2: float):
     A = mu / jnp.sqrt(eta2 + dxp * dxp + dy0 * dy0)
     B = mu / jnp.sqrt(eta2 + dx0 * dx0 + dyp * dyp)
     return A, B
+
+
+def face_coeffs_backward(phi, mu: float, eta2: float):
+    """Backward coefficients A-[i,j] (= A at face (i-1/2, j)) and B-.
+
+    Replica-eval convention: A- is the A formula evaluated at (i-1, j)
+    with clamped VALUE reads - for i >= 1 this is exactly A[i-1, j]; at
+    i = 0 the forward difference vanishes (phi[0]-phi[-1->0] = 0) and the
+    central term is row 0's, i.e. the formula computed on an edge-padded
+    array. Identity used below:
+
+        A-[i,j] = mu / sqrt(eta2 + (phi[i,j]-phi[i-1,j])^2
+                                 + dy0[max(i-1,0), j]^2)
+
+    which equals shift_up of the A field everywhere except the boundary
+    row, where it reproduces the pad-then-compute value. This is the
+    convention that makes spatial sharding exact: replica halos at global
+    edges ARE the padded array (parallel/sharded.py).
+    """
+    dy0 = 0.5 * (shift_right(phi) - shift_left(phi))
+    dx0 = 0.5 * (shift_down(phi) - shift_up(phi))
+    dxm = phi - shift_up(phi)      # vanishes at i = 0
+    dym = phi - shift_left(phi)    # vanishes at j = 0
+    Am = mu / jnp.sqrt(eta2 + dxm * dxm + shift_up(dy0) ** 2)
+    Bm = mu / jnp.sqrt(eta2 + shift_left(dx0) ** 2 + dym * dym)
+    return Am, Bm

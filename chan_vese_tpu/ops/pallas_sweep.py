@@ -130,7 +130,12 @@ def _south(x):
 
 
 def _update_all(phi, f, mu, dt, eps, eta2):
-    """Semi-implicit update at every cell (tile-local clamped shifts)."""
+    """Semi-implicit update at every cell (tile-local clamped shifts).
+
+    Replica-eval boundary convention, mirroring ops/numerics.py
+    face_coeffs(+_backward): backward coefficients use the vanishing
+    difference (phi - north(phi)) and the shifted central field.
+    """
     n, s = _north(phi), _south(phi)
     w, e = _west(phi), _east(phi)
     dxp = s - phi
@@ -139,8 +144,10 @@ def _update_all(phi, f, mu, dt, eps, eta2):
     dy0 = 0.5 * (e - w)
     A = mu * jax.lax.rsqrt(eta2 + dxp * dxp + dy0 * dy0)
     B = mu * jax.lax.rsqrt(eta2 + dx0 * dx0 + dyp * dyp)
-    Am = _north(A)
-    Bm = _west(B)
+    dxm = phi - n
+    dym = phi - w
+    Am = mu * jax.lax.rsqrt(eta2 + dxm * dxm + _north(dy0) ** 2)
+    Bm = mu * jax.lax.rsqrt(eta2 + _west(dx0) ** 2 + dym * dym)
     d = (eps / math.pi) / (eps * eps + phi * phi)
     num = phi + dt * d * (A * s + Am * n + B * e + Bm * w + f)
     den = 1.0 + dt * d * (A + Am + B + Bm)

@@ -34,15 +34,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .numerics import (dirac, face_coeffs, shift_down, shift_left,
-                       shift_right, shift_up)
+from .numerics import (dirac, face_coeffs, face_coeffs_backward, shift_down,
+                       shift_left, shift_right, shift_up)
 
 
 def _update_all(phi, f, mu, dt, eps, eta2):
     """The semi-implicit update evaluated at every cell from state ``phi``."""
     A, B = face_coeffs(phi, mu, eta2)
-    Am = shift_up(A)      # A[i-1, j] (clamped)
-    Bm = shift_left(B)    # B[i, j-1] (clamped)
+    Am, Bm = face_coeffs_backward(phi, mu, eta2)
     d = dirac(phi, eps)
     num = phi + dt * d * (A * shift_down(phi) + Am * shift_up(phi)
                           + B * shift_right(phi) + Bm * shift_left(phi) + f)

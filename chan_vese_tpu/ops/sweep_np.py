@@ -7,11 +7,13 @@ the vectorized jnp code so the two can cross-check each other. The C
 baseline in native/cv_baseline.c implements the same convention a third
 time. Convention notes (shared by all implementations in this repo):
 
-  * Neumann boundaries are clamped-index: every neighbor *value* read
-    clamps to the grid, and the backward face coefficients A-, B- are the
-    forward coefficient fields evaluated at the clamped position
-    (A-[0, j] == A[0, j]), matching ``shift_up(A)`` / ``shift_left(B)`` in
-    ops/sweep.py.
+  * Neumann boundaries are replica-eval (Getreuer IPOL 2012 /
+    pad-then-compute lineage): every neighbor *value* read clamps to the
+    grid, so out-of-range DIFFERENCES vanish - including inside the
+    backward face coefficients A-, B- (A-[0, j] has a zero
+    forward-difference term), matching ``face_coeffs_backward`` in
+    ops/numerics.py. This is the convention that spatial sharding with
+    edge-replicate halos reproduces exactly.
   * Raster order: row-major, in place, so reads at (i-1, j-1), (i-1, j),
     (i-1, j+1) and (i, j-1) see already-updated values.
 """
@@ -23,6 +25,32 @@ import math
 import numpy as np
 
 
+def _cell_update(at, f_ij, i, j, mu, dt, eps, eta2):
+    """The per-cell semi-implicit update given a clamped reader ``at``."""
+    # forward face coefficients at (i+1/2, j) and (i, j+1/2)
+    dxp = at(i + 1, j) - at(i, j)
+    dy0 = 0.5 * (at(i, j + 1) - at(i, j - 1))
+    A = mu / math.sqrt(eta2 + dxp * dxp + dy0 * dy0)
+    dx0 = 0.5 * (at(i + 1, j) - at(i - 1, j))
+    dyp = at(i, j + 1) - at(i, j)
+    B = mu / math.sqrt(eta2 + dx0 * dx0 + dyp * dyp)
+    # backward coefficients, replica-eval: clamped VALUE reads only, so
+    # the forward-difference terms vanish at the boundary
+    dxm = at(i, j) - at(i - 1, j)
+    dy0m = 0.5 * (at(i - 1, j + 1) - at(i - 1, j - 1))
+    Am = mu / math.sqrt(eta2 + dxm * dxm + dy0m * dy0m)
+    dym = at(i, j) - at(i, j - 1)
+    dx0m = 0.5 * (at(i + 1, j - 1) - at(i - 1, j - 1))
+    Bm = mu / math.sqrt(eta2 + dx0m * dx0m + dym * dym)
+
+    z = at(i, j)
+    d = (eps / math.pi) / (eps * eps + z * z)
+    num = z + dt * d * (A * at(i + 1, j) + Am * at(i - 1, j)
+                        + B * at(i, j + 1) + Bm * at(i, j - 1) + f_ij)
+    den = 1.0 + dt * d * (A + Am + B + Bm)
+    return num / den
+
+
 def raster_sweep(phi: np.ndarray, f: np.ndarray, mu: float, dt: float,
                  eps: float, eta2: float) -> np.ndarray:
     """One in-place raster Gauss-Seidel sweep. Returns ``phi`` (modified)."""
@@ -31,33 +59,9 @@ def raster_sweep(phi: np.ndarray, f: np.ndarray, mu: float, dt: float,
     def at(i, j):
         return phi[min(max(i, 0), H - 1), min(max(j, 0), W - 1)]
 
-    def acoef(i, j):
-        i = min(max(i, 0), H - 1)
-        j = min(max(j, 0), W - 1)
-        dxp = at(i + 1, j) - at(i, j)
-        dy0 = 0.5 * (at(i, j + 1) - at(i, j - 1))
-        return mu / math.sqrt(eta2 + dxp * dxp + dy0 * dy0)
-
-    def bcoef(i, j):
-        i = min(max(i, 0), H - 1)
-        j = min(max(j, 0), W - 1)
-        dx0 = 0.5 * (at(i + 1, j) - at(i - 1, j))
-        dyp = at(i, j + 1) - at(i, j)
-        return mu / math.sqrt(eta2 + dx0 * dx0 + dyp * dyp)
-
     for i in range(H):
         for j in range(W):
-            A = acoef(i, j)
-            Am = acoef(i - 1, j)
-            B = bcoef(i, j)
-            Bm = bcoef(i, j - 1)
-            z = phi[i, j]
-            d = (eps / math.pi) / (eps * eps + z * z)
-            num = z + dt * d * (A * at(i + 1, j) + Am * at(i - 1, j)
-                                + B * at(i, j + 1) + Bm * at(i, j - 1)
-                                + f[i, j])
-            den = 1.0 + dt * d * (A + Am + B + Bm)
-            phi[i, j] = num / den
+            phi[i, j] = _cell_update(at, f[i, j], i, j, mu, dt, eps, eta2)
     return phi
 
 
@@ -66,7 +70,7 @@ def redblack_sweep(phi: np.ndarray, f: np.ndarray, mu: float, dt: float,
     """Red-black ordered sweep matching ops/sweep.py:redblack_step.
 
     Red cells ((i + j) even) update from the all-old state; black cells
-    from the red-updated state. Vectorized-free transcription used to
+    from the red-updated state. Vectorization-free transcription used to
     validate the jnp/Pallas fast path.
     """
     H, W = phi.shape
@@ -74,38 +78,15 @@ def redblack_sweep(phi: np.ndarray, f: np.ndarray, mu: float, dt: float,
     for color in (0, 1):
         base = out  # frozen state this half-sweep reads from
 
-        def at(i, j):
+        def at(i, j, base=base):
             return base[min(max(i, 0), H - 1), min(max(j, 0), W - 1)]
-
-        def acoef(i, j):
-            i = min(max(i, 0), H - 1)
-            j = min(max(j, 0), W - 1)
-            dxp = at(i + 1, j) - at(i, j)
-            dy0 = 0.5 * (at(i, j + 1) - at(i, j - 1))
-            return mu / math.sqrt(eta2 + dxp * dxp + dy0 * dy0)
-
-        def bcoef(i, j):
-            i = min(max(i, 0), H - 1)
-            j = min(max(j, 0), W - 1)
-            dx0 = 0.5 * (at(i + 1, j) - at(i - 1, j))
-            dyp = at(i, j + 1) - at(i, j)
-            return mu / math.sqrt(eta2 + dx0 * dx0 + dyp * dyp)
 
         nxt = base.copy()
         for i in range(H):
             for j in range(W):
                 if (i + j) % 2 != color:
                     continue
-                A = acoef(i, j)
-                Am = acoef(i - 1, j)
-                B = bcoef(i, j)
-                Bm = bcoef(i, j - 1)
-                z = at(i, j)
-                d = (eps / math.pi) / (eps * eps + z * z)
-                num = z + dt * d * (A * at(i + 1, j) + Am * at(i - 1, j)
-                                    + B * at(i, j + 1) + Bm * at(i, j - 1)
-                                    + f[i, j])
-                den = 1.0 + dt * d * (A + Am + B + Bm)
-                nxt[i, j] = num / den
+                nxt[i, j] = _cell_update(at, f[i, j], i, j, mu, dt, eps,
+                                         eta2)
         out = nxt
     return out

@@ -1,0 +1,231 @@
+"""Spatially-sharded Chan-Vese: one big image across a 2D device mesh
+(SURVEY.md §3.4, eval config 4: 4K image, 2D-sharded grid + ICI halos).
+
+Structure per iteration, entirely on device inside `jax.shard_map`:
+
+    exchange depth-4 halos of phi (ppermute N/S then E/W; corners ride
+      along)                                                   <- ICI
+    red half-sweep on the padded block (halo ring recomputed
+      redundantly, so red->black needs no second exchange)
+    resync the global-edge replica halos from the red result
+    black half-sweep on the block interior
+    local partial sums -> psum for c1/c2 and the convergence metric <- ICI
+
+The loop is a device-side while_loop; control crosses host->device once.
+
+Correctness notes (the subtle bits, covered by the bitwise-vs-unsharded
+tests in tests/test_sharded.py):
+  * Halo depth 4 covers the composed stencil reach: black at cell x reads
+    the red field within [-2, +1] rows/cols, and red at q reads old phi
+    within [-2, +1] - total [-4, +2] in each axis (the backward face
+    coefficients reach one extra cell up/left).
+  * Red/black parity is GLOBAL: masks derive from ix*h + local coords.
+  * Global-boundary devices fill halos with edge replicates (clamped-index
+    Neumann). Between the half-sweeps those replicas must be REFRESHED
+    from the red-updated edge cells: a black boundary cell reads its
+    off-grid neighbor as clamp -> its own row/col, which the red pass may
+    just have updated. (Without the resync, the replica of an updated red
+    edge cell would still hold its pre-sweep value.)
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.sweep import _update_all
+from ..params import CVParams
+from ..models.scalar import SegResult
+from .halo import exchange_halo2d
+
+_D = 4  # halo depth
+
+
+def _global_coords(shape, ix, iy, h, w, pad=_D):
+    """(g_i, g_j) int32 grids for a block padded by ``pad`` on each side."""
+    pi = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    pj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return ix * h + pi - pad, iy * w + pj - pad
+
+
+def _resync_replicas(pad, ix, iy, nx, ny):
+    """Refresh global-edge replica halos from the current edge cells."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, pad.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, pad.shape, 1)
+    top = jnp.broadcast_to(pad[_D: _D + 1, :], pad.shape)
+    bot = jnp.broadcast_to(pad[-_D - 1: -_D, :], pad.shape)
+    pad = jnp.where((ix == 0) & (rows < _D), top, pad)
+    pad = jnp.where((ix == nx - 1) & (rows >= pad.shape[0] - _D), bot, pad)
+    left = jnp.broadcast_to(pad[:, _D: _D + 1], pad.shape)
+    right = jnp.broadcast_to(pad[:, -_D - 1: -_D], pad.shape)
+    pad = jnp.where((iy == 0) & (cols < _D), left, pad)
+    pad = jnp.where((iy == ny - 1) & (cols >= pad.shape[1] - _D), right, pad)
+    return pad
+
+
+def _local_checkerboard(shape, ix, iy, h, w, dtype, period=5.0):
+    gi, gj = _global_coords(shape, ix, iy, h, w, pad=0)
+    k = math.pi / period
+    return (jnp.sin(gi.astype(dtype) * k) * jnp.sin(gj.astype(dtype) * k))
+
+
+def _local_circle(shape, ix, iy, h, w, H, W, dtype):
+    gi, gj = _global_coords(shape, ix, iy, h, w, pad=0)
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    r = min(H, W) / 4.0
+    gi = gi.astype(dtype)
+    gj = gj.astype(dtype)
+    return r - jnp.sqrt((gi - cy) ** 2 + (gj - cx) ** 2)
+
+
+def _sharded_iteration(phi, u0_pad, c1, c2, p: CVParams, ix, iy, nx, ny,
+                       h, w, n_pix):
+    """One red-black iteration on a local block; returns new phi + stats."""
+    pad = exchange_halo2d(phi, _D)
+    gi, gj = _global_coords(pad.shape, ix, iy, h, w)
+    valid = ((gi >= 0) & (gi < nx * h) & (gj >= 0) & (gj < ny * w))
+    red = ((gi + gj) % 2 == 0) & valid
+    black = ((gi + gj) % 2 == 1) & valid
+
+    f = (-p.nu - p.lambda1 * (u0_pad - c1) ** 2
+         + p.lambda2 * (u0_pad - c2) ** 2)
+
+    upd = _update_all(pad, f, p.mu, p.dt, p.eps, p.eta2)
+    pad = jnp.where(red, upd, pad)
+    pad = _resync_replicas(pad, ix, iy, nx, ny)
+    upd = _update_all(pad, f, p.mu, p.dt, p.eps, p.eta2)
+    pad = jnp.where(black, upd, pad)
+
+    new = pad[_D: _D + h, _D: _D + w]
+    # psum'd global reductions
+    h_eps = 0.5 + (1.0 / math.pi) * jnp.arctan(new / p.eps)
+    u0_loc = u0_pad[_D: _D + h, _D: _D + w]
+    dphi = new - phi
+    flips = ((new >= 0) != (phi >= 0)).astype(phi.dtype)
+    parts = jnp.stack([
+        jnp.sum(u0_loc * h_eps), jnp.sum(h_eps),
+        jnp.sum(dphi * dphi), jnp.sum(flips), jnp.sum(jnp.abs(dphi)),
+    ])
+    parts = lax.psum(parts, ("x", "y"))
+    c1n = parts[0] / jnp.maximum(parts[1], 1e-30)
+    sum_u = lax.psum(jnp.sum(u0_loc), ("x", "y"))
+    c2n = (sum_u - parts[0]) / jnp.maximum(n_pix - parts[1], 1e-30)
+    if p.conv_norm == "flips":
+        delta = parts[3] / n_pix
+    elif p.conv_norm == "rms":
+        delta = jnp.sqrt(parts[2] / n_pix)
+    else:
+        delta = parts[4] / n_pix
+    return new, c1n, c2n, delta
+
+
+def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed):
+    """shard_map body: the full solver on a local (h, w) block."""
+    ix = lax.axis_index("x")
+    iy = lax.axis_index("y")
+    h, w = u0.shape
+    n_pix = jnp.asarray(nx * h * ny * w, u0.dtype)
+
+    u0_pad = exchange_halo2d(u0, _D)
+    # initial region means: the smooth-Heaviside reduction, psum'd
+    h0 = 0.5 + (1.0 / math.pi) * jnp.arctan(phi0 / p.eps)
+    s_uh = lax.psum(jnp.sum(u0 * h0), ("x", "y"))
+    s_h = lax.psum(jnp.sum(h0), ("x", "y"))
+    s_u = lax.psum(jnp.sum(u0), ("x", "y"))
+    c1 = s_uh / jnp.maximum(s_h, 1e-30)
+    c2 = (s_u - s_uh) / jnp.maximum(n_pix - s_h, 1e-30)
+
+    def body(state):
+        phi, c1, c2, n, _, streak = state
+        phi, c1, c2, delta = _sharded_iteration(
+            phi, u0_pad, c1, c2, p, ix, iy, nx, ny, h, w, n_pix)
+        streak = jnp.where(delta < p.tol, streak + 1, 0)
+        return (phi, c1, c2, n + 1, delta, streak)
+
+    def cond(state):
+        _, _, _, n, delta, streak = state
+        if fixed:
+            return n < max_iter
+        done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
+        return jnp.logical_and(n < max_iter, jnp.logical_not(done))
+
+    init = (phi0, c1, c2, jnp.int32(0), jnp.asarray(jnp.inf, u0.dtype),
+            jnp.int32(0))
+    phi, c1, c2, iters, delta, _ = lax.while_loop(cond, body, init)
+    return phi, c1, c2, iters, delta
+
+
+def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
+                    phi0: Optional[jax.Array] = None,
+                    max_iter: Optional[int] = None, fixed: bool = False
+                    ) -> SegResult:
+    """Segment one large image sharded over a 2D ('x', 'y') device mesh.
+
+    u0: (H, W) with H % nx == 0 and W % ny == 0. phi is returned with the
+    same sharding. Tolerance mode by default; fixed=True runs exactly
+    max_iter iterations (eval config 4 benchmarking).
+    """
+    if mesh is None:
+        raise ValueError("segment_sharded needs a mesh "
+                         "(parallel.mesh.make_grid_mesh)")
+    nx, ny = mesh.shape["x"], mesh.shape["y"]
+    H, W = u0.shape
+    if H % nx or W % ny:
+        raise ValueError(f"image {u0.shape} not divisible by mesh "
+                         f"({nx}, {ny})")
+    cap = max_iter if max_iter is not None else p.max_iter
+
+    def local_fn(u0_loc, phi0_loc):
+        phi, c1, c2, iters, delta = _run_sharded(
+            u0_loc, phi0_loc, p, nx, ny, cap, fixed)
+        return phi, c1, c2, iters, delta
+
+    mapped = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P("x", "y"), P("x", "y")),
+        out_specs=(P("x", "y"), P(), P(), P(), P()))
+
+    @jax.jit
+    def run(u0g, phi0g):
+        return mapped(u0g, phi0g)
+
+    spec = NamedSharding(mesh, P("x", "y"))
+    u0 = jax.device_put(u0, spec)
+    if phi0 is None:
+        phi0 = _make_phi0(u0.shape, p.init, u0.dtype, mesh)
+    else:
+        phi0 = jax.device_put(phi0, spec)
+    with jax.set_mesh(mesh):
+        phi, c1, c2, iters, delta = run(u0, phi0)
+    return SegResult(phi, phi >= 0, iters, delta, c1, c2)
+
+
+def _make_phi0(shape, kind, dtype, mesh):
+    """Initialize phi directly sharded (each device builds its tile)."""
+    nx, ny = mesh.shape["x"], mesh.shape["y"]
+    H, W = shape
+    h, w = H // nx, W // ny
+
+    def local_init():
+        ix = lax.axis_index("x")
+        iy = lax.axis_index("y")
+        if kind == "checkerboard":
+            v = _local_checkerboard((h, w), ix, iy, h, w, dtype)
+        elif kind == "circle":
+            v = _local_circle((h, w), ix, iy, h, w, H, W, dtype)
+        else:
+            raise ValueError(f"unsupported sharded init {kind!r}")
+        # iotas above are built for the padded convention; build unpadded
+        return v
+
+    fn = shard_map(local_init, mesh=mesh, in_specs=(),
+                   out_specs=P("x", "y"))
+    with jax.set_mesh(mesh):
+        return jax.jit(fn)()

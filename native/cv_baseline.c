@@ -11,10 +11,10 @@
  *
  * Conventions are shared bit-for-bit (in exact arithmetic) with
  * chan_vese_tpu/ops/sweep_np.py (NumPy) and ops/sweep.py::wavefront_step
- * (JAX): clamped-index Neumann boundaries, backward face coefficients
- * evaluated at the clamped position, H_2/delta_2 regularization, raster
- * in-place sweep, energy evaluated after each sweep with region means
- * recomputed from the post-sweep phi.
+ * (JAX): replica-eval Neumann boundaries (out-of-range differences vanish,
+ * including inside the backward face coefficients), H_2/delta_2
+ * regularization, raster in-place sweep, energy evaluated after each sweep
+ * with region means recomputed from the post-sweep phi.
  *
  * Build: make (gcc -O3 -march=native -shared). Used via ctypes from
  * native/baseline.py.
@@ -32,24 +32,38 @@ static inline double at(const double *phi, int H, int W, int i, int j) {
     return phi[(size_t)i * W + j];
 }
 
-/* forward face coefficient A at (clamped) position (i, j):
- * mu / sqrt(eta2 + (phi[i+1,j]-phi[i,j])^2 + ((phi[i,j+1]-phi[i,j-1])/2)^2) */
+/* Face coefficients, replica-eval boundary convention (shared with
+ * chan_vese_tpu/ops/numerics.py): every VALUE read clamps to the grid, so
+ * out-of-range differences vanish - including inside the backward
+ * coefficients A- (amcoef) and B- (bmcoef). */
 static inline double acoef(const double *phi, int H, int W, int i, int j,
                            double mu, double eta2) {
-    i = CLAMP(i, 0, H - 1);
-    j = CLAMP(j, 0, W - 1);
     double dxp = at(phi, H, W, i + 1, j) - at(phi, H, W, i, j);
     double dy0 = 0.5 * (at(phi, H, W, i, j + 1) - at(phi, H, W, i, j - 1));
     return mu / sqrt(eta2 + dxp * dxp + dy0 * dy0);
 }
 
+static inline double amcoef(const double *phi, int H, int W, int i, int j,
+                            double mu, double eta2) {
+    double dxm = at(phi, H, W, i, j) - at(phi, H, W, i - 1, j);
+    double dy0m = 0.5 * (at(phi, H, W, i - 1, j + 1)
+                         - at(phi, H, W, i - 1, j - 1));
+    return mu / sqrt(eta2 + dxm * dxm + dy0m * dy0m);
+}
+
 static inline double bcoef(const double *phi, int H, int W, int i, int j,
                            double mu, double eta2) {
-    i = CLAMP(i, 0, H - 1);
-    j = CLAMP(j, 0, W - 1);
     double dx0 = 0.5 * (at(phi, H, W, i + 1, j) - at(phi, H, W, i - 1, j));
     double dyp = at(phi, H, W, i, j + 1) - at(phi, H, W, i, j);
     return mu / sqrt(eta2 + dx0 * dx0 + dyp * dyp);
+}
+
+static inline double bmcoef(const double *phi, int H, int W, int i, int j,
+                            double mu, double eta2) {
+    double dym = at(phi, H, W, i, j) - at(phi, H, W, i, j - 1);
+    double dx0m = 0.5 * (at(phi, H, W, i + 1, j - 1)
+                         - at(phi, H, W, i - 1, j - 1));
+    return mu / sqrt(eta2 + dx0m * dx0m + dym * dym);
 }
 
 /* One in-place raster Gauss-Seidel sweep with a precomputed data term f. */
@@ -59,9 +73,9 @@ void cv_sweep(double *phi, const double *f, int H, int W, double mu,
     for (int i = 0; i < H; ++i) {
         for (int j = 0; j < W; ++j) {
             double A  = acoef(phi, H, W, i, j, mu, eta2);
-            double Am = acoef(phi, H, W, i - 1, j, mu, eta2);
+            double Am = amcoef(phi, H, W, i, j, mu, eta2);
             double B  = bcoef(phi, H, W, i, j, mu, eta2);
-            double Bm = bcoef(phi, H, W, i, j - 1, mu, eta2);
+            double Bm = bmcoef(phi, H, W, i, j, mu, eta2);
             double z = phi[(size_t)i * W + j];
             double d = inv_pi_eps / (eps * eps + z * z);
             double num = z + dt * d * (A * at(phi, H, W, i + 1, j)
@@ -134,18 +148,13 @@ void cv_segment_fixed(double *phi, const double *u0, int H, int W,
         }
         long flips = 0;
         if (delta_out) {
-            /* count sign flips across the sweep: stash old signs in f's
-             * sign bit? keep it simple: recompute after sweep from a copy
-             * is O(n) memory; instead count on the fly below. */
-        }
-        if (delta_out) {
             /* sweep with flip counting */
             for (int i = 0; i < H; ++i) {
                 for (int j = 0; j < W; ++j) {
                     double A  = acoef(phi, H, W, i, j, mu, eta2);
-                    double Am = acoef(phi, H, W, i - 1, j, mu, eta2);
+                    double Am = amcoef(phi, H, W, i, j, mu, eta2);
                     double B  = bcoef(phi, H, W, i, j, mu, eta2);
-                    double Bm = bcoef(phi, H, W, i, j - 1, mu, eta2);
+                    double Bm = bmcoef(phi, H, W, i, j, mu, eta2);
                     double z = phi[(size_t)i * W + j];
                     double d = (eps / M_PI) / (eps * eps + z * z);
                     double num = z + dt * d * (A * at(phi, H, W, i + 1, j)

@@ -1,0 +1,134 @@
+"""Spatial-sharding tests on the 8-device fake CPU mesh (SURVEY.md §4.3,
+eval config 4). The load-bearing check: sharded == unsharded.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chan_vese_tpu.params import CVParams
+from chan_vese_tpu.parallel import mesh as meshmod
+from chan_vese_tpu.parallel.sharded import segment_sharded, _make_phi0
+from chan_vese_tpu.utils.init_phi import init_phi
+from fixtures import iou, two_disks
+
+F32 = jnp.float32
+
+
+@pytest.fixture(scope="module")
+def grid_mesh():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 (fake) devices")
+    return meshmod.make_grid_mesh(2, 4)
+
+
+def test_halo_exchange_matches_pad(grid_mesh):
+    """exchange_halo2d == edge-replicate jnp.pad of the global array."""
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from chan_vese_tpu.parallel.halo import exchange_halo2d
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((16, 32)), F32)
+    depth = 4
+    fn = shard_map(lambda b: exchange_halo2d(b, depth), mesh=grid_mesh,
+                   in_specs=P("x", "y"), out_specs=P("x", "y"))
+    with jax.set_mesh(grid_mesh):
+        padded_blocks = jax.jit(fn)(
+            jax.device_put(x, NamedSharding(grid_mesh, P("x", "y"))))
+    # reassemble: each local block is (8+2d, 8+2d); compare vs global pad
+    glob = np.pad(np.asarray(x), depth, mode="edge")
+    blocks = np.asarray(padded_blocks)
+    h, w = 16 // 2, 32 // 4
+    # padded_blocks has global shape (2*(h+2d), 4*(w+2d)) laid out blockwise
+    for ix in range(2):
+        for iy in range(4):
+            blk = blocks[ix * (h + 2 * depth): (ix + 1) * (h + 2 * depth),
+                         iy * (w + 2 * depth): (iy + 1) * (w + 2 * depth)]
+            want = glob[ix * h: ix * h + h + 2 * depth,
+                        iy * w: iy * w + w + 2 * depth]
+            np.testing.assert_array_equal(blk, want, err_msg=f"{ix},{iy}")
+
+
+def test_sharded_init_matches_unsharded(grid_mesh):
+    phi_sh = _make_phi0((32, 32), "checkerboard", F32, grid_mesh)
+    phi_ref = init_phi((32, 32), "checkerboard", F32)
+    np.testing.assert_allclose(np.asarray(phi_sh), np.asarray(phi_ref),
+                               rtol=1e-6, atol=1e-6)
+    phi_sh = _make_phi0((32, 32), "circle", F32, grid_mesh)
+    phi_ref = init_phi((32, 32), "circle", F32)
+    np.testing.assert_allclose(np.asarray(phi_sh), np.asarray(phi_ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_sharded_equals_unsharded_fixed_iters(grid_mesh):
+    """THE correctness gate: 2x4-sharded segmentation == single-device
+    jnp red-black, same iterations, on a 64x64 image."""
+    from chan_vese_tpu import segment_fixed
+
+    img, gt = two_disks(64, 64, noise=6.0)
+    u = jnp.asarray(img, F32)
+    p = CVParams(init="circle")
+    iters = 25
+    res = segment_sharded(u, p, grid_mesh, max_iter=iters, fixed=True)
+    ref = segment_fixed(u, p, iters=iters)
+    # single-iteration agreement is exact (tests below); over 25 iterations
+    # f32 divergence may flip a handful of borderline pixels
+    mask_diff = (np.asarray(res.mask) != np.asarray(ref.mask)).sum()
+    assert mask_diff <= 3, mask_diff
+    assert iou(np.asarray(res.mask), np.asarray(ref.mask)) >= 0.995
+
+
+def test_sharded_single_iteration_elementwise(grid_mesh):
+    """One iteration sharded vs unsharded, elementwise tight - isolates
+    halo/parity/boundary handling from trajectory divergence."""
+    from chan_vese_tpu import segment_fixed
+
+    img, _ = two_disks(64, 64, noise=6.0)
+    u = jnp.asarray(img, F32)
+    p = CVParams(init="circle")
+    res = segment_sharded(u, p, grid_mesh, max_iter=1, fixed=True)
+    ref = segment_fixed(u, p, iters=1)
+    np.testing.assert_allclose(np.asarray(res.phi), np.asarray(ref.phi),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_sharded_f64_exactness(grid_mesh):
+    """In f64 a single sharded iteration matches unsharded to ~1e-12."""
+    from chan_vese_tpu import segment_fixed
+
+    img, _ = two_disks(64, 64, noise=6.0)
+    u = jnp.asarray(img, jnp.float64)
+    p = CVParams(init="circle")
+    res = segment_sharded(u, p, grid_mesh, max_iter=2, fixed=True)
+    ref = segment_fixed(u, p, iters=2)
+    np.testing.assert_allclose(np.asarray(res.phi), np.asarray(ref.phi),
+                               rtol=1e-11, atol=1e-9)
+
+
+def test_sharded_tol_mode_converges(grid_mesh):
+    img, gt = two_disks(64, 64, noise=6.0)
+    u = jnp.asarray(img, F32)
+    p = CVParams(init="circle", max_iter=100)
+    res = segment_sharded(u, p, grid_mesh)
+    assert int(res.iters) < 100
+    assert iou(np.asarray(res.mask), gt) >= 0.99
+    assert float(res.c1) == pytest.approx(217.0, abs=8.0)
+
+
+def test_sharded_4k_shape_runs(grid_mesh):
+    """Eval config 4 geometry (downscaled 8x for CI): sharded grid runs
+    and segments."""
+    img, gt = two_disks(272, 480, noise=6.0)
+    u = jnp.asarray(img, F32)
+    p = CVParams()
+    res = segment_sharded(u, p, grid_mesh, max_iter=60, fixed=True)
+    m = np.asarray(res.mask)
+    assert max(iou(m, gt), iou(~m, gt)) >= 0.99
+
+
+def test_indivisible_shape_raises(grid_mesh):
+    u = jnp.zeros((65, 64), F32)
+    with pytest.raises(ValueError):
+        segment_sharded(u, CVParams(), grid_mesh)

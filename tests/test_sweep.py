@@ -72,19 +72,27 @@ def test_jacobi_matches_manual():
         return base[min(max(i, 0), H - 1), min(max(j, 0), W - 1)]
 
     def acoef(i, j):
-        i, j = min(max(i, 0), H - 1), min(max(j, 0), W - 1)
         return p.mu / np.sqrt(p.eta2 + (at(i + 1, j) - at(i, j)) ** 2
                               + (0.5 * (at(i, j + 1) - at(i, j - 1))) ** 2)
 
+    def amcoef(i, j):
+        return p.mu / np.sqrt(p.eta2 + (at(i, j) - at(i - 1, j)) ** 2
+                              + (0.5 * (at(i - 1, j + 1)
+                                        - at(i - 1, j - 1))) ** 2)
+
     def bcoef(i, j):
-        i, j = min(max(i, 0), H - 1), min(max(j, 0), W - 1)
         return p.mu / np.sqrt(p.eta2 + (0.5 * (at(i + 1, j) - at(i - 1, j))) ** 2
                               + (at(i, j + 1) - at(i, j)) ** 2)
 
+    def bmcoef(i, j):
+        return p.mu / np.sqrt(p.eta2 + (0.5 * (at(i + 1, j - 1)
+                                               - at(i - 1, j - 1))) ** 2
+                              + (at(i, j) - at(i, j - 1)) ** 2)
+
     for i in range(H):
         for j in range(W):
-            A, Am = acoef(i, j), acoef(i - 1, j)
-            B, Bm = bcoef(i, j), bcoef(i, j - 1)
+            A, Am = acoef(i, j), amcoef(i, j)
+            B, Bm = bcoef(i, j), bmcoef(i, j)
             z = base[i, j]
             d = (p.eps / np.pi) / (p.eps ** 2 + z ** 2)
             num = z + p.dt * d * (A * at(i + 1, j) + Am * at(i - 1, j)
