@@ -10,10 +10,19 @@ vmap-batched stacks, and a 2D-sharded grid with ICI halo exchange.
 
 from .params import CVParams, DEFAULTS
 from .models.scalar import SegResult, SegTrace, segment, segment_fixed, step
+from .models.vector import segment_vector, segment_vector_fixed
+from .models.multiphase import (MultiphaseResult, segment_multiphase,
+                                segment_multiphase_fixed)
+from .models.batched import segment_batch, segment_stack_fixed
+from .models.fused import segment_fused, segment_fused_fixed
 
 __all__ = [
     "CVParams", "DEFAULTS",
     "segment", "segment_fixed", "step", "SegResult", "SegTrace",
+    "segment_vector", "segment_vector_fixed",
+    "segment_multiphase", "segment_multiphase_fixed", "MultiphaseResult",
+    "segment_batch", "segment_stack_fixed",
+    "segment_fused", "segment_fused_fixed",
 ]
 
 __version__ = "0.1.0"

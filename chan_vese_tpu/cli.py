@@ -1,0 +1,181 @@
+"""Command-line interface (SURVEY.md C15, L5).
+
+Mirrors the reference CLI's parameter surface exactly (BASELINE.json:5:
+mu, nu, lambda1, lambda2, dt, eps, per-pixel tolerance, max-iter, init,
+I/O paths, grayscale/color switch) plus the rebuild's additions: multiphase,
+sweep-order selection, the fused TPU path, energy-trace CSV, evolution GIF,
+pre-smoothing, reinit cadence.
+
+    python -m chan_vese_tpu input.png -o mask.png --mu 650.25 --tol 1e-5
+    python -m chan_vese_tpu input.png --color --lambda1 1 1.2 0.8
+    python -m chan_vese_tpu input.png --multiphase 2 -o labels.png
+    python -m chan_vese_tpu input.png --trace-energy trace.csv --iters 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .params import CVParams
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="chan_vese_tpu",
+        description="TPU-native Chan-Vese active-contour segmentation")
+    ap.add_argument("input", help="input image (png/jpg/npy)")
+    ap.add_argument("-o", "--output", default=None,
+                    help="output mask / label map (png/npy)")
+    ap.add_argument("--overlay", default=None,
+                    help="write a contour overlay image here")
+    d = CVParams()
+    ap.add_argument("--mu", type=float, default=d.mu,
+                    help=f"length penalty (default {d.mu:g}; for [0,255] "
+                         "intensities - the loader keeps that range)")
+    ap.add_argument("--nu", type=float, default=d.nu, help="area penalty")
+    ap.add_argument("--lambda1", type=float, nargs="+", default=[d.lambda1],
+                    help="inside fit weight(s); one per channel with --color")
+    ap.add_argument("--lambda2", type=float, nargs="+", default=[d.lambda2],
+                    help="outside fit weight(s)")
+    ap.add_argument("--dt", type=float, default=d.dt, help="time step")
+    ap.add_argument("--eps", type=float, default=d.eps,
+                    help="Heaviside/Dirac regularization width")
+    ap.add_argument("--tol", type=float, default=d.tol,
+                    help="per-pixel convergence tolerance (see --conv)")
+    ap.add_argument("--max-iter", type=int, default=d.max_iter)
+    ap.add_argument("--iters", type=int, default=None,
+                    help="run EXACTLY this many iterations (fixed mode, "
+                         "enables --trace-energy)")
+    ap.add_argument("--conv", choices=("flips", "rms", "mean_abs"),
+                    default=d.conv_norm, help="convergence metric")
+    ap.add_argument("--init", choices=("checkerboard", "circle", "rect"),
+                    default=d.init)
+    ap.add_argument("--order", choices=("redblack", "jacobi", "wavefront"),
+                    default=d.order,
+                    help="sweep ordering (wavefront == sequential raster "
+                         "Gauss-Seidel; parity mode)")
+    ap.add_argument("--color", action="store_true",
+                    help="vector-valued (RGB) energy on color images")
+    ap.add_argument("--multiphase", type=int, default=0, metavar="M",
+                    help="use M coupled level sets (2^M phases)")
+    ap.add_argument("--smooth", type=int, default=0, metavar="STEPS",
+                    help="Perona-Malik pre-smoothing steps")
+    ap.add_argument("--smooth-kappa", type=float, default=10.0)
+    ap.add_argument("--reinit-every", type=int, default=d.reinit_every)
+    ap.add_argument("--trace-energy", default=None, metavar="CSV",
+                    help="write the per-iteration energy trace (fixed mode)")
+    ap.add_argument("--evolution-gif", default=None, metavar="GIF",
+                    help="write a contour-evolution animation (fixed mode, "
+                         "records every --gif-every iterations)")
+    ap.add_argument("--gif-every", type=int, default=5)
+    ap.add_argument("--no-fused", action="store_true",
+                    help="skip the fused Pallas path even on TPU")
+    ap.add_argument("--f64", action="store_true",
+                    help="double precision (CPU parity mode)")
+    ap.add_argument("--quiet", action="store_true")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from .models import multiphase as mp
+    from .models.fused import segment_fused
+    from .models.scalar import segment, segment_fixed
+    from .models.vector import segment_vector, segment_vector_fixed
+    from .ops.diffusion import perona_malik
+    from .utils import image_io, trace as trace_util
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    img = image_io.load_image(args.input, color=args.color)
+    u0 = jnp.asarray(img, dtype)
+    if args.smooth:
+        u0 = perona_malik(u0, steps=args.smooth, kappa=args.smooth_kappa)
+
+    p = CVParams(mu=args.mu, nu=args.nu,
+                 lambda1=args.lambda1[0], lambda2=args.lambda2[0],
+                 dt=args.dt, eps=args.eps, tol=args.tol,
+                 max_iter=args.max_iter, conv_norm=args.conv,
+                 init=args.init, order=args.order,
+                 reinit_every=args.reinit_every)
+
+    fixed = args.iters is not None
+    log = (lambda *a: None) if args.quiet else (
+        lambda *a: print(*a, file=sys.stderr))
+
+    if args.multiphase:
+        if fixed:
+            tr = mp.segment_multiphase_fixed(u0, p, iters=args.iters,
+                                             m_sets=args.multiphase)
+            labels, iters = tr.labels, args.iters
+            if args.trace_energy:
+                trace_util.write_energy_csv(args.trace_energy, tr.energy,
+                                            tr.delta)
+        else:
+            res = mp.segment_multiphase(u0, p, m_sets=args.multiphase)
+            labels, iters = res.labels, int(res.iters)
+        log(f"multiphase: {2 ** args.multiphase} phases, {iters} iters")
+        if args.output:
+            image_io.save_labels(args.output, labels)
+        if args.overlay:
+            image_io.save_overlay(args.overlay, img,
+                                  np.asarray(labels) % 2 == 1)
+        return 0
+
+    lam1 = tuple(args.lambda1) if args.color else None
+    lam2 = tuple(args.lambda2) if args.color else None
+
+    if fixed:
+        if args.color:
+            tr = segment_vector_fixed(u0, p, iters=args.iters,
+                                      lambda1=lam1, lambda2=lam2)
+        else:
+            tr = segment_fixed(u0, p, iters=args.iters)
+        mask, iters, c1, c2 = tr.mask, args.iters, tr.c1[-1], tr.c2[-1]
+        if args.trace_energy:
+            trace_util.write_energy_csv(args.trace_energy, tr.energy,
+                                        tr.delta, tr.c1, tr.c2)
+        if args.evolution_gif:
+            # re-run in chunks to collect frames (trace mode keeps only
+            # the final phi on device)
+            frames = []
+            phi = None
+            from .utils.init_phi import init_phi
+            phi = init_phi(u0.shape[:2], p.init, dtype)
+            for _ in range(0, args.iters, args.gif_every):
+                t = (segment_vector_fixed(u0, p, iters=args.gif_every,
+                                          phi0=phi, lambda1=lam1,
+                                          lambda2=lam2)
+                     if args.color else
+                     segment_fixed(u0, p, iters=args.gif_every, phi0=phi))
+                phi = t.phi
+                frames.append(np.asarray(phi))
+            image_io.save_evolution_gif(args.evolution_gif, img, frames)
+    else:
+        if args.color:
+            res = segment_vector(u0, p, lambda1=lam1, lambda2=lam2)
+        elif (not args.no_fused) and jax.default_backend() == "tpu":
+            res = segment_fused(u0, p)
+        else:
+            res = segment(u0, p)
+        mask, iters, c1, c2 = res.mask, int(res.iters), res.c1, res.c2
+
+    log(f"converged in {iters} iters; c1={np.asarray(c1)}, "
+        f"c2={np.asarray(c2)}")
+    if args.output:
+        image_io.save_mask(args.output, mask)
+    if args.overlay:
+        image_io.save_overlay(args.overlay, img, np.asarray(mask))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,79 @@
+"""Iteration checkpoint/resume (SURVEY.md §5).
+
+The reference (seconds-long CLI runs) has none; for long sharded 4K runs
+the framework checkpoints (phi, iteration, c1, c2) every K iterations as a
+plain .npz - enough to restart a multi-slice run from the last checkpoint
+(documented failure-recovery story, SURVEY.md §5 'failure detection').
+
+Arrays are pulled to host once per checkpoint (sharded phi gathers
+transparently via np.asarray); for pod-scale runs swap in
+orbax/array_serialization - the call sites only touch save/load/latest.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+
+def save(path_dir, step: int, phi, c1=None, c2=None, **extra) -> Path:
+    d = Path(path_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    p = d / f"ckpt_{step:08d}.npz"
+    tmp = p.with_suffix(".tmp.npz")
+    np.savez(tmp, step=step, phi=np.asarray(phi),
+             c1=np.asarray(c1 if c1 is not None else np.nan),
+             c2=np.asarray(c2 if c2 is not None else np.nan),
+             **{k: np.asarray(v) for k, v in extra.items()})
+    tmp.rename(p)  # atomic-ish: never leave a torn ckpt under the real name
+    return p
+
+
+def latest(path_dir) -> Optional[Path]:
+    d = Path(path_dir)
+    if not d.is_dir():
+        return None
+    cands = sorted(d.glob("ckpt_*.npz"))
+    return cands[-1] if cands else None
+
+
+def load(path):
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def segment_with_checkpoints(u0, p, iters: int, ckpt_dir, every: int = 50,
+                             phi0=None, resume: bool = True):
+    """Fixed-iteration segmentation checkpointing every ``every`` iters.
+
+    Resumes from the newest checkpoint in ckpt_dir when ``resume``.
+    Chunked driver: runs `every`-iteration device-side scans between
+    host-side checkpoint writes.
+    """
+    import jax.numpy as jnp
+
+    from ..models.scalar import segment_fixed
+    from ..utils.init_phi import init_phi
+
+    start = 0
+    phi = phi0
+    if resume:
+        ck = latest(ckpt_dir)
+        if ck is not None:
+            state = load(ck)
+            start = int(state["step"])
+            phi = jnp.asarray(state["phi"], u0.dtype)
+    if phi is None:
+        phi = init_phi(u0.shape[:2], p.init, u0.dtype)
+
+    n = start
+    while n < iters:
+        chunk = min(every, iters - n)
+        tr = segment_fixed(u0, p, iters=chunk, phi0=phi)
+        phi = tr.phi
+        n += chunk
+        save(ckpt_dir, n, phi, tr.c1[-1], tr.c2[-1])
+    return phi
