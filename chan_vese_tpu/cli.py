@@ -94,8 +94,18 @@ def main(argv=None) -> int:
     from .ops.diffusion import perona_malik
     from .utils import image_io, trace as trace_util
 
+    if not args.color and (len(args.lambda1) > 1 or len(args.lambda2) > 1):
+        print("error: per-channel --lambda1/--lambda2 need --color",
+              file=sys.stderr)
+        return 2
+
     dtype = jnp.float64 if args.f64 else jnp.float32
-    img = image_io.load_image(args.input, color=args.color)
+    try:
+        img = image_io.load_image(args.input, color=args.color)
+    except FileNotFoundError:
+        print(f"error: cannot open input image {args.input!r}",
+              file=sys.stderr)
+        return 2
     u0 = jnp.asarray(img, dtype)
     if args.smooth:
         u0 = perona_malik(u0, steps=args.smooth, kappa=args.smooth_kappa)
