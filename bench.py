@@ -12,7 +12,9 @@ import sys
 import time
 
 
-def _tpu_mpixel_iters(iters=40, reps=3):
+def _tpu_mpixel_iters(iters=200, reps=3):
+    # iters amortizes the ~25 ms per-dispatch host<->device latency of the
+    # tunneled dev chip (at 200 iters it is <15% of the measurement)
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Full evaluation-config benchmark suite (BASELINE.json:6-12).
+
+Runs all five eval configs on the available hardware and prints one JSON
+line per config (plus the headline line bench.py prints). On the 1-chip
+dev box, config 4 runs on a degenerate 1x1 mesh (the sharded code path,
+single shard) and config 5 on a 1-device data mesh; on a pod slice they
+spread out with zero code changes.
+
+Usage: python bench_configs.py [--quick]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _t(fn, readback, reps=3):
+    out = fn()
+    import jax
+    jax.block_until_ready(out)
+    float(readback(out))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        float(readback(out))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="smaller iteration counts (CI smoke)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from chan_vese_tpu.params import CVParams
+    from chan_vese_tpu import (segment_fixed, segment_stack_fixed,
+                               segment_vector_fixed)
+    from chan_vese_tpu.models.fused import segment_fused_fixed
+    from chan_vese_tpu.models.multiphase import segment_multiphase_fixed
+
+    rng = np.random.default_rng(0)
+    p = CVParams()
+    iters = 20 if args.quick else 100
+    results = []
+
+    def report(name, pixels, it, secs):
+        rec = {"config": name, "Mpixel_iters_per_s":
+               round(pixels * it / secs / 1e6, 1),
+               "iters": it, "wall_s": round(secs, 4)}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # config 1: 256x256 grayscale, checkerboard, 100 iters
+    u = jnp.asarray(rng.uniform(0, 255, (256, 256)), jnp.float32)
+    secs = _t(lambda: segment_fused_fixed(u, p, iters=iters),
+              lambda o: o[0][0, 0])
+    report("1: gray 256^2 checkerboard (fused)", 256 * 256, iters, secs)
+
+    # config 2: 512x512 RGB, per-channel lambdas
+    u = jnp.asarray(rng.uniform(0, 255, (512, 512, 3)), jnp.float32)
+    secs = _t(lambda: segment_vector_fixed(
+        u, p, iters=iters, lambda1=(1.0, 1.2, 0.8)),
+        lambda o: o.phi[0, 0])
+    report("2: RGB 512^2 per-channel lambda", 512 * 512, iters, secs)
+
+    # config 3: multiphase 512^2, 2 level sets
+    u = jnp.asarray(rng.uniform(0, 255, (512, 512)), jnp.float32)
+    secs = _t(lambda: segment_multiphase_fixed(u, p, iters=iters, m_sets=2),
+              lambda o: o.phis[0, 0, 0])
+    report("3: multiphase 512^2 (2 phis, 4 phases)", 512 * 512, iters, secs)
+
+    # config 4: single 4K, 2D-sharded grid + halo exchange
+    from chan_vese_tpu.parallel.mesh import make_grid_mesh
+    from chan_vese_tpu.parallel.sharded import segment_sharded
+    n = jax.device_count()
+    nx = 2 if n >= 2 else 1
+    ny = max(1, min(4, n // nx))
+    mesh = make_grid_mesh(nx, ny)
+    u = jnp.asarray(rng.uniform(0, 255, (2160, 3840)), jnp.float32)
+    secs = _t(lambda: segment_sharded(u, p, mesh, max_iter=iters, fixed=True),
+              lambda o: o.phi[0, 0])
+    report(f"4: 4K sharded {nx}x{ny} mesh + ICI halos", 2160 * 3840, iters,
+           secs)
+
+    # config 4b: single-chip 4K fused (the headline; for comparison)
+    secs = _t(lambda: segment_fused_fixed(u, p, iters=iters),
+              lambda o: o[0][0, 0])
+    report("4b: 4K single-chip fused Pallas", 2160 * 3840, iters, secs)
+
+    # config 5: 256 frames of 512^2 via vmap over the data mesh
+    from chan_vese_tpu.parallel.mesh import make_data_mesh
+    from chan_vese_tpu.parallel.data_parallel import segment_stack_sharded
+    frames = 32 if args.quick else 256
+    it5 = 10 if args.quick else 30
+    dmesh = make_data_mesh()
+    stack = jnp.asarray(rng.uniform(0, 255, (frames, 512, 512)), jnp.float32)
+    secs = _t(lambda: segment_stack_sharded(stack, p, dmesh, iters=it5),
+              lambda o: o[0][0, 0, 0])
+    report(f"5: stack {frames}x512^2 vmap+data-mesh", frames * 512 * 512,
+           it5, secs)
+
+    total = {"summary": "all-configs",
+             "device_count": jax.device_count(),
+             "backend": jax.default_backend(),
+             "results": results}
+    with open("BENCH_CONFIGS.json", "w") as fh:
+        json.dump(total, fh, indent=1)
+    print(f"# wrote BENCH_CONFIGS.json ({len(results)} configs)")
+
+
+if __name__ == "__main__":
+    main()

@@ -32,14 +32,20 @@ def _delta_from_partials(parts, n_pixels, p: CVParams, dtype):
     return parts[4] / n_pixels  # mean_abs
 
 
-@functools.partial(jax.jit, static_argnames=("p", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("p", "lambda1", "lambda2", "interpret"))
 def segment_fused(u0, p: CVParams = CVParams(),
                   phi0: Optional[jax.Array] = None,
+                  lambda1=None, lambda2=None,
                   interpret: bool = False) -> SegResult:
-    """Tolerance-mode segmentation on the fused kernel (grayscale 2-phase)."""
-    if u0.ndim != 2:
-        raise ValueError("fused path is the scalar grayscale solver; use "
-                         "models.vector / models.multiphase for the rest")
+    """Tolerance-mode segmentation on the fused kernel.
+
+    Grayscale (H, W) or vector-valued (H, W, C) - the latter dispatches to
+    the multichannel kernel (ops/pallas_sweep_mc.py) with per-channel
+    lambda weight tuples.
+    """
+    if u0.ndim == 3:
+        return _segment_fused_mc(u0, p, phi0, lambda1, lambda2, interpret)
     H, W = u0.shape
     if not pallas_sweep.supports(H, W):
         return _segment_jnp(u0, p, phi0)
@@ -61,6 +67,50 @@ def segment_fused(u0, p: CVParams = CVParams(),
             phi, u0, c1, c2, p, interpret=interpret)
         c1n, c2n = means_from_sums(parts[0], parts[1], sum_u, n_pix)
         delta = _delta_from_partials(parts, n_pix, p, u0.dtype)
+        streak = jnp.where(delta < p.tol, streak + 1, 0)
+        return (phi_new, c1n, c2n, n + 1, delta, streak)
+
+    init = (phi0, c1_0, c2_0, jnp.int32(0),
+            jnp.asarray(jnp.inf, u0.dtype), jnp.int32(0))
+    phi, c1, c2, iters, delta, _ = jax.lax.while_loop(cond, body, init)
+    return SegResult(phi, phi >= 0, iters, delta, c1, c2)
+
+
+def _segment_fused_mc(u0, p, phi0, lambda1, lambda2, interpret):
+    """Vector-valued tolerance-mode driver over the multichannel kernel."""
+    from ..ops import pallas_sweep_mc
+    from ..models.vector import segment_vector
+
+    H, W, C = u0.shape
+    if not pallas_sweep_mc.supports_mc(H, W, C):
+        l1, l2 = p.channel_lambdas(C, lambda1, lambda2)
+        return segment_vector(u0, p, phi0, l1, l2)
+
+    ucf = jnp.transpose(u0, (2, 0, 1))  # channels-first for the kernel
+    phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
+    n_pix = jnp.asarray(H * W, u0.dtype)
+    sum_u = jnp.sum(ucf, axis=(1, 2))  # (C,)
+    c1_0, c2_0 = region_means(u0, phi0, p.eps)
+
+    def cond(state):
+        _, _, _, n, delta, streak = state
+        done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
+        return jnp.logical_and(n < p.max_iter, jnp.logical_not(done))
+
+    def body(state):
+        phi, c1, c2, n, _, streak = state
+        phi_new, parts = pallas_sweep_mc.fused_iteration_mc(
+            phi, ucf, c1, c2, p, lambda1, lambda2, interpret=interpret)
+        s_uh = parts[:C]
+        s_h = parts[C]
+        c1n = s_uh / jnp.maximum(s_h, 1e-30)
+        c2n = (sum_u - s_uh) / jnp.maximum(n_pix - s_h, 1e-30)
+        if p.conv_norm == "flips":
+            delta = parts[C + 2] / n_pix
+        elif p.conv_norm == "rms":
+            delta = jnp.sqrt(parts[C + 1] / n_pix)
+        else:
+            delta = parts[C + 3] / n_pix
         streak = jnp.where(delta < p.tol, streak + 1, 0)
         return (phi_new, c1n, c2n, n + 1, delta, streak)
 

@@ -129,12 +129,16 @@ def _south(x):
     return jnp.concatenate([x[1:], x[-1:]], axis=0)
 
 
-def _update_all(phi, f, mu, dt, eps, eta2):
+def _update_all(phi, g, f, mu, dt, eps, eta2):
     """Semi-implicit update at every cell (tile-local clamped shifts).
 
     Replica-eval boundary convention, mirroring ops/numerics.py
     face_coeffs(+_backward): backward coefficients use the vanishing
     difference (phi - north(phi)) and the shifted central field.
+
+    ``g`` = dt * delta_eps(phi_old): the Dirac factor uses the OLD center
+    value in BOTH half-sweeps (red cells are old in pass 1, black cells
+    are old in pass 2), so the caller computes it once per iteration.
     """
     n, s = _north(phi), _south(phi)
     w, e = _west(phi), _east(phi)
@@ -144,13 +148,18 @@ def _update_all(phi, f, mu, dt, eps, eta2):
     dy0 = 0.5 * (e - w)
     A = mu * jax.lax.rsqrt(eta2 + dxp * dxp + dy0 * dy0)
     B = mu * jax.lax.rsqrt(eta2 + dx0 * dx0 + dyp * dyp)
-    dxm = phi - n
-    dym = phi - w
-    Am = mu * jax.lax.rsqrt(eta2 + dxm * dxm + _north(dy0) ** 2)
-    Bm = mu * jax.lax.rsqrt(eta2 + _west(dx0) ** 2 + dym * dym)
-    d = (eps / math.pi) / (eps * eps + phi * phi)
-    num = phi + dt * d * (A * s + Am * n + B * e + Bm * w + f)
-    den = 1.0 + dt * d * (A + Am + B + Bm)
+    # Backward coefficients are exact shifts of the forward fields away
+    # from the boundary (Am[i] == A[i-1] since dxm[i] == dxp[i-1]), so
+    # reuse them instead of two more full-tile rsqrt evaluations; only the
+    # first row/col needs the replica-eval value (vanishing forward
+    # difference). Row 0 of a non-top tile is halo and never consumed, so
+    # the fix row is unconditionally correct to install.
+    am0 = mu * jax.lax.rsqrt(eta2 + dy0[:1] * dy0[:1])
+    Am = jnp.concatenate([am0, A[:-1]], axis=0)
+    bm0 = mu * jax.lax.rsqrt(eta2 + dx0[:, :1] * dx0[:, :1])
+    Bm = jnp.concatenate([bm0, B[:, :-1]], axis=1)
+    num = phi + g * (A * s + Am * n + B * e + Bm * w + f)
+    den = 1.0 + g * (A + Am + B + Bm)
     return num / den
 
 
@@ -184,11 +193,15 @@ def _fused_band_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
     grow = rows + s
     red = ((grow + cols) % 2) == 0
 
+    # dt * Dirac(old center) serves both half-sweeps (centers stay old
+    # until their own color's update)
+    g = (dt * eps / math.pi) / (eps * eps + phi * phi)
+
     # red half-sweep from all-old values (computed everywhere; only the
     # band's 1-ring needs to be right, and it is: its stencil lies in-tile)
-    phi_r = jnp.where(red, _update_all(phi, f, mu, dt, eps, eta2), phi)
+    phi_r = jnp.where(red, _update_all(phi, g, f, mu, dt, eps, eta2), phi)
     # black half-sweep from red-new + black-old
-    phi_n = jnp.where(red, phi_r, _update_all(phi_r, f, mu, dt, eps, eta2))
+    phi_n = jnp.where(red, phi_r, _update_all(phi_r, g, f, mu, dt, eps, eta2))
 
     new_scr[:] = phi_n
 
