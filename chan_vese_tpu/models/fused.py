@@ -24,7 +24,7 @@ from ..utils.init_phi import init_phi
 from .scalar import SegResult, segment as _segment_jnp, step as _step_jnp
 
 
-def _delta_from_partials(parts, n_pixels, p: CVParams, dtype):
+def _delta_from_partials(parts, n_pixels, p: CVParams):
     if p.conv_norm == "flips":
         return parts[3] / n_pixels
     if p.conv_norm == "rms":
@@ -66,7 +66,7 @@ def segment_fused(u0, p: CVParams = CVParams(),
         phi_new, parts = pallas_sweep.fused_iteration(
             phi, u0, c1, c2, p, interpret=interpret)
         c1n, c2n = means_from_sums(parts[0], parts[1], sum_u, n_pix)
-        delta = _delta_from_partials(parts, n_pix, p, u0.dtype)
+        delta = _delta_from_partials(parts, n_pix, p)
         streak = jnp.where(delta < p.tol, streak + 1, 0)
         return (phi_new, c1n, c2n, n + 1, delta, streak)
 
