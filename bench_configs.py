@@ -77,15 +77,21 @@ def main():
               lambda o: o.phis[0, 0, 0])
     report("3: multiphase 512^2 (2 phis, 4 phases)", 512 * 512, iters, secs)
 
-    # config 4: single 4K, 2D-sharded grid + halo exchange
+    # config 4: single 4K, 2D-sharded grid + halo exchange. Pre-place the
+    # image and phi0 on the mesh so the measurement is the solver, not the
+    # 33MB host->device transfer.
+    from jax.sharding import NamedSharding, PartitionSpec as P
     from chan_vese_tpu.parallel.mesh import make_grid_mesh
-    from chan_vese_tpu.parallel.sharded import segment_sharded
+    from chan_vese_tpu.parallel.sharded import segment_sharded, _make_phi0
     n = jax.device_count()
     nx = 2 if n >= 2 else 1
     ny = max(1, min(4, n // nx))
     mesh = make_grid_mesh(nx, ny)
     u = jnp.asarray(rng.uniform(0, 255, (2160, 3840)), jnp.float32)
-    secs = _t(lambda: segment_sharded(u, p, mesh, max_iter=iters, fixed=True),
+    u = jax.device_put(u, NamedSharding(mesh, P("x", "y")))
+    phi0 = _make_phi0(u.shape, p.init, u.dtype, mesh)
+    secs = _t(lambda: segment_sharded(u, p, mesh, phi0=phi0,
+                                      max_iter=iters, fixed=True),
               lambda o: o.phi[0, 0])
     report(f"4: 4K sharded {nx}x{ny} mesh + ICI halos", 2160 * 3840, iters,
            secs)

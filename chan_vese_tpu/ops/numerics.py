@@ -140,20 +140,30 @@ def face_coeffs_backward(phi, mu: float, eta2: float):
     with clamped VALUE reads - for i >= 1 this is exactly A[i-1, j]; at
     i = 0 the forward difference vanishes (phi[0]-phi[-1->0] = 0) and the
     central term is row 0's, i.e. the formula computed on an edge-padded
-    array. Identity used below:
-
-        A-[i,j] = mu / sqrt(eta2 + (phi[i,j]-phi[i-1,j])^2
-                                 + dy0[max(i-1,0), j]^2)
-
-    which equals shift_up of the A field everywhere except the boundary
-    row, where it reproduces the pad-then-compute value. This is the
-    convention that makes spatial sharding exact: replica halos at global
-    edges ARE the padded array (parallel/sharded.py).
+    array. This is the convention that makes spatial sharding exact:
+    replica halos at global edges ARE the padded array
+    (parallel/sharded.py).
     """
-    dy0 = 0.5 * (shift_right(phi) - shift_left(phi))
-    dx0 = 0.5 * (shift_down(phi) - shift_up(phi))
-    dxm = phi - shift_up(phi)      # vanishes at i = 0
-    dym = phi - shift_left(phi)    # vanishes at j = 0
-    Am = mu / jnp.sqrt(eta2 + dxm * dxm + shift_up(dy0) ** 2)
-    Bm = mu / jnp.sqrt(eta2 + shift_left(dx0) ** 2 + dym * dym)
+    _, _, Am, Bm = face_coeffs_all(phi, mu, eta2)
     return Am, Bm
+
+
+def face_coeffs_all(phi, mu: float, eta2: float):
+    """All four face coefficients, reusing the forward fields.
+
+    Away from the boundary A-[i] == A[i-1] exactly (dxm[i] == dxp[i-1],
+    shifted dy0), so A-/B- are shifts of A/B with a one-row/col boundary
+    fix (the replica-eval value with the vanishing forward difference) -
+    two sqrt evaluations instead of four, bitwise-identical results.
+    """
+    dxp = shift_down(phi) - phi
+    dyp = shift_right(phi) - phi
+    dx0 = 0.5 * (shift_down(phi) - shift_up(phi))
+    dy0 = 0.5 * (shift_right(phi) - shift_left(phi))
+    A = mu / jnp.sqrt(eta2 + dxp * dxp + dy0 * dy0)
+    B = mu / jnp.sqrt(eta2 + dx0 * dx0 + dyp * dyp)
+    am0 = mu / jnp.sqrt(eta2 + dy0[:1] * dy0[:1])
+    Am = jnp.concatenate([am0, A[:-1]], axis=0)
+    bm0 = mu / jnp.sqrt(eta2 + dx0[:, :1] * dx0[:, :1])
+    Bm = jnp.concatenate([bm0, B[:, :-1]], axis=1)
+    return A, B, Am, Bm

@@ -34,14 +34,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .numerics import (dirac, face_coeffs, face_coeffs_backward, shift_down,
-                       shift_left, shift_right, shift_up)
+from .numerics import (dirac, face_coeffs_all, shift_down, shift_left,
+                       shift_right, shift_up)
 
 
 def _update_all(phi, f, mu, dt, eps, eta2):
     """The semi-implicit update evaluated at every cell from state ``phi``."""
-    A, B = face_coeffs(phi, mu, eta2)
-    Am, Bm = face_coeffs_backward(phi, mu, eta2)
+    A, B, Am, Bm = face_coeffs_all(phi, mu, eta2)
     d = dirac(phi, eps)
     num = phi + dt * d * (A * shift_down(phi) + Am * shift_up(phi)
                           + B * shift_right(phi) + Bm * shift_left(phi) + f)
