@@ -73,10 +73,11 @@ def segment_stack_fused_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
                               interpret: bool = False):
     """Fixed-iteration stack segmentation through the fused Pallas kernel.
 
-    ``vmap`` lifts the band-tiled kernel over the frame axis (the batch
-    becomes an extra grid dimension), keeping the ~3-HBM-pass iteration
-    cost per frame. Grayscale (N, H, W) only; unsupported shapes fall back
-    to the jnp stack loop. Returns (phi, mask).
+    The frame axis becomes a leading grid dimension of the band-tiled
+    kernel (ops/pallas_sweep.fused_iteration_batch - vmap cannot batch
+    ANY-memory-space refs on TPU), keeping the ~3-HBM-pass iteration cost
+    per frame. Grayscale (N, H, W) only; unsupported shapes fall back to
+    the jnp stack loop. Returns (phi, mask).
     """
     from ..ops import pallas_sweep
     from ..ops.reductions import means_from_sums, region_means
@@ -92,12 +93,10 @@ def segment_stack_fused_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
     sum_u = jnp.sum(u0, axis=(1, 2))
     c1_0, c2_0 = jax.vmap(lambda u, ph: region_means(u, ph, p.eps))(u0, phi0)
 
-    one = jax.vmap(lambda ph, u, a, b: pallas_sweep.fused_iteration(
-        ph, u, a, b, p, interpret=interpret))
-
     def body(carry, _):
         phis, c1, c2 = carry
-        phis, parts = one(phis, u0, c1, c2)
+        phis, parts = pallas_sweep.fused_iteration_batch(
+            phis, u0, c1, c2, p, interpret=interpret)
         c1n, c2n = means_from_sums(parts[:, 0], parts[:, 1], sum_u, n_pix)
         return (phis, c1n, c2n), None
 

@@ -14,25 +14,30 @@ iteration derive from the partials: c1 = s_uH/s_H, c2 = (S_u - s_uH)/
 (N - s_H) with S_u, N precomputed once.
 
 Tiling: the grid walks row bands; each step manually DMAs a (band+16, W)
-tile (8-row nominal halo each side, sublane-aligned) from HBM/ANY into VMEM, computes the red half-sweep everywhere (red
-values neighboring the band are recomputed redundantly - the classic
-overlapped-tiling trick that keeps red->black fusion local), the black
-half-sweep on the band, and DMAs the band back. The halo is asymmetric -
-4 rows above, 2 below - because the backward face coefficients reach one
-extra row up through two composed stencils: black at row r reads the
-A-field at r-1 which reads red phi at r-2, and red phi at q reads old phi
-at q-2 (down-reach is one less on both hops). Ragged last band is handled
-by sliding its window up (rows are recomputed identically - deterministic
-- and partial masks keep the counted region disjoint).
+tile (8-row nominal halo each side - Mosaic needs sublane-aligned DMA
+slices; the math needs 4 up / 2 down because the backward face
+coefficients compose two stencils) from HBM/ANY into VMEM, computes the
+red half-sweep everywhere (red values neighboring the band are recomputed
+redundantly - the classic overlapped-tiling trick that keeps red->black
+fusion local), the black half-sweep on the band, and DMAs the band back.
+Ragged last band is handled by sliding its window up (rows are recomputed
+identically and partial masks keep the counted region disjoint).
 
-Numerics are EXACTLY ops/sweep.py:redblack_step (same clamped-index
+Numerics are EXACTLY ops/sweep.py:redblack_step (same replica-eval
 Neumann convention; columns clamp globally since tiles span full width,
 rows clamp at tile edges which coincide with image edges exactly where it
 matters). Verified elementwise in tests/test_pallas.py (interpret mode on
 CPU) and on real TPU via RUN_TPU_TESTS=1.
 
-Fast-path requirements: W % 128 == 0 (lane alignment) and H >= 16; other
-shapes fall back to the jnp path transparently (models/fused.py).
+Three deployment modes share the kernel body:
+  * whole image (fused_iteration, grid = bands),
+  * frame stacks (fused_iteration_batch, grid = frames x bands),
+  * halo-padded shard canvases under shard_map (fused_iteration with
+    parity/crop/edges - see parallel/sharded.py).
+
+Fast-path requirements: W % 128 == 0 (lane alignment), H % 8 == 0,
+H >= 24; other shapes fall back to the jnp path transparently
+(models/fused.py).
 """
 
 from __future__ import annotations
@@ -165,8 +170,32 @@ def _update_all(phi, g, f, mu, dt, eps, eta2):
 
 def _fused_band_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
                        phi_scr, u0_scr, new_scr, sems,
-                       *, H, W, b, mu, nu, l1, l2, dt, eps, eta2):
-    i = pl.program_id(0)
+                       *, H, W, b, mu, nu, l1, l2, dt, eps, eta2,
+                       crop=None, batched=False):
+    # c_ref (SMEM (rows, 8)): [c1, c2, parity, top, bottom, left, right, -]
+    # per frame; parity aligns the local red-black lattice with the global
+    # one when this kernel runs on a halo-padded shard
+    # (parallel/sharded.py) - 0 for whole images.
+    # crop (static (r0, r1, c0, c1) or None): restrict the partial sums to
+    # an interior window (the shard's own cells, excluding halo/dead pad).
+    # batched: leading frame axis on phi/u0/out + a leading grid dim
+    # (models/batched.py stack path - vmap cannot batch ANY-space refs).
+    if batched:
+        n = pl.program_id(0)
+        i = pl.program_id(1)
+        nb = pl.num_programs(1)
+        phi_full = phi_hbm.at[n]
+        u0_full = u0_hbm.at[n]
+        out_full = out_hbm.at[n]
+        prow = n * nb + i
+        crow = n
+    else:
+        i = pl.program_id(0)
+        phi_full = phi_hbm
+        u0_full = u0_hbm
+        out_full = out_hbm
+        prow = i
+        crow = 0
     g0 = jnp.minimum(i * b, H - b)                    # compute-window start
     # all starts/sizes are multiples of 8 (H % 8 == 0, b % 8 == 0): Mosaic
     # requires sublane-aligned DMA slices, and needs the hint to prove it
@@ -176,9 +205,9 @@ def _fused_band_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
     o = pl.multiple_of(g0 - s, 8)                     # window offset in tile
 
     load_phi = pltpu.make_async_copy(
-        phi_hbm.at[pl.ds(s, b + _HALO), :], phi_scr, sems.at[0])
+        phi_full.at[pl.ds(s, b + _HALO), :], phi_scr, sems.at[0])
     load_u0 = pltpu.make_async_copy(
-        u0_hbm.at[pl.ds(s, b + _HALO), :], u0_scr, sems.at[1])
+        u0_full.at[pl.ds(s, b + _HALO), :], u0_scr, sems.at[1])
     load_phi.start()
     load_u0.start()
     load_phi.wait()
@@ -186,12 +215,14 @@ def _fused_band_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
 
     phi = phi_scr[:]
     u0 = u0_scr[:]
-    f = -nu - l1 * (u0 - c_ref[0, 0]) ** 2 + l2 * (u0 - c_ref[0, 1]) ** 2
+    f = (-nu - l1 * (u0 - c_ref[crow, 0]) ** 2
+         + l2 * (u0 - c_ref[crow, 1]) ** 2)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, phi.shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, phi.shape, 1)
     grow = rows + s
-    red = ((grow + cols) % 2) == 0
+    parity = c_ref[crow, 2].astype(jnp.int32)
+    red = ((grow + cols + parity) % 2) == 0
 
     # dt * Dirac(old center) serves both half-sweeps (centers stay old
     # until their own color's update)
@@ -200,40 +231,81 @@ def _fused_band_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
     # red half-sweep from all-old values (computed everywhere; only the
     # band's 1-ring needs to be right, and it is: its stencil lies in-tile)
     phi_r = jnp.where(red, _update_all(phi, g, f, mu, dt, eps, eta2), phi)
+
+    if crop is not None:
+        # Sharded mode: the array is a halo-padded shard canvas. At global
+        # edges the pad holds REPLICAS (clamped-index Neumann); between the
+        # half-sweeps they must be refreshed from the red-updated edge
+        # cells (the black pass reads red values through them). All source
+        # indices are static: the band containing the top pad rows always
+        # has s == 0 (source local row = crop r0), and any band whose tile
+        # reaches the last canvas row has s == H-(b+16) (source local row
+        # = b + 16 - 5). Flags in c_ref[0, 3:7]: [top, bottom, left,
+        # right] are 1.0 where this shard sits on that global edge.
+        r0, r1, c0, c1x = crop
+        is_top = c_ref[crow, 3] > 0.5
+        is_bot = c_ref[crow, 4] > 0.5
+        is_left = c_ref[crow, 5] > 0.5
+        is_right = c_ref[crow, 6] > 0.5
+        phi_r = jnp.where(is_top & (grow < r0),
+                          jnp.broadcast_to(phi_r[r0: r0 + 1], phi_r.shape),
+                          phi_r)
+        bot_src = phi_r[b + _HALO - 5: b + _HALO - 4]
+        phi_r = jnp.where(is_bot & (grow >= r1),
+                          jnp.broadcast_to(bot_src, phi_r.shape), phi_r)
+        phi_r = jnp.where(is_left & (cols < c0),
+                          jnp.broadcast_to(phi_r[:, c0: c0 + 1],
+                                           phi_r.shape), phi_r)
+        phi_r = jnp.where(is_right & (cols >= c1x),
+                          jnp.broadcast_to(phi_r[:, c1x - 1: c1x],
+                                           phi_r.shape), phi_r)
+
     # black half-sweep from red-new + black-old
     phi_n = jnp.where(red, phi_r, _update_all(phi_r, g, f, mu, dt, eps, eta2))
 
     new_scr[:] = phi_n
 
     store = pltpu.make_async_copy(
-        new_scr.at[pl.ds(o, b), :], out_hbm.at[pl.ds(g0, b), :], sems.at[2])
+        new_scr.at[pl.ds(o, b), :], out_full.at[pl.ds(g0, b), :], sems.at[2])
     store.start()
 
     # partial sums over this band's *unique* rows [i*b, min((i+1)*b, H))
     hi = jnp.minimum((i + 1) * b, H)
-    m = ((grow >= i * b) & (grow < hi)).astype(phi.dtype)
+    keep = (grow >= i * b) & (grow < hi)
+    if crop is not None:
+        r0, r1, c0, c1x = crop
+        keep = keep & (grow >= r0) & (grow < r1) & (cols >= c0) & (cols < c1x)
+    m = keep.astype(phi.dtype)
     h_eps = _heaviside(phi_n, eps)
     dphi = phi_n - phi
     flips = ((phi_n >= 0) != (phi >= 0)).astype(phi.dtype)
-    part_ref[i, 0] = jnp.sum(u0 * h_eps * m)
-    part_ref[i, 1] = jnp.sum(h_eps * m)
-    part_ref[i, 2] = jnp.sum(dphi * dphi * m)
-    part_ref[i, 3] = jnp.sum(flips * m)
-    part_ref[i, 4] = jnp.sum(jnp.abs(dphi) * m)
-    part_ref[i, 5] = 0.0
-    part_ref[i, 6] = 0.0
-    part_ref[i, 7] = 0.0
+    part_ref[prow, 0] = jnp.sum(u0 * h_eps * m)
+    part_ref[prow, 1] = jnp.sum(h_eps * m)
+    part_ref[prow, 2] = jnp.sum(dphi * dphi * m)
+    part_ref[prow, 3] = jnp.sum(flips * m)
+    part_ref[prow, 4] = jnp.sum(jnp.abs(dphi) * m)
+    part_ref[prow, 5] = 0.0
+    part_ref[prow, 6] = 0.0
+    part_ref[prow, 7] = 0.0
 
     store.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("p", "interpret"))
-def fused_iteration(phi, u0, c1, c2, p: CVParams, interpret: bool = False
+@functools.partial(jax.jit, static_argnames=("p", "crop", "interpret"))
+def fused_iteration(phi, u0, c1, c2, p: CVParams, parity=None, crop=None,
+                    edges=None, interpret: bool = False
                     ) -> Tuple[jax.Array, jax.Array]:
     """One fused red-black iteration.
 
     Returns (phi_new, partials (8,)) with partials summed over bands:
     [s_uH, s_H, s_dphi2, flips, s_absdphi, 0, 0, 0].
+
+    Sharded-shard mode (parallel/sharded.py): ``parity`` (traced int
+    scalar) offsets the red-black lattice, ``crop`` (static (r0, r1, c0,
+    c1)) restricts the partial sums to the shard's own window, and
+    ``edges`` (traced (4,) float flags [top, bottom, left, right]) marks
+    which sides of the canvas are global boundaries whose replica halos
+    get resynced between the half-sweeps.
     """
     H, W = phi.shape
     if not supports(H, W):
@@ -241,15 +313,28 @@ def fused_iteration(phi, u0, c1, c2, p: CVParams, interpret: bool = False
                          f" (need W % 128 == 0, H >= 16)")
     b = band_rows(H, W)
     nbands = pl.cdiv(H, b)
-    c = jnp.stack([c1, c2]).reshape(1, 2).astype(phi.dtype)
+    par = jnp.asarray(0 if parity is None else parity)
+    if edges is None:
+        edges = jnp.zeros((4,), phi.dtype)
+    c = jnp.concatenate([
+        jnp.stack([jnp.asarray(c1, phi.dtype), jnp.asarray(c2, phi.dtype),
+                   par.astype(phi.dtype)]),
+        jnp.asarray(edges, phi.dtype), jnp.zeros((1,), phi.dtype),
+    ]).reshape(1, 8)
 
     kernel = functools.partial(
         _fused_band_kernel, H=H, W=W, b=b, mu=p.mu, nu=p.nu,
-        l1=p.lambda1, l2=p.lambda2, dt=p.dt, eps=p.eps, eta2=p.eta2)
+        l1=p.lambda1, l2=p.lambda2, dt=p.dt, eps=p.eps, eta2=p.eta2,
+        crop=crop)
+    return _call_fused(kernel, phi, u0, c, (nbands,), nbands, b, interpret)
+
+
+def _call_fused(kernel, phi, u0, c, grid, nparts, b, interpret):
+    H, W = phi.shape[-2:]
 
     phi_new, partials = pl.pallas_call(
         kernel,
-        grid=(nbands,),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -258,12 +343,12 @@ def fused_iteration(phi, u0, c1, c2, p: CVParams, interpret: bool = False
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             # whole-array SMEM (row-blocking is not lowerable on TPU);
-            # band i writes row i
+            # each grid step writes its own row
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((H, W), phi.dtype),
-            jax.ShapeDtypeStruct((nbands, 8), phi.dtype),
+            jax.ShapeDtypeStruct(phi.shape, phi.dtype),
+            jax.ShapeDtypeStruct((nparts, 8), phi.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((b + _HALO, W), phi.dtype),
@@ -272,8 +357,39 @@ def fused_iteration(phi, u0, c1, c2, p: CVParams, interpret: bool = False
             pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary",) * len(grid),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(c, phi, u0)
+    if phi.ndim == 3:
+        nbands = nparts // phi.shape[0]
+        return phi_new, jnp.sum(
+            partials.reshape(phi.shape[0], nbands, 8), axis=1)
     return phi_new, jnp.sum(partials, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "interpret"))
+def fused_iteration_batch(phis, u0s, c1s, c2s, p: CVParams,
+                          interpret: bool = False
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """One fused red-black iteration over a stack (N, H, W).
+
+    The frame axis is a leading grid dimension of the same kernel (vmap
+    cannot batch ANY-memory-space refs on TPU). c1s/c2s: (N,) per-frame
+    means. Returns (phi_new (N, H, W), partials (N, 8)).
+    """
+    N, H, W = phis.shape
+    if not supports(H, W):
+        raise ValueError(f"pallas fast path unsupported for {phis.shape}")
+    b = band_rows(H, W)
+    nbands = pl.cdiv(H, b)
+    zeros = jnp.zeros((N,), phis.dtype)
+    c = jnp.stack([c1s.astype(phis.dtype), c2s.astype(phis.dtype)]
+                  + [zeros] * 6, axis=1)  # (N, 8)
+
+    kernel = functools.partial(
+        _fused_band_kernel, H=H, W=W, b=b, mu=p.mu, nu=p.nu,
+        l1=p.lambda1, l2=p.lambda2, dt=p.dt, eps=p.eps, eta2=p.eta2,
+        batched=True)
+    return _call_fused(kernel, phis, u0s, c, (N, nbands), N * nbands, b,
+                       interpret)

@@ -85,37 +85,72 @@ def _local_circle(shape, ix, iy, h, w, H, W, dtype):
     return r - jnp.sqrt((gi - cy) ** 2 + (gj - cx) ** 2)
 
 
+def _canvas_cols(w: int) -> int:
+    """Lane-aligned canvas width for a (h+8, w+8) padded shard."""
+    return -(-(w + 2 * _D) // 128) * 128
+
+
+def _pallas_ok(h: int, w: int) -> bool:
+    from ..ops import pallas_sweep
+    return h % 8 == 0 and pallas_sweep.supports(h + 2 * _D, _canvas_cols(w))
+
+
 def _sharded_iteration(phi, u0_pad, c1, c2, p: CVParams, ix, iy, nx, ny,
-                       h, w, n_pix):
-    """One red-black iteration on a local block; returns new phi + stats."""
+                       h, w, n_pix, use_pallas=False, interpret=False):
+    """One red-black iteration on a local block; returns new phi + stats.
+
+    use_pallas routes the padded-block sweep through the fused band kernel
+    (ops/pallas_sweep.py) with a global parity offset and interior-cropped
+    partials - the canvas embeds the (h+8, w+8) block into lane-aligned
+    width with edge-extended dead columns (never consumed by the
+    interior's stencils).
+    """
     pad = exchange_halo2d(phi, _D)
-    gi, gj = _global_coords(pad.shape, ix, iy, h, w)
-    valid = ((gi >= 0) & (gi < nx * h) & (gj >= 0) & (gj < ny * w))
-    red = ((gi + gj) % 2 == 0) & valid
-    black = ((gi + gj) % 2 == 1) & valid
 
-    f = (-p.nu - p.lambda1 * (u0_pad - c1) ** 2
-         + p.lambda2 * (u0_pad - c2) ** 2)
+    if use_pallas:
+        from ..ops import pallas_sweep
 
-    upd = _update_all(pad, f, p.mu, p.dt, p.eps, p.eta2)
-    pad = jnp.where(red, upd, pad)
-    pad = _resync_replicas(pad, ix, iy, nx, ny)
-    upd = _update_all(pad, f, p.mu, p.dt, p.eps, p.eta2)
-    pad = jnp.where(black, upd, pad)
+        wc = _canvas_cols(w)
+        canvas = jnp.pad(pad, ((0, 0), (0, wc - pad.shape[1])), mode="edge")
+        u0_canvas = jnp.pad(u0_pad, ((0, 0), (0, wc - u0_pad.shape[1])),
+                            mode="edge")
+        parity = (ix * h + iy * w) % 2
+        crop = (_D, _D + h, _D, _D + w)
+        edges = jnp.stack([ix == 0, ix == nx - 1, iy == 0, iy == ny - 1]
+                          ).astype(phi.dtype)
+        canvas_new, parts = pallas_sweep.fused_iteration(
+            canvas, u0_canvas, c1, c2, p, parity=parity, crop=crop,
+            edges=edges, interpret=interpret)
+        new = canvas_new[_D: _D + h, _D: _D + w]
+        parts = lax.psum(parts[:5], ("x", "y"))
+    else:
+        gi, gj = _global_coords(pad.shape, ix, iy, h, w)
+        valid = ((gi >= 0) & (gi < nx * h) & (gj >= 0) & (gj < ny * w))
+        red = ((gi + gj) % 2 == 0) & valid
+        black = ((gi + gj) % 2 == 1) & valid
 
-    new = pad[_D: _D + h, _D: _D + w]
-    # psum'd global reductions
-    h_eps = 0.5 + (1.0 / math.pi) * jnp.arctan(new / p.eps)
-    u0_loc = u0_pad[_D: _D + h, _D: _D + w]
-    dphi = new - phi
-    flips = ((new >= 0) != (phi >= 0)).astype(phi.dtype)
-    parts = jnp.stack([
-        jnp.sum(u0_loc * h_eps), jnp.sum(h_eps),
-        jnp.sum(dphi * dphi), jnp.sum(flips), jnp.sum(jnp.abs(dphi)),
-    ])
-    parts = lax.psum(parts, ("x", "y"))
+        f = (-p.nu - p.lambda1 * (u0_pad - c1) ** 2
+             + p.lambda2 * (u0_pad - c2) ** 2)
+
+        upd = _update_all(pad, f, p.mu, p.dt, p.eps, p.eta2)
+        pad = jnp.where(red, upd, pad)
+        pad = _resync_replicas(pad, ix, iy, nx, ny)
+        upd = _update_all(pad, f, p.mu, p.dt, p.eps, p.eta2)
+        pad = jnp.where(black, upd, pad)
+
+        new = pad[_D: _D + h, _D: _D + w]
+        # psum'd global reductions
+        h_eps = 0.5 + (1.0 / math.pi) * jnp.arctan(new / p.eps)
+        u0_loc = u0_pad[_D: _D + h, _D: _D + w]
+        dphi = new - phi
+        flips = ((new >= 0) != (phi >= 0)).astype(phi.dtype)
+        parts = jnp.stack([
+            jnp.sum(u0_loc * h_eps), jnp.sum(h_eps),
+            jnp.sum(dphi * dphi), jnp.sum(flips), jnp.sum(jnp.abs(dphi)),
+        ])
+        parts = lax.psum(parts, ("x", "y"))
     c1n = parts[0] / jnp.maximum(parts[1], 1e-30)
-    sum_u = lax.psum(jnp.sum(u0_loc), ("x", "y"))
+    sum_u = lax.psum(jnp.sum(u0_pad[_D: _D + h, _D: _D + w]), ("x", "y"))
     c2n = (sum_u - parts[0]) / jnp.maximum(n_pix - parts[1], 1e-30)
     if p.conv_norm == "flips":
         delta = parts[3] / n_pix
@@ -126,7 +161,8 @@ def _sharded_iteration(phi, u0_pad, c1, c2, p: CVParams, ix, iy, nx, ny,
     return new, c1n, c2n, delta
 
 
-def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed):
+def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed,
+                 use_pallas=False, interpret=False):
     """shard_map body: the full solver on a local (h, w) block."""
     ix = lax.axis_index("x")
     iy = lax.axis_index("y")
@@ -145,7 +181,8 @@ def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed):
     def body(state):
         phi, c1, c2, n, _, streak = state
         phi, c1, c2, delta = _sharded_iteration(
-            phi, u0_pad, c1, c2, p, ix, iy, nx, ny, h, w, n_pix)
+            phi, u0_pad, c1, c2, p, ix, iy, nx, ny, h, w, n_pix,
+            use_pallas=use_pallas, interpret=interpret)
         streak = jnp.where(delta < p.tol, streak + 1, 0)
         return (phi, c1, c2, n + 1, delta, streak)
 
@@ -164,13 +201,19 @@ def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed):
 
 def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
                     phi0: Optional[jax.Array] = None,
-                    max_iter: Optional[int] = None, fixed: bool = False
-                    ) -> SegResult:
+                    max_iter: Optional[int] = None, fixed: bool = False,
+                    use_pallas: Optional[bool] = None,
+                    interpret: bool = False) -> SegResult:
     """Segment one large image sharded over a 2D ('x', 'y') device mesh.
 
     u0: (H, W) with H % nx == 0 and W % ny == 0. phi is returned with the
     same sharding. Tolerance mode by default; fixed=True runs exactly
     max_iter iterations (eval config 4 benchmarking).
+
+    use_pallas: route the per-shard sweep through the fused band kernel
+    (None = auto: on the TPU backend when the shard geometry allows; the
+    jnp sweep otherwise). interpret=True runs the kernel interpreted
+    (CPU-mesh tests).
     """
     if mesh is None:
         raise ValueError("segment_sharded needs a mesh "
@@ -181,20 +224,14 @@ def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
         raise ValueError(f"image {u0.shape} not divisible by mesh "
                          f"({nx}, {ny})")
     cap = max_iter if max_iter is not None else p.max_iter
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and _pallas_ok(H // nx, W // ny))
+    elif use_pallas and not _pallas_ok(H // nx, W // ny):
+        raise ValueError(f"pallas path unsupported for shard "
+                         f"({H // nx}, {W // ny})")
 
-    def local_fn(u0_loc, phi0_loc):
-        phi, c1, c2, iters, delta = _run_sharded(
-            u0_loc, phi0_loc, p, nx, ny, cap, fixed)
-        return phi, c1, c2, iters, delta
-
-    mapped = shard_map(
-        local_fn, mesh=mesh,
-        in_specs=(P("x", "y"), P("x", "y")),
-        out_specs=(P("x", "y"), P(), P(), P(), P()))
-
-    @jax.jit
-    def run(u0g, phi0g):
-        return mapped(u0g, phi0g)
+    run = _build_program(p, mesh, nx, ny, cap, fixed, use_pallas, interpret)
 
     spec = NamedSharding(mesh, P("x", "y"))
     u0 = jax.device_put(u0, spec)
@@ -205,6 +242,23 @@ def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
     with jax.set_mesh(mesh):
         phi, c1, c2, iters, delta = run(u0, phi0)
     return SegResult(phi, phi >= 0, iters, delta, c1, c2)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_program(p, mesh, nx, ny, cap, fixed, use_pallas, interpret):
+    """Cache the jitted shard_map program (a fresh closure per call would
+    retrace on every segment_sharded invocation - ~2s per call at 4K)."""
+
+    def local_fn(u0_loc, phi0_loc):
+        return _run_sharded(u0_loc, phi0_loc, p, nx, ny, cap, fixed,
+                            use_pallas=use_pallas, interpret=interpret)
+
+    mapped = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P("x", "y"), P("x", "y")),
+        out_specs=(P("x", "y"), P(), P(), P(), P()),
+        check_vma=False)  # pallas_call outputs carry no vma annotations
+    return jax.jit(mapped)
 
 
 def _make_phi0(shape, kind, dtype, mesh):
