@@ -11,13 +11,16 @@ per-frame while_loop under vmap).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.batched import segment_batch, segment_stack_fixed
+from ..models.batched import (segment_batch, segment_stack_fixed,
+                              segment_stack_fused_fixed)
 from ..params import CVParams
 
 
@@ -31,17 +34,45 @@ def shard_stack(u0, mesh: Mesh):
 
 
 def segment_stack_sharded(u0, p: CVParams = CVParams(), mesh: Mesh = None,
-                          iters: Optional[int] = None):
+                          iters: Optional[int] = None,
+                          use_pallas: Optional[bool] = None,
+                          interpret: bool = False):
     """Segment a frame stack data-parallel across the mesh.
 
     iters=None -> tolerance mode (per-frame iteration counts); otherwise
     the lean fixed-iteration loop. Outputs inherit the input sharding.
+
+    In fixed mode the per-device work routes through the fused Pallas
+    stack kernel when supported (use_pallas=None -> auto on TPU); the
+    kernel is wrapped in an explicit shard_map because XLA cannot
+    SPMD-partition a pallas_call on its own.
     """
     if mesh is None:
         raise ValueError("segment_stack_sharded needs a mesh "
                          "(parallel.mesh.make_data_mesh)")
     u0 = shard_stack(u0, mesh)
-    with jax.set_mesh(mesh):
-        if iters is None:
+    if iters is None:
+        with jax.set_mesh(mesh):
             return segment_batch(u0, p)
-        return segment_stack_fixed(u0, p, iters=iters)
+    if use_pallas is None:
+        from ..ops import pallas_sweep
+        use_pallas = (jax.default_backend() == "tpu"
+                      and pallas_sweep.supports(*u0.shape[1:3])
+                      and u0.ndim == 3)
+    if not use_pallas:
+        with jax.set_mesh(mesh):
+            return segment_stack_fixed(u0, p, iters=iters)
+    run = _build_fused_stack(p, mesh, iters, interpret)
+    with jax.set_mesh(mesh):
+        return run(u0)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_fused_stack(p, mesh, iters, interpret):
+    def local_fn(stack):
+        return segment_stack_fused_fixed(stack, p, iters=iters,
+                                         interpret=interpret)
+
+    mapped = shard_map(local_fn, mesh=mesh, in_specs=P("data"),
+                       out_specs=(P("data"), P("data")), check_vma=False)
+    return jax.jit(mapped)

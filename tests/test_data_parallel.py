@@ -57,3 +57,16 @@ def test_sharded_stack_tol_mode(data_mesh):
 def test_indivisible_batch_raises(data_mesh):
     with pytest.raises(ValueError):
         shard_stack(jnp.zeros((7, 16, 16), F32), data_mesh)
+
+
+def test_sharded_stack_fused_matches_jnp(data_mesh):
+    stack, gts = _stack(8, h=64, w=128)
+    u = jnp.asarray(stack)
+    p = CVParams(init="circle")
+    phis_f, masks_f = segment_stack_sharded(u, p, data_mesh, iters=20,
+                                            use_pallas=True, interpret=True)
+    phis_j, masks_j = segment_stack_sharded(u, p, data_mesh, iters=20,
+                                            use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(masks_f), np.asarray(masks_j))
+    for k, gt in enumerate(gts):
+        assert iou(np.asarray(masks_f[k]), gt) >= 0.98
