@@ -49,6 +49,9 @@ def main():
     rng = np.random.default_rng(0)
     p = CVParams()
     iters = 20 if args.quick else 100
+    # small images amortize the ~25ms tunneled-dispatch latency with more
+    # iterations (device time per iteration is tens of microseconds there)
+    iters_small = 40 if args.quick else 1000
     results = []
 
     def report(name, pixels, it, secs):
@@ -58,24 +61,27 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
-    # config 1: 256x256 grayscale, checkerboard, 100 iters
+    # config 1: 256x256 grayscale, checkerboard
     u = jnp.asarray(rng.uniform(0, 255, (256, 256)), jnp.float32)
-    secs = _t(lambda: segment_fused_fixed(u, p, iters=iters),
+    secs = _t(lambda: segment_fused_fixed(u, p, iters=iters_small),
               lambda o: o[0][0, 0])
-    report("1: gray 256^2 checkerboard (fused)", 256 * 256, iters, secs)
+    report("1: gray 256^2 checkerboard (fused)", 256 * 256, iters_small,
+           secs)
 
-    # config 2: 512x512 RGB, per-channel lambdas
+    # config 2: 512x512 RGB, per-channel lambdas (multichannel kernel)
     u = jnp.asarray(rng.uniform(0, 255, (512, 512, 3)), jnp.float32)
-    secs = _t(lambda: segment_vector_fixed(
-        u, p, iters=iters, lambda1=(1.0, 1.2, 0.8)),
-        lambda o: o.phi[0, 0])
-    report("2: RGB 512^2 per-channel lambda", 512 * 512, iters, secs)
+    secs = _t(lambda: segment_fused_fixed(
+        u, p, iters=iters_small, lambda1=(1.0, 1.2, 0.8)),
+        lambda o: o[0][0, 0])
+    report("2: RGB 512^2 per-channel lambda (fused mc)", 512 * 512,
+           iters_small, secs)
 
     # config 3: multiphase 512^2, 2 level sets
     u = jnp.asarray(rng.uniform(0, 255, (512, 512)), jnp.float32)
-    secs = _t(lambda: segment_multiphase_fixed(u, p, iters=iters, m_sets=2),
-              lambda o: o.phis[0, 0, 0])
-    report("3: multiphase 512^2 (2 phis, 4 phases)", 512 * 512, iters, secs)
+    secs = _t(lambda: segment_multiphase_fixed(
+        u, p, iters=iters_small, m_sets=2), lambda o: o.phis[0, 0, 0])
+    report("3: multiphase 512^2 (2 phis, 4 phases)", 512 * 512,
+           iters_small, secs)
 
     # config 4: single 4K, 2D-sharded grid + halo exchange. Pre-place the
     # image and phi0 on the mesh so the measurement is the solver, not the

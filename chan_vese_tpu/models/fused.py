@@ -120,11 +120,21 @@ def _segment_fused_mc(u0, p, phi0, lambda1, lambda2, interpret):
     return SegResult(phi, phi >= 0, iters, delta, c1, c2)
 
 
-@functools.partial(jax.jit, static_argnames=("p", "iters", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("p", "iters", "lambda1", "lambda2",
+                                    "interpret"))
 def segment_fused_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
                         phi0: Optional[jax.Array] = None,
+                        lambda1=None, lambda2=None,
                         interpret: bool = False):
-    """Fixed-iteration fused run (the benchmark loop). Returns (phi, mask)."""
+    """Fixed-iteration fused run (the benchmark loop). Returns (phi, mask).
+
+    Handles grayscale (H, W) and vector-valued (H, W, C) inputs (the
+    latter through the multichannel kernel, jnp fallback when unaligned).
+    """
+    if u0.ndim == 3:
+        return _segment_fused_mc_fixed(u0, p, iters, phi0, lambda1,
+                                       lambda2, interpret)
     H, W = u0.shape
     if not pallas_sweep.supports(H, W):
         phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
@@ -145,6 +155,38 @@ def segment_fused_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
         phi_new, parts = pallas_sweep.fused_iteration(
             phi, u0, c1, c2, p, interpret=interpret)
         c1n, c2n = means_from_sums(parts[0], parts[1], sum_u, n_pix)
+        return (phi_new, c1n, c2n), None
+
+    (phi, _, _), _ = jax.lax.scan(body, (phi0, c1_0, c2_0), None,
+                                  length=iters)
+    return phi, phi >= 0
+
+
+def _segment_fused_mc_fixed(u0, p, iters, phi0, lambda1, lambda2, interpret):
+    from ..ops import pallas_sweep_mc
+
+    H, W, C = u0.shape
+    if not pallas_sweep_mc.supports_mc(H, W, C):
+        from .scalar import segment_fixed
+        l1, l2 = p.channel_lambdas(C, lambda1, lambda2)
+        tr = segment_fixed(u0, p, iters=iters, phi0=phi0,
+                           lambda1=l1, lambda2=l2)
+        return tr.phi, tr.mask
+
+    ucf = jnp.transpose(u0, (2, 0, 1))
+    phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
+    n_pix = jnp.asarray(H * W, u0.dtype)
+    sum_u = jnp.sum(ucf, axis=(1, 2))
+    c1_0, c2_0 = region_means(u0, phi0, p.eps)
+
+    def body(carry, _):
+        phi, c1, c2 = carry
+        phi_new, parts = pallas_sweep_mc.fused_iteration_mc(
+            phi, ucf, c1, c2, p, lambda1, lambda2, interpret=interpret)
+        s_uh = parts[:C]
+        s_h = parts[C]
+        c1n = s_uh / jnp.maximum(s_h, 1e-30)
+        c2n = (sum_u - s_uh) / jnp.maximum(n_pix - s_h, 1e-30)
         return (phi_new, c1n, c2n), None
 
     (phi, _, _), _ = jax.lax.scan(body, (phi0, c1_0, c2_0), None,
