@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="write a contour-evolution animation (fixed mode, "
                          "records every --gif-every iterations)")
     ap.add_argument("--gif-every", type=int, default=5)
+    ap.add_argument("--mesh", type=int, nargs=2, default=None,
+                    metavar=("NX", "NY"),
+                    help="shard the image over an NX x NY device mesh "
+                         "(spatial sharding with ICI halo exchange)")
     ap.add_argument("--no-fused", action="store_true",
                     help="skip the fused Pallas path even on TPU")
     ap.add_argument("--f64", action="store_true",
@@ -142,6 +146,25 @@ def main(argv=None) -> int:
 
     lam1 = tuple(args.lambda1) if args.color else None
     lam2 = tuple(args.lambda2) if args.color else None
+
+    if args.mesh is not None:
+        from .parallel.mesh import make_grid_mesh
+        from .parallel.sharded import segment_sharded
+
+        mesh = make_grid_mesh(*args.mesh)
+        res = segment_sharded(
+            u0, p, mesh, max_iter=args.iters if fixed else None,
+            fixed=fixed, lambda1=lam1, lambda2=lam2,
+            use_pallas=False if args.no_fused else None)
+        mask, iters = res.mask, (args.iters if fixed else int(res.iters))
+        log(f"sharded over {args.mesh[0]}x{args.mesh[1]} mesh; "
+            f"{iters} iters; c1={np.asarray(res.c1)}, "
+            f"c2={np.asarray(res.c2)}")
+        if args.output:
+            image_io.save_mask(args.output, np.asarray(mask))
+        if args.overlay:
+            image_io.save_overlay(args.overlay, img, np.asarray(mask))
+        return 0
 
     if fixed:
         if args.color:

@@ -161,28 +161,89 @@ def _sharded_iteration(phi, u0_pad, c1, c2, p: CVParams, ix, iy, nx, ny,
     return new, c1n, c2n, delta
 
 
+def _sharded_iteration_vec(phi, u0_pad, c1, c2, p, l1, l2, ix, iy, nx, ny,
+                           h, w, n_pix):
+    """Vector-valued (C-channel) jnp sharded iteration (SURVEY.md C9 on
+    the 2D mesh): shared phi, per-channel means, channel-averaged
+    weighted data term."""
+    pad = exchange_halo2d(phi, _D)
+    gi, gj = _global_coords(pad.shape, ix, iy, h, w)
+    valid = ((gi >= 0) & (gi < nx * h) & (gj >= 0) & (gj < ny * w))
+    red = ((gi + gj) % 2 == 0) & valid
+    black = ((gi + gj) % 2 == 1) & valid
+
+    l1 = jnp.asarray(l1, phi.dtype)
+    l2 = jnp.asarray(l2, phi.dtype)
+    f = (-p.nu - jnp.mean(l1 * (u0_pad - c1) ** 2, axis=-1)
+         + jnp.mean(l2 * (u0_pad - c2) ** 2, axis=-1))
+
+    upd = _update_all(pad, f, p.mu, p.dt, p.eps, p.eta2)
+    pad = jnp.where(red, upd, pad)
+    pad = _resync_replicas(pad, ix, iy, nx, ny)
+    upd = _update_all(pad, f, p.mu, p.dt, p.eps, p.eta2)
+    pad = jnp.where(black, upd, pad)
+
+    new = pad[_D: _D + h, _D: _D + w]
+    h_eps = 0.5 + (1.0 / math.pi) * jnp.arctan(new / p.eps)
+    u0_loc = u0_pad[_D: _D + h, _D: _D + w]
+    dphi = new - phi
+    flips = ((new >= 0) != (phi >= 0)).astype(phi.dtype)
+    c = u0_loc.shape[-1]
+    parts = jnp.concatenate([
+        jnp.sum(u0_loc * h_eps[..., None], axis=(0, 1)),
+        jnp.stack([jnp.sum(h_eps), jnp.sum(dphi * dphi), jnp.sum(flips),
+                   jnp.sum(jnp.abs(dphi))]),
+    ])
+    parts = lax.psum(parts, ("x", "y"))
+    c1n = parts[:c] / jnp.maximum(parts[c], 1e-30)
+    sum_u = lax.psum(jnp.sum(u0_loc, axis=(0, 1)), ("x", "y"))
+    c2n = (sum_u - parts[:c]) / jnp.maximum(n_pix - parts[c], 1e-30)
+    if p.conv_norm == "flips":
+        delta = parts[c + 2] / n_pix
+    elif p.conv_norm == "rms":
+        delta = jnp.sqrt(parts[c + 1] / n_pix)
+    else:
+        delta = parts[c + 3] / n_pix
+    return new, c1n, c2n, delta
+
+
 def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed,
-                 use_pallas=False, interpret=False):
-    """shard_map body: the full solver on a local (h, w) block."""
+                 use_pallas=False, interpret=False, lambdas=None):
+    """shard_map body: the full solver on a local (h, w[, C]) block."""
     ix = lax.axis_index("x")
     iy = lax.axis_index("y")
-    h, w = u0.shape
+    h, w = u0.shape[:2]
     n_pix = jnp.asarray(nx * h * ny * w, u0.dtype)
+    vec = u0.ndim == 3
 
-    u0_pad = exchange_halo2d(u0, _D)
+    if vec:
+        u0_pad = jax.vmap(lambda ch: exchange_halo2d(ch, _D),
+                          in_axes=2, out_axes=2)(u0)
+        l1, l2 = lambdas
+    else:
+        u0_pad = exchange_halo2d(u0, _D)
     # initial region means: the smooth-Heaviside reduction, psum'd
     h0 = 0.5 + (1.0 / math.pi) * jnp.arctan(phi0 / p.eps)
-    s_uh = lax.psum(jnp.sum(u0 * h0), ("x", "y"))
+    if vec:
+        s_uh = lax.psum(jnp.sum(u0 * h0[..., None], axis=(0, 1)),
+                        ("x", "y"))
+        s_u = lax.psum(jnp.sum(u0, axis=(0, 1)), ("x", "y"))
+    else:
+        s_uh = lax.psum(jnp.sum(u0 * h0), ("x", "y"))
+        s_u = lax.psum(jnp.sum(u0), ("x", "y"))
     s_h = lax.psum(jnp.sum(h0), ("x", "y"))
-    s_u = lax.psum(jnp.sum(u0), ("x", "y"))
     c1 = s_uh / jnp.maximum(s_h, 1e-30)
     c2 = (s_u - s_uh) / jnp.maximum(n_pix - s_h, 1e-30)
 
     def body(state):
         phi, c1, c2, n, _, streak = state
-        phi, c1, c2, delta = _sharded_iteration(
-            phi, u0_pad, c1, c2, p, ix, iy, nx, ny, h, w, n_pix,
-            use_pallas=use_pallas, interpret=interpret)
+        if vec:
+            phi, c1, c2, delta = _sharded_iteration_vec(
+                phi, u0_pad, c1, c2, p, l1, l2, ix, iy, nx, ny, h, w, n_pix)
+        else:
+            phi, c1, c2, delta = _sharded_iteration(
+                phi, u0_pad, c1, c2, p, ix, iy, nx, ny, h, w, n_pix,
+                use_pallas=use_pallas, interpret=interpret)
         streak = jnp.where(delta < p.tol, streak + 1, 0)
         return (phi, c1, c2, n + 1, delta, streak)
 
@@ -203,59 +264,70 @@ def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
                     phi0: Optional[jax.Array] = None,
                     max_iter: Optional[int] = None, fixed: bool = False,
                     use_pallas: Optional[bool] = None,
+                    lambda1=None, lambda2=None,
                     interpret: bool = False) -> SegResult:
     """Segment one large image sharded over a 2D ('x', 'y') device mesh.
 
-    u0: (H, W) with H % nx == 0 and W % ny == 0. phi is returned with the
-    same sharding. Tolerance mode by default; fixed=True runs exactly
-    max_iter iterations (eval config 4 benchmarking).
+    u0: (H, W) grayscale or (H, W, C) vector-valued (channels replicated,
+    per-channel lambda1/lambda2 tuples supported), with H % nx == 0 and
+    W % ny == 0. phi is returned with the input's spatial sharding.
+    Tolerance mode by default; fixed=True runs exactly max_iter iterations
+    (eval config 4 benchmarking).
 
     use_pallas: route the per-shard sweep through the fused band kernel
-    (None = auto: on the TPU backend when the shard geometry allows; the
-    jnp sweep otherwise). interpret=True runs the kernel interpreted
-    (CPU-mesh tests).
+    (None = auto: on the TPU backend when the shard geometry allows and
+    the image is grayscale; the jnp sweep otherwise). interpret=True runs
+    the kernel interpreted (CPU-mesh tests).
     """
     if mesh is None:
         raise ValueError("segment_sharded needs a mesh "
                          "(parallel.mesh.make_grid_mesh)")
     nx, ny = mesh.shape["x"], mesh.shape["y"]
-    H, W = u0.shape
+    H, W = u0.shape[:2]
     if H % nx or W % ny:
         raise ValueError(f"image {u0.shape} not divisible by mesh "
                          f"({nx}, {ny})")
     cap = max_iter if max_iter is not None else p.max_iter
+    vec = u0.ndim == 3
+    lambdas = p.channel_lambdas(u0.shape[-1], lambda1, lambda2) if vec \
+        else None
     if use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu"
+        use_pallas = (not vec and jax.default_backend() == "tpu"
                       and _pallas_ok(H // nx, W // ny))
-    elif use_pallas and not _pallas_ok(H // nx, W // ny):
+    elif use_pallas and (vec or not _pallas_ok(H // nx, W // ny)):
         raise ValueError(f"pallas path unsupported for shard "
-                         f"({H // nx}, {W // ny})")
+                         f"({u0.shape}, mesh ({nx}, {ny}))")
 
-    run = _build_program(p, mesh, nx, ny, cap, fixed, use_pallas, interpret)
+    run = _build_program(p, mesh, nx, ny, cap, fixed, use_pallas,
+                         interpret, vec, lambdas)
 
-    spec = NamedSharding(mesh, P("x", "y"))
+    spec = NamedSharding(mesh, P("x", "y", None) if vec else P("x", "y"))
     u0 = jax.device_put(u0, spec)
+    phi_spec = NamedSharding(mesh, P("x", "y"))
     if phi0 is None:
-        phi0 = _make_phi0(u0.shape, p.init, u0.dtype, mesh)
+        phi0 = _make_phi0((H, W), p.init, u0.dtype, mesh)
     else:
-        phi0 = jax.device_put(phi0, spec)
+        phi0 = jax.device_put(phi0, phi_spec)
     with jax.set_mesh(mesh):
         phi, c1, c2, iters, delta = run(u0, phi0)
     return SegResult(phi, phi >= 0, iters, delta, c1, c2)
 
 
 @functools.lru_cache(maxsize=64)
-def _build_program(p, mesh, nx, ny, cap, fixed, use_pallas, interpret):
+def _build_program(p, mesh, nx, ny, cap, fixed, use_pallas, interpret,
+                   vec=False, lambdas=None):
     """Cache the jitted shard_map program (a fresh closure per call would
     retrace on every segment_sharded invocation - ~2s per call at 4K)."""
 
     def local_fn(u0_loc, phi0_loc):
         return _run_sharded(u0_loc, phi0_loc, p, nx, ny, cap, fixed,
-                            use_pallas=use_pallas, interpret=interpret)
+                            use_pallas=use_pallas, interpret=interpret,
+                            lambdas=lambdas)
 
+    u_spec = P("x", "y", None) if vec else P("x", "y")
     mapped = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P("x", "y"), P("x", "y")),
+        in_specs=(u_spec, P("x", "y")),
         out_specs=(P("x", "y"), P(), P(), P(), P()),
         check_vma=False)  # pallas_call outputs carry no vma annotations
     return jax.jit(mapped)

@@ -86,6 +86,22 @@ def test_cli_evolution_gif(disk_png, tmp_path):
     assert gif.stat().st_size > 0
 
 
+def test_cli_mesh_sharded(tmp_path):
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 fake devices")
+    img, gt = two_disks(64, 64, noise=6.0)
+    p = tmp_path / "in.png"
+    image_io._save_u8(p, np.clip(img, 0, 255).astype(np.uint8))
+    out = tmp_path / "mask.png"
+    rc = main([str(p), "--mesh", "2", "4", "--init", "circle",
+               "-o", str(out), "--quiet"])
+    assert rc == 0
+    mask = image_io.load_image(out) > 127
+    assert iou(mask, gt) >= 0.97
+
+
 def test_trace_parity_tool(tmp_path):
     e = np.linspace(10, 1, 30)
     trace.write_energy_csv(tmp_path / "a.csv", e, delta=e * 0.1)
