@@ -41,8 +41,6 @@ def main():
     import jax.numpy as jnp
 
     from chan_vese_tpu.params import CVParams
-    from chan_vese_tpu import (segment_fixed, segment_stack_fixed,
-                               segment_vector_fixed)
     from chan_vese_tpu.models.fused import segment_fused_fixed
     from chan_vese_tpu.models.multiphase import segment_multiphase_fixed
 

@@ -1,0 +1,18 @@
+"""Model families: scalar, vector-valued (RGB), multiphase, batched, fused."""
+
+from .scalar import SegResult, SegTrace, segment, segment_fixed, step
+from .vector import segment_vector, segment_vector_fixed
+from .multiphase import (MultiphaseResult, MultiphaseTrace,
+                         segment_multiphase, segment_multiphase_fixed)
+from .batched import (segment_batch, segment_stack_fixed,
+                      segment_stack_fused_fixed)
+from .fused import segment_fused, segment_fused_fixed
+
+__all__ = [
+    "segment", "segment_fixed", "step", "SegResult", "SegTrace",
+    "segment_vector", "segment_vector_fixed",
+    "segment_multiphase", "segment_multiphase_fixed",
+    "MultiphaseResult", "MultiphaseTrace",
+    "segment_batch", "segment_stack_fixed", "segment_stack_fused_fixed",
+    "segment_fused", "segment_fused_fixed",
+]

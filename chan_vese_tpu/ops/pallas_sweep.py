@@ -53,12 +53,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..params import CVParams
 
-# number of tile-sized live buffers the kernel needs (3 DMA scratch tiles
-# + mosaic temporaries of the two half-sweeps); used to budget the band
-# height against the raised scoped-VMEM limit below
+# number of tile-sized live buffers the kernel needs (6 double-buffered DMA
+# scratch tiles + mosaic temporaries of the two half-sweeps); used to
+# budget the band height against the raised scoped-VMEM limit below
 _VMEM_LIMIT = 96 * 1024 * 1024
 _VMEM_BUDGET = _VMEM_LIMIT
-_TILES = 24
+_TILES = 24  # measured best at 4K (band 272, compiles with double buffers)
 
 
 # Mosaic requires DMA row slices aligned to the sublane tiling (8), so the
@@ -180,41 +180,67 @@ def _fused_band_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
     # an interior window (the shard's own cells, excluding halo/dead pad).
     # batched: leading frame axis on phi/u0/out + a leading grid dim
     # (models/batched.py stack path - vmap cannot batch ANY-space refs).
+    nbands = pl.num_programs(1) if batched else pl.num_programs(0)
     if batched:
-        n = pl.program_id(0)
-        i = pl.program_id(1)
-        nb = pl.num_programs(1)
-        phi_full = phi_hbm.at[n]
-        u0_full = u0_hbm.at[n]
-        out_full = out_hbm.at[n]
-        prow = n * nb + i
-        crow = n
+        k = pl.program_id(0) * nbands + pl.program_id(1)
     else:
-        i = pl.program_id(0)
-        phi_full = phi_hbm
-        u0_full = u0_hbm
-        out_full = out_hbm
-        prow = i
-        crow = 0
-    g0 = jnp.minimum(i * b, H - b)                    # compute-window start
-    # all starts/sizes are multiples of 8 (H % 8 == 0, b % 8 == 0): Mosaic
-    # requires sublane-aligned DMA slices, and needs the hint to prove it
-    s = jnp.clip(g0 - _HALO_UP, 0, H - (b + _HALO))   # tile start row
-    g0 = pl.multiple_of(g0, 8)
-    s = pl.multiple_of(s, 8)
-    o = pl.multiple_of(g0 - s, 8)                     # window offset in tile
+        k = pl.program_id(0)
+    total = (pl.num_programs(0) * nbands) if batched else nbands
 
-    load_phi = pltpu.make_async_copy(
-        phi_full.at[pl.ds(s, b + _HALO), :], phi_scr, sems.at[0])
-    load_u0 = pltpu.make_async_copy(
-        u0_full.at[pl.ds(s, b + _HALO), :], u0_scr, sems.at[1])
-    load_phi.start()
-    load_u0.start()
-    load_phi.wait()
-    load_u0.wait()
+    def window(kk):
+        """(frame, compute-window start, tile start) for flattened step kk.
 
-    phi = phi_scr[:]
-    u0 = u0_scr[:]
+        All starts/sizes are multiples of 8 (H % 8 == 0, b % 8 == 0):
+        Mosaic requires sublane-aligned DMA slices + hints to prove it.
+        """
+        fr = kk // nbands if batched else jnp.int32(0)
+        ib = kk % nbands if batched else kk
+        g0 = pl.multiple_of(jnp.minimum(ib * b, H - b), 8)
+        s = pl.multiple_of(
+            jnp.clip(g0 - _HALO_UP, 0, H - (b + _HALO)), 8)
+        return fr, ib, g0, s
+
+    def load_dmas(kk, slot):
+        fr, _, _, s = window(kk)
+        src_phi = phi_hbm.at[fr] if batched else phi_hbm
+        src_u0 = u0_hbm.at[fr] if batched else u0_hbm
+        return (pltpu.make_async_copy(src_phi.at[pl.ds(s, b + _HALO), :],
+                                      phi_scr.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(src_u0.at[pl.ds(s, b + _HALO), :],
+                                      u0_scr.at[slot], sems.at[slot, 1]))
+
+    def store_dma(kk, slot):
+        fr, _, g0, s = window(kk)
+        o = pl.multiple_of(g0 - s, 8)
+        dst = out_hbm.at[fr] if batched else out_hbm
+        return pltpu.make_async_copy(
+            new_scr.at[slot].at[pl.ds(o, b), :],
+            dst.at[pl.ds(g0, b), :], sems.at[slot, 2])
+
+    slot = k % 2
+
+    # double-buffered pipeline: prefetch step k+1's tiles while computing
+    # step k; stores drain two steps behind (grid steps are sequential)
+    @pl.when(k == 0)
+    def _():
+        for dma in load_dmas(k, slot):
+            dma.start()
+
+    @pl.when(k + 1 < total)
+    def _():
+        for dma in load_dmas(k + 1, (k + 1) % 2):
+            dma.start()
+
+    for dma in load_dmas(k, slot):
+        dma.wait()
+
+    fr, i, g0, s = window(k)
+    o = pl.multiple_of(g0 - s, 8)
+    prow = k
+    crow = fr if batched else 0
+
+    phi = phi_scr[slot]
+    u0 = u0_scr[slot]
     f = (-nu - l1 * (u0 - c_ref[crow, 0]) ** 2
          + l2 * (u0 - c_ref[crow, 1]) ** 2)
 
@@ -263,11 +289,13 @@ def _fused_band_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
     # black half-sweep from red-new + black-old
     phi_n = jnp.where(red, phi_r, _update_all(phi_r, g, f, mu, dt, eps, eta2))
 
-    new_scr[:] = phi_n
+    # reclaim this slot's store buffer (issued two steps ago), then store
+    @pl.when(k >= 2)
+    def _():
+        store_dma(k - 2, slot).wait()
 
-    store = pltpu.make_async_copy(
-        new_scr.at[pl.ds(o, b), :], out_full.at[pl.ds(g0, b), :], sems.at[2])
-    store.start()
+    new_scr[slot] = phi_n
+    store_dma(k, slot).start()
 
     # partial sums over this band's *unique* rows [i*b, min((i+1)*b, H))
     hi = jnp.minimum((i + 1) * b, H)
@@ -288,7 +316,14 @@ def _fused_band_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
     part_ref[prow, 6] = 0.0
     part_ref[prow, 7] = 0.0
 
-    store.wait()
+    # drain outstanding stores before the program ends
+    @pl.when(k == total - 1)
+    def _():
+        store_dma(k, slot).wait()
+
+    @pl.when((k == total - 1) & (total >= 2))
+    def _():
+        store_dma(k - 1, (k - 1) % 2).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("p", "crop", "interpret"))
@@ -351,10 +386,10 @@ def _call_fused(kernel, phi, u0, c, grid, nparts, b, interpret):
             jax.ShapeDtypeStruct((nparts, 8), phi.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((b + _HALO, W), phi.dtype),
-            pltpu.VMEM((b + _HALO, W), phi.dtype),
-            pltpu.VMEM((b + _HALO, W), phi.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, b + _HALO, W), phi.dtype),
+            pltpu.VMEM((2, b + _HALO, W), phi.dtype),
+            pltpu.VMEM((2, b + _HALO, W), phi.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) * len(grid),

@@ -13,9 +13,10 @@ Axis conventions:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
 
 import jax
+from typing import Optional, Sequence
+
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -32,7 +32,8 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import NamedTuple, Optional
+
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ orbax/array_serialization - the call sites only touch save/load/latest.
 
 from __future__ import annotations
 
-import re
 from pathlib import Path
 from typing import Optional
 

@@ -9,7 +9,6 @@ fallback; .npy/.npz round-trips need only numpy.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
 
 import numpy as np
 

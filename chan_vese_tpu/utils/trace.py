@@ -9,7 +9,6 @@ agreement <=1e-5 at fixed iteration count").
 from __future__ import annotations
 
 import csv
-from pathlib import Path
 
 import numpy as np
 
