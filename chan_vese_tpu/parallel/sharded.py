@@ -208,6 +208,81 @@ def _sharded_iteration_vec(phi, u0_pad, c1, c2, p, l1, l2, ix, iy, nx, ny,
     return new, c1n, c2n, delta
 
 
+def _sweep_local(pad, f, p, red, black, ix, iy, nx, ny):
+    """Red+black half-sweeps on a padded block with replica resync."""
+    upd = _update_all(pad, f, p.mu, p.dt, p.eps, p.eta2)
+    pad = jnp.where(red, upd, pad)
+    pad = _resync_replicas(pad, ix, iy, nx, ny)
+    upd = _update_all(pad, f, p.mu, p.dt, p.eps, p.eta2)
+    return jnp.where(black, upd, pad)
+
+
+def _sharded_multiphase_iteration(phis, u0_pad, p: CVParams, ix, iy, nx, ny,
+                                  h, w, n_pix):
+    """One multiphase (M coupled level sets) iteration on a local block.
+
+    Mirrors models/multiphase.py: 2^M psum'd phase means once per
+    iteration, then M sequential padded red-black sweeps (each with its
+    own halo exchange - phi_m's sweep sees phi_{m-1}'s update).
+    """
+    m_sets = phis.shape[0]
+    u0_loc = u0_pad[_D: _D + h, _D: _D + w]
+
+    def hside(x):
+        return 0.5 + (1.0 / math.pi) * jnp.arctan(x / p.eps)
+
+    # 2^M phase means (psum'd masked reductions)
+    hs = [hside(phis[m]) for m in range(m_sets)]
+    cs = []
+    for sbit in range(2 ** m_sets):
+        wgt = None
+        for m in range(m_sets):
+            factor = hs[m] if (sbit >> m) & 1 else (1.0 - hs[m])
+            wgt = factor if wgt is None else wgt * factor
+        num = lax.psum(jnp.sum(u0_loc * wgt), ("x", "y"))
+        den = lax.psum(jnp.sum(wgt), ("x", "y"))
+        cs.append(num / jnp.maximum(den, 1e-30))
+
+    new = phis
+    for m in range(m_sets):
+        pad = exchange_halo2d(new[m], _D)
+        gi, gj = _global_coords(pad.shape, ix, iy, h, w)
+        valid = ((gi >= 0) & (gi < nx * h) & (gj >= 0) & (gj < ny * w))
+        red = ((gi + gj) % 2 == 0) & valid
+        black = ((gi + gj) % 2 == 1) & valid
+        # coupling term from the padded CURRENT level sets
+        f = jnp.zeros(pad.shape, dtype=phis.dtype)
+        hs_pad = [hside(exchange_halo2d(new[k], _D)) for k in range(m_sets)]
+        u0p = u0_pad
+        for sbit in range(2 ** m_sets):
+            d = (u0p - cs[sbit]) ** 2
+            w_other = None
+            for k in range(m_sets):
+                if k == m:
+                    continue
+                factor = hs_pad[k] if (sbit >> k) & 1 else (1.0 - hs_pad[k])
+                w_other = factor if w_other is None else w_other * factor
+            if w_other is None:
+                w_other = jnp.ones_like(f)
+            sign = -1.0 if (sbit >> m) & 1 else 1.0
+            f = f + sign * d * w_other
+        f = f - p.nu
+        upd = _sweep_local(pad, f, p, red, black, ix, iy, nx, ny)
+        new = new.at[m].set(upd[_D: _D + h, _D: _D + w])
+
+    # label-flip convergence metric
+    def labels(ph):
+        lab = jnp.zeros(ph.shape[1:], jnp.int32)
+        for m in range(m_sets):
+            lab = lab | ((ph[m] >= 0).astype(jnp.int32) << m)
+        return lab
+
+    flips = lax.psum(
+        jnp.sum((labels(new) != labels(phis)).astype(phis.dtype)),
+        ("x", "y"))
+    return new, flips / n_pix
+
+
 def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed,
                  use_pallas=False, interpret=False, lambdas=None):
     """shard_map body: the full solver on a local (h, w[, C]) block."""
@@ -312,6 +387,77 @@ def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
     with jax.set_mesh(mesh):
         phi, c1, c2, iters, delta = run(u0, phi0)
     return SegResult(phi, phi >= 0, iters, delta, c1, c2)
+
+
+def segment_multiphase_sharded(u0, p: CVParams = CVParams(),
+                               mesh: Optional[Mesh] = None,
+                               m_sets: int = 2,
+                               phis0: Optional[jax.Array] = None,
+                               max_iter: Optional[int] = None,
+                               fixed: bool = False):
+    """Multiphase Vese-Chan over the 2D device mesh (SURVEY.md C10 x SP).
+
+    Returns a models.multiphase.MultiphaseResult with phis sharded
+    P(None, 'x', 'y'). u0 must be (H, W) divisible by the mesh.
+    """
+    from ..models.multiphase import MultiphaseResult, labels_from_phis
+
+    if mesh is None:
+        raise ValueError("needs a mesh (parallel.mesh.make_grid_mesh)")
+    nx, ny = mesh.shape["x"], mesh.shape["y"]
+    H, W = u0.shape
+    if H % nx or W % ny:
+        raise ValueError(f"image {u0.shape} not divisible by mesh")
+    cap = max_iter if max_iter is not None else p.max_iter
+
+    run = _build_mp_program(p, mesh, nx, ny, cap, fixed, m_sets)
+    u0 = jax.device_put(u0, NamedSharding(mesh, P("x", "y")))
+    if phis0 is None:
+        from ..models.multiphase import init_multiphase
+        phis0 = init_multiphase((H, W), m_sets, dtype=u0.dtype)
+    phis0 = jax.device_put(phis0, NamedSharding(mesh, P(None, "x", "y")))
+    with jax.set_mesh(mesh):
+        phis, iters, delta = run(u0, phis0)
+    # phase means of the final state, computed sharded-agnostically
+    from ..models.multiphase import phase_means
+    cs = jnp.stack(phase_means(u0, phis, p.eps))
+    return MultiphaseResult(phis, labels_from_phis(phis), iters, delta, cs)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_mp_program(p, mesh, nx, ny, cap, fixed, m_sets):
+    def local_fn(u0_loc, phis_loc):
+        ix = lax.axis_index("x")
+        iy = lax.axis_index("y")
+        h, w = u0_loc.shape
+        n_pix = jnp.asarray(nx * h * ny * w, u0_loc.dtype)
+        u0_pad = exchange_halo2d(u0_loc, _D)
+
+        def body(state):
+            phis, n, _, streak = state
+            phis, delta = _sharded_multiphase_iteration(
+                phis, u0_pad, p, ix, iy, nx, ny, h, w, n_pix)
+            streak = jnp.where(delta < p.tol, streak + 1, 0)
+            return (phis, n + 1, delta, streak)
+
+        def cond(state):
+            _, n, delta, streak = state
+            if fixed:
+                return n < cap
+            done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
+            return jnp.logical_and(n < cap, jnp.logical_not(done))
+
+        init = (phis_loc, jnp.int32(0),
+                jnp.asarray(jnp.inf, u0_loc.dtype), jnp.int32(0))
+        phis, iters, delta, _ = lax.while_loop(cond, body, init)
+        return phis, iters, delta
+
+    mapped = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P("x", "y"), P(None, "x", "y")),
+        out_specs=(P(None, "x", "y"), P(), P()),
+        check_vma=False)
+    return jax.jit(mapped)
 
 
 @functools.lru_cache(maxsize=64)
