@@ -15,8 +15,10 @@ from .models.multiphase import (MultiphaseResult, segment_multiphase,
                                 segment_multiphase_fixed)
 from .models.batched import segment_batch, segment_stack_fixed
 from .models.fused import segment_fused, segment_fused_fixed
+from .compat import chan_vese
 
 __all__ = [
+    "chan_vese",
     "CVParams", "DEFAULTS",
     "segment", "segment_fixed", "step", "SegResult", "SegTrace",
     "segment_vector", "segment_vector_fixed",

@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "(spatial sharding with ICI halo exchange)")
     ap.add_argument("--no-fused", action="store_true",
                     help="skip the fused Pallas path even on TPU")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="write .npz checkpoints here every "
+                         "--checkpoint-every iterations (fixed mode); "
+                         "resumes from the newest checkpoint if present")
+    ap.add_argument("--checkpoint-every", type=int, default=50)
     ap.add_argument("--f64", action="store_true",
                     help="double precision (CPU parity mode)")
     ap.add_argument("--quiet", action="store_true")
@@ -164,6 +169,21 @@ def main(argv=None) -> int:
             image_io.save_mask(args.output, np.asarray(mask))
         if args.overlay:
             image_io.save_overlay(args.overlay, img, np.asarray(mask))
+        return 0
+
+    if fixed and args.checkpoint_dir and not args.color:
+        from .utils import checkpoint as ckpt
+
+        phi = ckpt.segment_with_checkpoints(
+            u0, p, iters=args.iters, ckpt_dir=args.checkpoint_dir,
+            every=args.checkpoint_every)
+        mask = np.asarray(phi) >= 0
+        log(f"checkpointed run: {args.iters} iters -> "
+            f"{args.checkpoint_dir}")
+        if args.output:
+            image_io.save_mask(args.output, mask)
+        if args.overlay:
+            image_io.save_overlay(args.overlay, img, mask)
         return 0
 
     if fixed:
