@@ -114,6 +114,18 @@ def multiphase_step(phis, u0, p: CVParams):
     return new, cs
 
 
+def _maybe_reinit_phis(phis, n, p: CVParams):
+    """Redistance every level set every p.reinit_every iterations."""
+    if not p.reinit_every:
+        return phis
+    from ..ops.reinit import reinit
+
+    return jax.lax.cond(
+        (n + 1) % p.reinit_every == 0,
+        lambda x: jax.vmap(lambda ph: reinit(ph, p.reinit_steps))(x),
+        lambda x: x, phis)
+
+
 def multiphase_energy(u0, phis, p: CVParams):
     """F = sum_s fit_s + mu sum_m Length(phi_m) + nu sum_m Area(phi_m)."""
     from ..ops.numerics import dirac, grad_forward
@@ -195,6 +207,7 @@ def segment_multiphase(u0, p: CVParams = CVParams(), m_sets: int = 2,
         new, _ = multiphase_step(phis, u0, p)
         flips = jnp.mean((labels_from_phis(new)
                           != labels_from_phis(phis)).astype(u0.dtype))
+        new = _maybe_reinit_phis(new, n, p)
         streak = jnp.where(flips < p.tol, streak + 1, 0)
         return (new, n + 1, flips, streak)
 
@@ -220,12 +233,15 @@ def segment_multiphase_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
     if phis0 is None:
         phis0 = init_multiphase(u0.shape[:2], m_sets, dtype=u0.dtype)
 
-    def body(phis, _):
+    def body(carry, _):
+        phis, n = carry
         new, _ = multiphase_step(phis, u0, p)
         flips = jnp.mean((labels_from_phis(new)
                           != labels_from_phis(phis)).astype(u0.dtype))
         e = multiphase_energy(u0, new, p)
-        return new, (e, flips)
+        new = _maybe_reinit_phis(new, n, p)
+        return (new, n + 1), (e, flips)
 
-    phis, (es, ds) = jax.lax.scan(body, phis0, None, length=iters)
+    (phis, _), (es, ds) = jax.lax.scan(body, (phis0, jnp.int32(0)), None,
+                                       length=iters)
     return MultiphaseTrace(phis, labels_from_phis(phis), es, ds)

@@ -104,6 +104,16 @@ def test_m1_reduces_to_scalar_masks():
     np.testing.assert_array_equal(m_mp, np.asarray(tr_sc.mask))
 
 
+def test_multiphase_with_reinit():
+    img, gt = four_regions(64, 64, noise=4.0)
+    p = CVParams(mu=0.003 * 255.0 ** 2, max_iter=300,
+                 reinit_every=10, reinit_steps=20)
+    res = mp.segment_multiphase(jnp.asarray(img, F64), p, m_sets=2)
+    assert label_accuracy(res.labels, gt) >= 0.97
+    import jax.numpy as _j
+    assert bool(_j.isfinite(res.phis).all())
+
+
 def test_labels_from_phis():
     phis = jnp.asarray([[[1.0, -1.0], [1.0, -1.0]],
                         [[1.0, 1.0], [-1.0, -1.0]]])
