@@ -116,14 +116,9 @@ def multiphase_step(phis, u0, p: CVParams):
 
 def _maybe_reinit_phis(phis, n, p: CVParams):
     """Redistance every level set every p.reinit_every iterations."""
-    if not p.reinit_every:
-        return phis
-    from ..ops.reinit import reinit
+    from ..ops.reinit import maybe_reinit
 
-    return jax.lax.cond(
-        (n + 1) % p.reinit_every == 0,
-        lambda x: jax.vmap(lambda ph: reinit(ph, p.reinit_steps))(x),
-        lambda x: x, phis)
+    return maybe_reinit(phis, n, p)
 
 
 def multiphase_energy(u0, phis, p: CVParams):

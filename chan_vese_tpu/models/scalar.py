@@ -31,11 +31,9 @@ from ..utils.init_phi import init_phi
 
 def _maybe_reinit(phi, n, p: CVParams):
     """Redistance phi every p.reinit_every iterations (no-op when 0)."""
-    if not p.reinit_every:
-        return phi
-    return jax.lax.cond(
-        (n + 1) % p.reinit_every == 0,
-        lambda x: reinit(x, p.reinit_steps), lambda x: x, phi)
+    from ..ops.reinit import maybe_reinit
+
+    return maybe_reinit(phi, n, p)
 
 
 class SegResult(NamedTuple):

@@ -46,6 +46,20 @@ def _godunov_grad(psi, sgn):
     return jnp.where(sgn > 0, g_pos, g_neg)
 
 
+def maybe_reinit(x, n, p):
+    """Shared redistancing cadence: every p.reinit_every iterations (no-op
+    when 0). Handles a single (H, W) level set or an (M, H, W) stack."""
+    import jax
+
+    if not p.reinit_every:
+        return x
+    if x.ndim == 3:
+        fn = jax.vmap(lambda ph: reinit(ph, p.reinit_steps))
+    else:
+        fn = lambda ph: reinit(ph, p.reinit_steps)  # noqa: E731
+    return jax.lax.cond((n + 1) % p.reinit_every == 0, fn, lambda v: v, x)
+
+
 def reinit(phi, steps: int = 20, dtau: float = 0.5, h: float = 1.0):
     """Redistance ``phi`` toward a signed distance function.
 

@@ -208,6 +208,29 @@ def _sharded_iteration_vec(phi, u0_pad, c1, c2, p, l1, l2, ix, iy, nx, ny,
     return new, c1n, c2n, delta
 
 
+def _sharded_reinit(phi_local, n, p: CVParams):
+    """Halo-aware redistancing on a local block (no-op when disabled).
+
+    The Godunov upwind stencil propagates one cell per step, so a single
+    halo exchange of depth = reinit_steps makes the padded redistance
+    EXACTLY the unsharded one on the block interior (edge replicas at
+    global boundaries equal the clamped-shift semantics of ops/reinit.py).
+    """
+    if not p.reinit_every:
+        return phi_local
+    from ..ops.reinit import reinit
+
+    depth = p.reinit_steps
+
+    def do(x):
+        pad = exchange_halo2d(x, depth)
+        out = reinit(pad, p.reinit_steps)
+        return out[depth: depth + x.shape[0], depth: depth + x.shape[1]]
+
+    return jax.lax.cond((n + 1) % p.reinit_every == 0, do,
+                        lambda v: v, phi_local)
+
+
 def _sweep_local(pad, f, p, red, black, ix, iy, nx, ny):
     """Red+black half-sweeps on a padded block with replica resync."""
     upd = _update_all(pad, f, p.mu, p.dt, p.eps, p.eta2)
@@ -320,6 +343,7 @@ def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed,
             phi, c1, c2, delta = _sharded_iteration(
                 phi, u0_pad, c1, c2, p, ix, iy, nx, ny, h, w, n_pix,
                 use_pallas=use_pallas, interpret=interpret)
+        phi = _sharded_reinit(phi, n, p)
         streak = jnp.where(delta < p.tol, streak + 1, 0)
         return (phi, c1, c2, n + 1, delta, streak)
 
@@ -437,6 +461,8 @@ def _build_mp_program(p, mesh, nx, ny, cap, fixed, m_sets):
             phis, n, _, streak = state
             phis, delta = _sharded_multiphase_iteration(
                 phis, u0_pad, p, ix, iy, nx, ny, h, w, n_pix)
+            phis = jax.vmap(lambda ph: _sharded_reinit(ph, n, p))(phis) \
+                if p.reinit_every else phis
             streak = jnp.where(delta < p.tol, streak + 1, 0)
             return (phis, n + 1, delta, streak)
 

@@ -110,8 +110,12 @@ def test_multiphase_with_reinit():
                  reinit_every=10, reinit_steps=20)
     res = mp.segment_multiphase(jnp.asarray(img, F64), p, m_sets=2)
     assert label_accuracy(res.labels, gt) >= 0.97
-    import jax.numpy as _j
-    assert bool(_j.isfinite(res.phis).all())
+    assert bool(jnp.isfinite(res.phis).all())
+    # fixed-mode (scan-carry) variant exercises the same cadence
+    tr = mp.segment_multiphase_fixed(jnp.asarray(img, F64), p, iters=25,
+                                     m_sets=2)
+    assert label_accuracy(tr.labels, gt) >= 0.97
+    assert bool(jnp.isfinite(tr.phis).all())
 
 
 def test_labels_from_phis():

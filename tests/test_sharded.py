@@ -128,6 +128,44 @@ def test_sharded_4k_shape_runs(grid_mesh):
     assert max(iou(m, gt), iou(~m, gt)) >= 0.99
 
 
+def test_sharded_reinit_exact_in_isolation(grid_mesh):
+    """Halo-aware redistancing on the mesh == unsharded reinit, exactly
+    (one depth-steps halo exchange covers the upwind stencil's reach)."""
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from chan_vese_tpu.ops.reinit import reinit
+    from chan_vese_tpu.parallel.sharded import _sharded_reinit
+
+    i, j = np.mgrid[0:64, 0:64].astype(float)
+    phi = jnp.asarray((20.0 - np.hypot(i - 32, j - 32)) * 37.0)
+    p = CVParams(reinit_every=3, reinit_steps=10)
+    fn = shard_map(lambda b: _sharded_reinit(b, jnp.int32(2), p),
+                   mesh=grid_mesh, in_specs=P("x", "y"),
+                   out_specs=P("x", "y"))
+    with jax.set_mesh(grid_mesh):
+        out_sh = jax.jit(fn)(
+            jax.device_put(phi, NamedSharding(grid_mesh, P("x", "y"))))
+    out_ref = reinit(phi, 10)
+    np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref),
+                               rtol=1e-12, atol=1e-11)
+
+
+def test_sharded_loop_with_reinit_mask_agrees(grid_mesh):
+    """Full loop with periodic reinit: pointwise phi equality is NOT
+    expected (Godunov's branchy upwind amplifies fp-association noise
+    chaotically), but the segmentations must agree."""
+    from chan_vese_tpu import segment_fixed
+
+    img, gt = two_disks(64, 64, noise=6.0)
+    u = jnp.asarray(img, jnp.float64)
+    p = CVParams(init="circle", reinit_every=3, reinit_steps=10)
+    res = segment_sharded(u, p, grid_mesh, max_iter=12, fixed=True)
+    ref = segment_fixed(u, p, iters=12)
+    mask_diff = (np.asarray(res.mask) != np.asarray(ref.mask)).sum()
+    assert mask_diff <= 5, mask_diff
+    assert iou(np.asarray(res.mask), gt) >= 0.98
+
+
 def test_indivisible_shape_raises(grid_mesh):
     u = jnp.zeros((65, 64), F32)
     with pytest.raises(ValueError):
