@@ -246,15 +246,23 @@ def _sharded_multiphase_iteration(phis, u0_pad, p: CVParams, ix, iy, nx, ny,
 
     Mirrors models/multiphase.py: 2^M psum'd phase means once per
     iteration, then M sequential padded red-black sweeps (each with its
-    own halo exchange - phi_m's sweep sees phi_{m-1}'s update).
+    own halo exchange - phi_m's sweep sees phi_{m-1}'s update). Handles
+    grayscale (h, w) and vector-valued (h, w, C) u0_pad (per-channel
+    phase means, channel-averaged squared distances).
     """
     m_sets = phis.shape[0]
     u0_loc = u0_pad[_D: _D + h, _D: _D + w]
+    vec = u0_pad.ndim == 3
 
     def hside(x):
         return 0.5 + (1.0 / math.pi) * jnp.arctan(x / p.eps)
 
-    # 2^M phase means (psum'd masked reductions)
+    def sqdist(upad, c):
+        if vec:
+            return jnp.mean((upad - c) ** 2, axis=-1)
+        return (upad - c) ** 2
+
+    # 2^M phase means (psum'd masked reductions; per-channel for RGB)
     hs = [hside(phis[m]) for m in range(m_sets)]
     cs = []
     for sbit in range(2 ** m_sets):
@@ -262,7 +270,11 @@ def _sharded_multiphase_iteration(phis, u0_pad, p: CVParams, ix, iy, nx, ny,
         for m in range(m_sets):
             factor = hs[m] if (sbit >> m) & 1 else (1.0 - hs[m])
             wgt = factor if wgt is None else wgt * factor
-        num = lax.psum(jnp.sum(u0_loc * wgt), ("x", "y"))
+        if vec:
+            num = lax.psum(jnp.sum(u0_loc * wgt[..., None], axis=(0, 1)),
+                           ("x", "y"))
+        else:
+            num = lax.psum(jnp.sum(u0_loc * wgt), ("x", "y"))
         den = lax.psum(jnp.sum(wgt), ("x", "y"))
         cs.append(num / jnp.maximum(den, 1e-30))
 
@@ -278,7 +290,7 @@ def _sharded_multiphase_iteration(phis, u0_pad, p: CVParams, ix, iy, nx, ny,
         hs_pad = [hside(exchange_halo2d(new[k], _D)) for k in range(m_sets)]
         u0p = u0_pad
         for sbit in range(2 ** m_sets):
-            d = (u0p - cs[sbit]) ** 2
+            d = sqdist(u0p, cs[sbit])
             w_other = None
             for k in range(m_sets):
                 if k == m:
@@ -429,13 +441,15 @@ def segment_multiphase_sharded(u0, p: CVParams = CVParams(),
     if mesh is None:
         raise ValueError("needs a mesh (parallel.mesh.make_grid_mesh)")
     nx, ny = mesh.shape["x"], mesh.shape["y"]
-    H, W = u0.shape
+    H, W = u0.shape[:2]
     if H % nx or W % ny:
         raise ValueError(f"image {u0.shape} not divisible by mesh")
     cap = max_iter if max_iter is not None else p.max_iter
+    vec = u0.ndim == 3
 
-    run = _build_mp_program(p, mesh, nx, ny, cap, fixed, m_sets)
-    u0 = jax.device_put(u0, NamedSharding(mesh, P("x", "y")))
+    run = _build_mp_program(p, mesh, nx, ny, cap, fixed, m_sets, vec)
+    u0 = jax.device_put(u0, NamedSharding(
+        mesh, P("x", "y", None) if vec else P("x", "y")))
     if phis0 is None:
         from ..models.multiphase import init_multiphase
         phis0 = init_multiphase((H, W), m_sets, dtype=u0.dtype)
@@ -449,13 +463,17 @@ def segment_multiphase_sharded(u0, p: CVParams = CVParams(),
 
 
 @functools.lru_cache(maxsize=64)
-def _build_mp_program(p, mesh, nx, ny, cap, fixed, m_sets):
+def _build_mp_program(p, mesh, nx, ny, cap, fixed, m_sets, vec=False):
     def local_fn(u0_loc, phis_loc):
         ix = lax.axis_index("x")
         iy = lax.axis_index("y")
-        h, w = u0_loc.shape
+        h, w = u0_loc.shape[:2]
         n_pix = jnp.asarray(nx * h * ny * w, u0_loc.dtype)
-        u0_pad = exchange_halo2d(u0_loc, _D)
+        if vec:
+            u0_pad = jax.vmap(lambda ch: exchange_halo2d(ch, _D),
+                              in_axes=2, out_axes=2)(u0_loc)
+        else:
+            u0_pad = exchange_halo2d(u0_loc, _D)
 
         def body(state):
             phis, n, _, streak = state
@@ -480,7 +498,8 @@ def _build_mp_program(p, mesh, nx, ny, cap, fixed, m_sets):
 
     mapped = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P("x", "y"), P(None, "x", "y")),
+        in_specs=(P("x", "y", None) if vec else P("x", "y"),
+                  P(None, "x", "y")),
         out_specs=(P(None, "x", "y"), P(), P()),
         check_vma=False)
     return jax.jit(mapped)

@@ -1,0 +1,91 @@
+"""Randomized cross-implementation equivalence (fuzzing the kernel and
+sweep paths over shapes/params/dtypes that the fixed tests don't pin)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chan_vese_tpu.ops import pallas_sweep, sweep, sweep_np
+from chan_vese_tpu.ops.reductions import region_means
+from chan_vese_tpu.params import CVParams
+
+RNG = np.random.default_rng(2026)
+
+
+def _rand_params(rng):
+    return CVParams(
+        mu=float(rng.uniform(10, 2000)),
+        nu=float(rng.uniform(-50, 50)),
+        lambda1=float(rng.uniform(0.3, 3.0)),
+        lambda2=float(rng.uniform(0.3, 3.0)),
+        dt=float(rng.uniform(0.1, 2.0)),
+        eps=float(rng.uniform(0.3, 3.0)),
+        eta2=float(10.0 ** rng.uniform(-12, -4)),
+    )
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fused_kernel_matches_jnp_random(trial):
+    """Random shapes x random params: kernel (interpret) == jnp red-black."""
+    rng = np.random.default_rng(100 + trial)
+    h = 8 * int(rng.integers(3, 16))
+    w = 128 * int(rng.integers(1, 4))
+    p = _rand_params(rng)
+    u0 = jnp.asarray(rng.uniform(0, 255, (h, w)), jnp.float32)
+    phi = jnp.asarray(rng.standard_normal((h, w)) * rng.uniform(0.5, 50),
+                      jnp.float32)
+    c1, c2 = region_means(u0, phi, p.eps)
+    got, parts = pallas_sweep.fused_iteration(phi, u0, c1, c2, p,
+                                              interpret=True)
+    from chan_vese_tpu.ops.reductions import data_term
+    f = data_term(u0, c1, c2, p.nu, p.lambda1, p.lambda2)
+    want = sweep.redblack_step(phi, f, p)
+    scale = float(jnp.max(jnp.abs(want))) + 1.0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=2e-5 * scale,
+                               err_msg=f"shape=({h},{w}) p={p}")
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_wavefront_equals_raster_random(trial):
+    """Random small grids x random params: wavefront == raster GS (f64)."""
+    rng = np.random.default_rng(200 + trial)
+    h, w = int(rng.integers(3, 20)), int(rng.integers(3, 20))
+    p = _rand_params(rng)
+    phi = rng.standard_normal((h, w)) * rng.uniform(0.5, 100)
+    f = rng.standard_normal((h, w)) * rng.uniform(1, 1e4)
+    got = np.asarray(sweep.wavefront_step(
+        jnp.asarray(phi, jnp.float64), jnp.asarray(f, jnp.float64), p))
+    want = sweep_np.raster_sweep(phi.astype(np.float64).copy(),
+                                 f.astype(np.float64), p.mu, p.dt, p.eps,
+                                 p.eta2)
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_redblack_jnp_equals_numpy_random(trial):
+    rng = np.random.default_rng(300 + trial)
+    h, w = int(rng.integers(3, 18)), int(rng.integers(3, 18))
+    p = _rand_params(rng)
+    phi = rng.standard_normal((h, w)) * rng.uniform(0.5, 100)
+    f = rng.standard_normal((h, w)) * rng.uniform(1, 1e4)
+    got = np.asarray(sweep.redblack_step(
+        jnp.asarray(phi, jnp.float64), jnp.asarray(f, jnp.float64), p))
+    want = sweep_np.redblack_sweep(phi.astype(np.float64),
+                                   f.astype(np.float64), p.mu, p.dt,
+                                   p.eps, p.eta2)
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_c_baseline_matches_numpy_random(trial):
+    from native import baseline
+
+    rng = np.random.default_rng(400 + trial)
+    h, w = int(rng.integers(4, 24)), int(rng.integers(4, 24))
+    p = _rand_params(rng)
+    phi = rng.standard_normal((h, w)) * rng.uniform(0.5, 100)
+    f = rng.standard_normal((h, w)) * rng.uniform(1, 1e4)
+    got = baseline.sweep(phi, f, p.mu, p.dt, p.eps, p.eta2)
+    want = sweep_np.raster_sweep(phi.copy(), f, p.mu, p.dt, p.eps, p.eta2)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)

@@ -46,6 +46,28 @@ def test_sharded_multiphase_f64_exactness(grid_mesh):
                                rtol=1e-10, atol=1e-8)
 
 
+def test_sharded_multiphase_rgb(grid_mesh):
+    """Vector-valued multiphase over the mesh (the last cell of the
+    model-family x parallelism matrix)."""
+    from chan_vese_tpu.models.multiphase import segment_multiphase_fixed
+
+    rng = np.random.default_rng(0)
+    colors = np.array([[220.0, 40.0, 40.0], [40.0, 220.0, 40.0],
+                       [40.0, 40.0, 220.0], [200.0, 200.0, 200.0]])
+    lab = np.zeros((64, 64), np.int32)
+    lab[:32, 32:] = 1
+    lab[32:, :32] = 2
+    lab[32:, 32:] = 3
+    img = colors[lab] + 3.0 * rng.standard_normal((64, 64, 3))
+    u = jnp.asarray(img, jnp.float64)
+    p = CVParams(mu=0.003 * 255 ** 2)
+    res = segment_multiphase_sharded(u, p, grid_mesh, m_sets=2,
+                                     max_iter=5, fixed=True)
+    ref = segment_multiphase_fixed(u, p, iters=5, m_sets=2)
+    np.testing.assert_allclose(np.asarray(res.phis), np.asarray(ref.phis),
+                               rtol=1e-10, atol=1e-8)
+
+
 def test_sharded_multiphase_tol_converges(grid_mesh):
     import itertools
 
