@@ -100,8 +100,12 @@ def main():
     report(f"4: 4K sharded {nx}x{ny} mesh + ICI halos", 2160 * 3840, iters,
            secs)
 
-    # config 4b: single-chip 4K fused (the headline; for comparison)
-    secs = _t(lambda: segment_fused_fixed(u, p, iters=iters),
+    # config 4b: single-chip 4K fused (the headline; for comparison).
+    # Re-place on one device: pallas_call is not SPMD-partitionable, so
+    # timing it on the mesh-sharded input would measure a gather (or fail)
+    # on a real multi-device mesh.
+    u_single = jax.device_put(np.asarray(u), jax.devices()[0])
+    secs = _t(lambda: segment_fused_fixed(u_single, p, iters=iters),
               lambda o: o[0][0, 0])
     report("4b: 4K single-chip fused Pallas", 2160 * 3840, iters, secs)
 

@@ -131,6 +131,23 @@ def main(argv=None) -> int:
         lambda *a: print(*a, file=sys.stderr))
 
     if args.multiphase:
+        if args.mesh is not None:
+            from .parallel.mesh import make_grid_mesh
+            from .parallel.sharded import segment_multiphase_sharded
+
+            mesh = make_grid_mesh(*args.mesh)
+            res = segment_multiphase_sharded(
+                u0, p, mesh, m_sets=args.multiphase,
+                max_iter=args.iters if fixed else None, fixed=fixed)
+            iters = args.iters if fixed else int(res.iters)
+            log(f"multiphase sharded {args.mesh[0]}x{args.mesh[1]}: "
+                f"{2 ** args.multiphase} phases, {iters} iters")
+            if args.output:
+                image_io.save_labels(args.output, np.asarray(res.labels))
+            if args.overlay:
+                image_io.save_overlay(args.overlay, img,
+                                      np.asarray(res.labels) % 2 == 1)
+            return 0
         if fixed:
             tr = mp.segment_multiphase_fixed(u0, p, iters=args.iters,
                                              m_sets=args.multiphase)
@@ -200,16 +217,19 @@ def main(argv=None) -> int:
             # re-run in chunks to collect frames (trace mode keeps only
             # the final phi on device)
             frames = []
-            phi = None
             from .utils.init_phi import init_phi
             phi = init_phi(u0.shape[:2], p.init, dtype)
-            for _ in range(0, args.iters, args.gif_every):
-                t = (segment_vector_fixed(u0, p, iters=args.gif_every,
+            n = 0
+            while n < args.iters:
+                chunk = min(args.gif_every, args.iters - n)
+                t = (segment_vector_fixed(u0, p, iters=chunk,
                                           phi0=phi, lambda1=lam1,
                                           lambda2=lam2)
                      if args.color else
-                     segment_fixed(u0, p, iters=args.gif_every, phi0=phi))
+                     segment_fixed(u0, p, iters=chunk, phi0=phi,
+                                   start_iter=n))
                 phi = t.phi
+                n += chunk
                 frames.append(np.asarray(phi))
             image_io.save_evolution_gif(args.evolution_gif, img, frames)
     else:

@@ -58,12 +58,19 @@ def segment_stack_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
         phi0 = init_phi(u0.shape[1:3], p.init, u0.dtype)
         phi0 = jnp.broadcast_to(phi0, u0.shape[:3])
 
+    from ..ops.reinit import maybe_reinit
+
     one = lambda u, ph: step(ph, u, p, lambda1, lambda2)[0]
 
-    def body(phis, _):
-        return jax.vmap(one)(u0, phis), None
+    def body(carry, _):
+        phis, n = carry
+        phis = jax.vmap(one)(u0, phis)
+        if p.reinit_every:
+            phis = jax.vmap(lambda ph: maybe_reinit(ph, n, p))(phis)
+        return (phis, n + 1), None
 
-    phis, _ = jax.lax.scan(body, phi0, None, length=iters)
+    (phis, _), _ = jax.lax.scan(body, (phi0, jnp.int32(0)), None,
+                                length=iters)
     return phis, phis >= 0
 
 
@@ -93,13 +100,19 @@ def segment_stack_fused_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
     sum_u = jnp.sum(u0, axis=(1, 2))
     c1_0, c2_0 = jax.vmap(lambda u, ph: region_means(u, ph, p.eps))(u0, phi0)
 
+    from ..ops.reinit import maybe_reinit
+
     def body(carry, _):
-        phis, c1, c2 = carry
+        phis, c1, c2, n = carry
         phis, parts = pallas_sweep.fused_iteration_batch(
             phis, u0, c1, c2, p, interpret=interpret)
         c1n, c2n = means_from_sums(parts[:, 0], parts[:, 1], sum_u, n_pix)
-        return (phis, c1n, c2n), None
+        if p.reinit_every:
+            phis = jax.vmap(lambda ph: maybe_reinit(ph, n, p))(phis)
+            c1n, c2n = jax.vmap(
+                lambda u, ph: region_means(u, ph, p.eps))(u0, phis)
+        return (phis, c1n, c2n, n + 1), None
 
-    (phis, _, _), _ = jax.lax.scan(body, (phi0, c1_0, c2_0), None,
-                                   length=iters)
+    (phis, _, _, _), _ = jax.lax.scan(
+        body, (phi0, c1_0, c2_0, jnp.int32(0)), None, length=iters)
     return phis, phis >= 0

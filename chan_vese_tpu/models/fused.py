@@ -16,6 +16,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import pallas_sweep
 from ..ops.reductions import means_from_sums, region_means, region_sums
@@ -32,6 +33,34 @@ def _delta_from_partials(parts, n_pixels, p: CVParams):
     return parts[4] / n_pixels  # mean_abs
 
 
+def _fold_scalar_lambdas(p: CVParams, lambda1, lambda2) -> CVParams:
+    """Grayscale path: lambda overrides fold into the (static) params the
+    kernel bakes in; per-channel tuples are a vector-image concept."""
+    kw = {}
+    if lambda1 is not None:
+        if np.ndim(lambda1) > 0 and len(np.atleast_1d(lambda1)) > 1:
+            raise ValueError("per-channel lambda1 needs an (H, W, C) image")
+        kw["lambda1"] = float(np.atleast_1d(lambda1)[0])
+    if lambda2 is not None:
+        if np.ndim(lambda2) > 0 and len(np.atleast_1d(lambda2)) > 1:
+            raise ValueError("per-channel lambda2 needs an (H, W, C) image")
+        kw["lambda2"] = float(np.atleast_1d(lambda2)[0])
+    return p.replace(**kw) if kw else p
+
+
+def _reinit_and_refresh_means(phi, n, u0, p: CVParams):
+    """Apply the reinit cadence, then refresh c1/c2 from the redistanced
+    level set (reinit rescales |phi|, which moves H_eps everywhere - the
+    carried kernel partials would be stale). Only used when
+    p.reinit_every > 0 (a static branch; the common case stays on the
+    carried-partials fast path)."""
+    from ..ops.reinit import maybe_reinit
+
+    phi = maybe_reinit(phi, n, p)
+    c1, c2 = region_means(u0, phi, p.eps)
+    return phi, c1, c2
+
+
 @functools.partial(jax.jit,
                    static_argnames=("p", "lambda1", "lambda2", "interpret"))
 def segment_fused(u0, p: CVParams = CVParams(),
@@ -46,6 +75,7 @@ def segment_fused(u0, p: CVParams = CVParams(),
     """
     if u0.ndim == 3:
         return _segment_fused_mc(u0, p, phi0, lambda1, lambda2, interpret)
+    p = _fold_scalar_lambdas(p, lambda1, lambda2)
     H, W = u0.shape
     if not pallas_sweep.supports(H, W):
         return _segment_jnp(u0, p, phi0)
@@ -67,6 +97,8 @@ def segment_fused(u0, p: CVParams = CVParams(),
             phi, u0, c1, c2, p, interpret=interpret)
         c1n, c2n = means_from_sums(parts[0], parts[1], sum_u, n_pix)
         delta = _delta_from_partials(parts, n_pix, p)
+        if p.reinit_every:
+            phi_new, c1n, c2n = _reinit_and_refresh_means(phi_new, n, u0, p)
         streak = jnp.where(delta < p.tol, streak + 1, 0)
         return (phi_new, c1n, c2n, n + 1, delta, streak)
 
@@ -111,6 +143,8 @@ def _segment_fused_mc(u0, p, phi0, lambda1, lambda2, interpret):
             delta = jnp.sqrt(parts[C + 1] / n_pix)
         else:
             delta = parts[C + 3] / n_pix
+        if p.reinit_every:
+            phi_new, c1n, c2n = _reinit_and_refresh_means(phi_new, n, u0, p)
         streak = jnp.where(delta < p.tol, streak + 1, 0)
         return (phi_new, c1n, c2n, n + 1, delta, streak)
 
@@ -135,14 +169,20 @@ def segment_fused_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
     if u0.ndim == 3:
         return _segment_fused_mc_fixed(u0, p, iters, phi0, lambda1,
                                        lambda2, interpret)
+    p = _fold_scalar_lambdas(p, lambda1, lambda2)
     H, W = u0.shape
     if not pallas_sweep.supports(H, W):
+        from ..ops.reinit import maybe_reinit
+
         phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
 
         def body_jnp(carry, _):
-            return _step_jnp(carry, u0, p)[0], None
+            phi, n = carry
+            phi = _step_jnp(phi, u0, p)[0]
+            return (maybe_reinit(phi, n, p), n + 1), None
 
-        phi, _ = jax.lax.scan(body_jnp, phi0, None, length=iters)
+        (phi, _), _ = jax.lax.scan(body_jnp, (phi0, jnp.int32(0)), None,
+                                   length=iters)
         return phi, phi >= 0
 
     phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
@@ -151,14 +191,16 @@ def segment_fused_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
     c1_0, c2_0 = region_means(u0, phi0, p.eps)
 
     def body(carry, _):
-        phi, c1, c2 = carry
+        phi, c1, c2, n = carry
         phi_new, parts = pallas_sweep.fused_iteration(
             phi, u0, c1, c2, p, interpret=interpret)
         c1n, c2n = means_from_sums(parts[0], parts[1], sum_u, n_pix)
-        return (phi_new, c1n, c2n), None
+        if p.reinit_every:
+            phi_new, c1n, c2n = _reinit_and_refresh_means(phi_new, n, u0, p)
+        return (phi_new, c1n, c2n, n + 1), None
 
-    (phi, _, _), _ = jax.lax.scan(body, (phi0, c1_0, c2_0), None,
-                                  length=iters)
+    (phi, _, _, _), _ = jax.lax.scan(
+        body, (phi0, c1_0, c2_0, jnp.int32(0)), None, length=iters)
     return phi, phi >= 0
 
 
@@ -180,15 +222,17 @@ def _segment_fused_mc_fixed(u0, p, iters, phi0, lambda1, lambda2, interpret):
     c1_0, c2_0 = region_means(u0, phi0, p.eps)
 
     def body(carry, _):
-        phi, c1, c2 = carry
+        phi, c1, c2, n = carry
         phi_new, parts = pallas_sweep_mc.fused_iteration_mc(
             phi, ucf, c1, c2, p, lambda1, lambda2, interpret=interpret)
         s_uh = parts[:C]
         s_h = parts[C]
         c1n = s_uh / jnp.maximum(s_h, 1e-30)
         c2n = (sum_u - s_uh) / jnp.maximum(n_pix - s_h, 1e-30)
-        return (phi_new, c1n, c2n), None
+        if p.reinit_every:
+            phi_new, c1n, c2n = _reinit_and_refresh_means(phi_new, n, u0, p)
+        return (phi_new, c1n, c2n, n + 1), None
 
-    (phi, _, _), _ = jax.lax.scan(body, (phi0, c1_0, c2_0), None,
-                                  length=iters)
+    (phi, _, _, _), _ = jax.lax.scan(
+        body, (phi0, c1_0, c2_0, jnp.int32(0)), None, length=iters)
     return phi, phi >= 0

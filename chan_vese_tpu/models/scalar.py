@@ -99,7 +99,7 @@ class SegTrace(NamedTuple):
                    static_argnames=("p", "iters", "lambda1", "lambda2"))
 def segment_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
                   phi0: Optional[jax.Array] = None,
-                  lambda1=None, lambda2=None) -> SegTrace:
+                  lambda1=None, lambda2=None, start_iter=0) -> SegTrace:
     """Fixed-iteration segmentation returning the per-iteration energy trace.
 
     The trace (energy after each sweep, evaluated with means recomputed
@@ -118,5 +118,6 @@ def segment_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
         return (phi_new, n + 1), (e, delta, c1, c2)
 
     (phi, _), (es, ds, c1s, c2s) = jax.lax.scan(
-        body, (phi0, jnp.int32(0)), None, length=iters)
+        body, (phi0, jnp.asarray(start_iter, jnp.int32)), None,
+        length=iters)
     return SegTrace(phi, phi >= 0, es, ds, c1s, c2s)

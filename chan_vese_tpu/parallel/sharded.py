@@ -97,7 +97,8 @@ def _pallas_ok(h: int, w: int) -> bool:
 
 
 def _sharded_iteration(phi, u0_pad, c1, c2, p: CVParams, ix, iy, nx, ny,
-                       h, w, n_pix, use_pallas=False, interpret=False):
+                       h, w, n_pix, sum_u, use_pallas=False,
+                       interpret=False):
     """One red-black iteration on a local block; returns new phi + stats.
 
     use_pallas routes the padded-block sweep through the fused band kernel
@@ -151,7 +152,6 @@ def _sharded_iteration(phi, u0_pad, c1, c2, p: CVParams, ix, iy, nx, ny,
         ])
         parts = lax.psum(parts, ("x", "y"))
     c1n = parts[0] / jnp.maximum(parts[1], 1e-30)
-    sum_u = lax.psum(jnp.sum(u0_pad[_D: _D + h, _D: _D + w]), ("x", "y"))
     c2n = (sum_u - parts[0]) / jnp.maximum(n_pix - parts[1], 1e-30)
     if p.conv_norm == "flips":
         delta = parts[3] / n_pix
@@ -163,7 +163,7 @@ def _sharded_iteration(phi, u0_pad, c1, c2, p: CVParams, ix, iy, nx, ny,
 
 
 def _sharded_iteration_vec(phi, u0_pad, c1, c2, p, l1, l2, ix, iy, nx, ny,
-                           h, w, n_pix):
+                           h, w, n_pix, sum_u):
     """Vector-valued (C-channel) jnp sharded iteration (SURVEY.md C9 on
     the 2D mesh): shared phi, per-channel means, channel-averaged
     weighted data term."""
@@ -197,7 +197,6 @@ def _sharded_iteration_vec(phi, u0_pad, c1, c2, p, l1, l2, ix, iy, nx, ny,
     ])
     parts = lax.psum(parts, ("x", "y"))
     c1n = parts[:c] / jnp.maximum(parts[c], 1e-30)
-    sum_u = lax.psum(jnp.sum(u0_loc, axis=(0, 1)), ("x", "y"))
     c2n = (sum_u - parts[:c]) / jnp.maximum(n_pix - parts[c], 1e-30)
     if p.conv_norm == "flips":
         delta = parts[c + 2] / n_pix
@@ -285,9 +284,11 @@ def _sharded_multiphase_iteration(phis, u0_pad, p: CVParams, ix, iy, nx, ny,
         valid = ((gi >= 0) & (gi < nx * h) & (gj >= 0) & (gj < ny * w))
         red = ((gi + gj) % 2 == 0) & valid
         black = ((gi + gj) % 2 == 1) & valid
-        # coupling term from the padded CURRENT level sets
-        f = jnp.zeros(pad.shape, dtype=phis.dtype)
-        hs_pad = [hside(exchange_halo2d(new[k], _D)) for k in range(m_sets)]
+        # coupling term from the padded CURRENT level sets (reuse the
+        # sweep's own exchange for level set m)
+        f = jnp.zeros(pad.shape[:2], dtype=phis.dtype)
+        hs_pad = [hside(pad) if k == m else
+                  hside(exchange_halo2d(new[k], _D)) for k in range(m_sets)]
         u0p = u0_pad
         for sbit in range(2 ** m_sets):
             d = sqdist(u0p, cs[sbit])
@@ -350,12 +351,25 @@ def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed,
         phi, c1, c2, n, _, streak = state
         if vec:
             phi, c1, c2, delta = _sharded_iteration_vec(
-                phi, u0_pad, c1, c2, p, l1, l2, ix, iy, nx, ny, h, w, n_pix)
+                phi, u0_pad, c1, c2, p, l1, l2, ix, iy, nx, ny, h, w,
+                n_pix, s_u)
         else:
             phi, c1, c2, delta = _sharded_iteration(
-                phi, u0_pad, c1, c2, p, ix, iy, nx, ny, h, w, n_pix,
+                phi, u0_pad, c1, c2, p, ix, iy, nx, ny, h, w, n_pix, s_u,
                 use_pallas=use_pallas, interpret=interpret)
-        phi = _sharded_reinit(phi, n, p)
+        if p.reinit_every:
+            # refresh the carried means from the redistanced level set
+            # (reinit rescales |phi|, moving H_eps everywhere)
+            phi = _sharded_reinit(phi, n, p)
+            hr = 0.5 + (1.0 / math.pi) * jnp.arctan(phi / p.eps)
+            if vec:
+                suh = lax.psum(jnp.sum(u0 * hr[..., None], axis=(0, 1)),
+                               ("x", "y"))
+            else:
+                suh = lax.psum(jnp.sum(u0 * hr), ("x", "y"))
+            sh = lax.psum(jnp.sum(hr), ("x", "y"))
+            c1 = suh / jnp.maximum(sh, 1e-30)
+            c2 = (s_u - suh) / jnp.maximum(n_pix - sh, 1e-30)
         streak = jnp.where(delta < p.tol, streak + 1, 0)
         return (phi, c1, c2, n + 1, delta, streak)
 

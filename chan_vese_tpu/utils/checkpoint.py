@@ -18,11 +18,18 @@ from typing import Optional
 import numpy as np
 
 
+import re
+
+_CKPT_RE = re.compile(r"^ckpt_(\d{8})\.npz$")
+
+
 def save(path_dir, step: int, phi, c1=None, c2=None, **extra) -> Path:
     d = Path(path_dir)
     d.mkdir(parents=True, exist_ok=True)
     p = d / f"ckpt_{step:08d}.npz"
-    tmp = p.with_suffix(".tmp.npz")
+    # dot-prefixed temp name: cannot match the ckpt_*.npz pattern, so a
+    # torn write is never picked up by latest()
+    tmp = d / f".tmp_ckpt_{step:08d}.npz"
     np.savez(tmp, step=step, phi=np.asarray(phi),
              c1=np.asarray(c1 if c1 is not None else np.nan),
              c2=np.asarray(c2 if c2 is not None else np.nan),
@@ -35,7 +42,7 @@ def latest(path_dir) -> Optional[Path]:
     d = Path(path_dir)
     if not d.is_dir():
         return None
-    cands = sorted(d.glob("ckpt_*.npz"))
+    cands = sorted(f for f in d.iterdir() if _CKPT_RE.match(f.name))
     return cands[-1] if cands else None
 
 
@@ -71,7 +78,9 @@ def segment_with_checkpoints(u0, p, iters: int, ckpt_dir, every: int = 50,
     n = start
     while n < iters:
         chunk = min(every, iters - n)
-        tr = segment_fixed(u0, p, iters=chunk, phi0=phi)
+        # start_iter keeps the global iteration counter (and hence the
+        # reinit cadence) identical to an unchunked run
+        tr = segment_fixed(u0, p, iters=chunk, phi0=phi, start_iter=n)
         phi = tr.phi
         n += chunk
         save(ckpt_dir, n, phi, tr.c1[-1], tr.c2[-1])
