@@ -224,7 +224,7 @@ def main(argv=None) -> int:
                 chunk = min(args.gif_every, args.iters - n)
                 t = (segment_vector_fixed(u0, p, iters=chunk,
                                           phi0=phi, lambda1=lam1,
-                                          lambda2=lam2)
+                                          lambda2=lam2, start_iter=n)
                      if args.color else
                      segment_fixed(u0, p, iters=chunk, phi0=phi,
                                    start_iter=n))

@@ -42,8 +42,9 @@ def segment_vector(u0, p: CVParams = CVParams(),
 def segment_vector_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
                          phi0: Optional[jax.Array] = None,
                          lambda1: Optional[Sequence[float]] = None,
-                         lambda2: Optional[Sequence[float]] = None
-                         ) -> SegTrace:
+                         lambda2: Optional[Sequence[float]] = None,
+                         start_iter=0) -> SegTrace:
     """Fixed-iteration vector-valued segmentation with energy trace."""
     l1, l2 = _norm_lambdas(u0, lambda1, lambda2, p)
-    return segment_fixed(u0, p, iters, phi0, lambda1=l1, lambda2=l2)
+    return segment_fixed(u0, p, iters, phi0, lambda1=l1, lambda2=l2,
+                         start_iter=start_iter)

@@ -81,9 +81,14 @@ def reinit(phi, steps: int = 20, dtau: float = 0.5, h: float = 1.0):
     # zero level of phi0 are relaxed directly toward the signed distance
     # estimate D = h * phi0 / |grad phi0| instead of the upwind PDE - this
     # pins the zero crossing in place (no contour drift during reinit).
+    # D is clamped to +-1.5h: a genuine crossing-cell distance is <= h, but
+    # on noisy level sets the CENTRAL gradient can vanish at an extremum
+    # whose neighbors still cross zero, making the raw ratio arbitrarily
+    # large (observed blowing phi up to 1e22 in a 1000-iteration 4K soak).
     crosses = ((phi * shift_up(phi) < 0) | (phi * shift_down(phi) < 0)
                | (phi * shift_left(phi) < 0) | (phi * shift_right(phi) < 0))
-    dist0 = h * phi / jnp.maximum(jnp.sqrt(gn2), 1e-12)
+    dist0 = jnp.clip(h * phi / jnp.maximum(jnp.sqrt(gn2), 1e-12),
+                     -1.5 * h, 1.5 * h)
 
     def body(_, psi):
         g = _godunov_grad(psi, phi)

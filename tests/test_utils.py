@@ -67,6 +67,18 @@ class TestReinit:
         out = np.asarray(reinit(jnp.asarray(phi), steps=40))
         np.testing.assert_array_equal(out >= 0, phi >= 0)
 
+    def test_noise_input_stays_bounded(self):
+        """Regression: on noise-like level sets (central gradient ~0 at
+        extrema whose neighbors cross zero) the subcell distance estimate
+        used to blow up geometrically (phi -> 1e22 in long soaks)."""
+        rng = np.random.default_rng(0)
+        phi = rng.standard_normal((64, 64)) * 200.0
+        out = phi.copy()
+        for _ in range(10):  # repeated reinit, as in a long reinit_every run
+            out = np.asarray(reinit(jnp.asarray(out), steps=20))
+        assert np.isfinite(out).all()
+        assert np.abs(out).max() < np.abs(phi).max() + 20 * 0.5 * 10 + 10
+
 
 class TestImageIO:
     def test_roundtrip_png_gray(self, tmp_path):
