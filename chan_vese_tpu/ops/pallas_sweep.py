@@ -345,7 +345,16 @@ def fused_iteration(phi, u0, c1, c2, p: CVParams, parity=None, crop=None,
     H, W = phi.shape
     if not supports(H, W):
         raise ValueError(f"pallas fast path unsupported for shape {phi.shape}"
-                         f" (need W % 128 == 0, H >= 16)")
+                         f" (need W % 128 == 0, H % 8 == 0, H >= 24)")
+    if crop is not None:
+        r0, r1, _, _ = crop
+        # the between-sweep edge resync hardcodes the 4-deep-halo canvas
+        # geometry of parallel/sharded.py (top source row r0 valid only for
+        # tiles with s == 0, bottom source fixed at canvas row H - 5)
+        if r0 > _HALO_UP or r1 != H - 4:
+            raise ValueError(
+                f"crop {crop} does not match the supported halo geometry "
+                f"(need r0 <= {_HALO_UP} and r1 == H - 4 == {H - 4})")
     b = band_rows(H, W)
     nbands = pl.cdiv(H, b)
     par = jnp.asarray(0 if parity is None else parity)

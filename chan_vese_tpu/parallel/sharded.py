@@ -41,6 +41,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from ..ops.numerics import heaviside
 from ..ops.sweep import _update_all
 from ..params import CVParams
 from ..models.scalar import SegResult
@@ -98,28 +99,26 @@ def _pallas_ok(h: int, w: int) -> bool:
 
 def _sharded_iteration(phi, u0_pad, c1, c2, p: CVParams, ix, iy, nx, ny,
                        h, w, n_pix, sum_u, use_pallas=False,
-                       interpret=False):
+                       interpret=False, pallas_env=None):
     """One red-black iteration on a local block; returns new phi + stats.
 
     use_pallas routes the padded-block sweep through the fused band kernel
     (ops/pallas_sweep.py) with a global parity offset and interior-cropped
     partials - the canvas embeds the (h+8, w+8) block into lane-aligned
     width with edge-extended dead columns (never consumed by the
-    interior's stencils).
+    interior's stencils). ``pallas_env`` carries the loop-invariant
+    (u0_canvas, parity, edges) prebuilt by _run_sharded so they are not
+    rematerialized every while_loop iteration.
     """
     pad = exchange_halo2d(phi, _D)
 
     if use_pallas:
         from ..ops import pallas_sweep
 
-        wc = _canvas_cols(w)
+        u0_canvas, parity, edges = pallas_env
+        wc = u0_canvas.shape[1]
         canvas = jnp.pad(pad, ((0, 0), (0, wc - pad.shape[1])), mode="edge")
-        u0_canvas = jnp.pad(u0_pad, ((0, 0), (0, wc - u0_pad.shape[1])),
-                            mode="edge")
-        parity = (ix * h + iy * w) % 2
         crop = (_D, _D + h, _D, _D + w)
-        edges = jnp.stack([ix == 0, ix == nx - 1, iy == 0, iy == ny - 1]
-                          ).astype(phi.dtype)
         canvas_new, parts = pallas_sweep.fused_iteration(
             canvas, u0_canvas, c1, c2, p, parity=parity, crop=crop,
             edges=edges, interpret=interpret)
@@ -134,15 +133,11 @@ def _sharded_iteration(phi, u0_pad, c1, c2, p: CVParams, ix, iy, nx, ny,
         f = (-p.nu - p.lambda1 * (u0_pad - c1) ** 2
              + p.lambda2 * (u0_pad - c2) ** 2)
 
-        upd = _update_all(pad, f, p.mu, p.dt, p.eps, p.eta2)
-        pad = jnp.where(red, upd, pad)
-        pad = _resync_replicas(pad, ix, iy, nx, ny)
-        upd = _update_all(pad, f, p.mu, p.dt, p.eps, p.eta2)
-        pad = jnp.where(black, upd, pad)
+        pad = _sweep_local(pad, f, p, red, black, ix, iy, nx, ny)
 
         new = pad[_D: _D + h, _D: _D + w]
         # psum'd global reductions
-        h_eps = 0.5 + (1.0 / math.pi) * jnp.arctan(new / p.eps)
+        h_eps = heaviside(new, p.eps)
         u0_loc = u0_pad[_D: _D + h, _D: _D + w]
         dphi = new - phi
         flips = ((new >= 0) != (phi >= 0)).astype(phi.dtype)
@@ -178,14 +173,10 @@ def _sharded_iteration_vec(phi, u0_pad, c1, c2, p, l1, l2, ix, iy, nx, ny,
     f = (-p.nu - jnp.mean(l1 * (u0_pad - c1) ** 2, axis=-1)
          + jnp.mean(l2 * (u0_pad - c2) ** 2, axis=-1))
 
-    upd = _update_all(pad, f, p.mu, p.dt, p.eps, p.eta2)
-    pad = jnp.where(red, upd, pad)
-    pad = _resync_replicas(pad, ix, iy, nx, ny)
-    upd = _update_all(pad, f, p.mu, p.dt, p.eps, p.eta2)
-    pad = jnp.where(black, upd, pad)
+    pad = _sweep_local(pad, f, p, red, black, ix, iy, nx, ny)
 
     new = pad[_D: _D + h, _D: _D + w]
-    h_eps = 0.5 + (1.0 / math.pi) * jnp.arctan(new / p.eps)
+    h_eps = heaviside(new, p.eps)
     u0_loc = u0_pad[_D: _D + h, _D: _D + w]
     dphi = new - phi
     flips = ((new >= 0) != (phi >= 0)).astype(phi.dtype)
@@ -207,13 +198,14 @@ def _sharded_iteration_vec(phi, u0_pad, c1, c2, p, l1, l2, ix, iy, nx, ny,
     return new, c1n, c2n, delta
 
 
-def _sharded_reinit(phi_local, n, p: CVParams):
+def _sharded_reinit(phi_local, n, p: CVParams, always=False):
     """Halo-aware redistancing on a local block (no-op when disabled).
 
     The Godunov upwind stencil propagates one cell per step, so a single
     halo exchange of depth = reinit_steps makes the padded redistance
     EXACTLY the unsharded one on the block interior (edge replicas at
     global boundaries equal the clamped-shift semantics of ops/reinit.py).
+    ``always=True`` skips the cadence cond (the caller already branched).
     """
     if not p.reinit_every:
         return phi_local
@@ -226,6 +218,8 @@ def _sharded_reinit(phi_local, n, p: CVParams):
         out = reinit(pad, p.reinit_steps)
         return out[depth: depth + x.shape[0], depth: depth + x.shape[1]]
 
+    if always:
+        return do(phi_local)
     return jax.lax.cond((n + 1) % p.reinit_every == 0, do,
                         lambda v: v, phi_local)
 
@@ -254,7 +248,7 @@ def _sharded_multiphase_iteration(phis, u0_pad, p: CVParams, ix, iy, nx, ny,
     vec = u0_pad.ndim == 3
 
     def hside(x):
-        return 0.5 + (1.0 / math.pi) * jnp.arctan(x / p.eps)
+        return heaviside(x, p.eps)
 
     def sqdist(upad, c):
         if vec:
@@ -335,7 +329,7 @@ def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed,
     else:
         u0_pad = exchange_halo2d(u0, _D)
     # initial region means: the smooth-Heaviside reduction, psum'd
-    h0 = 0.5 + (1.0 / math.pi) * jnp.arctan(phi0 / p.eps)
+    h0 = heaviside(phi0, p.eps)
     if vec:
         s_uh = lax.psum(jnp.sum(u0 * h0[..., None], axis=(0, 1)),
                         ("x", "y"))
@@ -347,6 +341,18 @@ def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed,
     c1 = s_uh / jnp.maximum(s_h, 1e-30)
     c2 = (s_u - s_uh) / jnp.maximum(n_pix - s_h, 1e-30)
 
+    # loop-invariant pallas-path setup: lane-aligned u0 canvas, parity,
+    # edge flags (would otherwise be rebuilt every while_loop iteration)
+    pallas_env = None
+    if use_pallas:
+        wc = _canvas_cols(w)
+        u0_canvas = jnp.pad(u0_pad, ((0, 0), (0, wc - u0_pad.shape[1])),
+                            mode="edge")
+        parity = (ix * h + iy * w) % 2
+        edges = jnp.stack([ix == 0, ix == nx - 1, iy == 0, iy == ny - 1]
+                          ).astype(u0.dtype)
+        pallas_env = (u0_canvas, parity, edges)
+
     def body(state):
         phi, c1, c2, n, _, streak = state
         if vec:
@@ -356,20 +362,29 @@ def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed,
         else:
             phi, c1, c2, delta = _sharded_iteration(
                 phi, u0_pad, c1, c2, p, ix, iy, nx, ny, h, w, n_pix, s_u,
-                use_pallas=use_pallas, interpret=interpret)
+                use_pallas=use_pallas, interpret=interpret,
+                pallas_env=pallas_env)
         if p.reinit_every:
-            # refresh the carried means from the redistanced level set
-            # (reinit rescales |phi|, moving H_eps everywhere)
-            phi = _sharded_reinit(phi, n, p)
-            hr = 0.5 + (1.0 / math.pi) * jnp.arctan(phi / p.eps)
-            if vec:
-                suh = lax.psum(jnp.sum(u0 * hr[..., None], axis=(0, 1)),
-                               ("x", "y"))
-            else:
-                suh = lax.psum(jnp.sum(u0 * hr), ("x", "y"))
-            sh = lax.psum(jnp.sum(hr), ("x", "y"))
-            c1 = suh / jnp.maximum(sh, 1e-30)
-            c2 = (s_u - suh) / jnp.maximum(n_pix - sh, 1e-30)
+            # redistance on cadence, refreshing the carried means from the
+            # redistanced level set inside the SAME cond (reinit rescales
+            # |phi|, moving H_eps everywhere; the predicate is replicated
+            # so the psum branches uniformly)
+            def fire(args):
+                ph, a, b = args
+                ph = _sharded_reinit(ph, n, p, always=True)
+                hr = heaviside(ph, p.eps)
+                if vec:
+                    suh = lax.psum(jnp.sum(u0 * hr[..., None], axis=(0, 1)),
+                                   ("x", "y"))
+                else:
+                    suh = lax.psum(jnp.sum(u0 * hr), ("x", "y"))
+                sh = lax.psum(jnp.sum(hr), ("x", "y"))
+                a = suh / jnp.maximum(sh, 1e-30)
+                b = (s_u - suh) / jnp.maximum(n_pix - sh, 1e-30)
+                return ph, a, b
+
+            phi, c1, c2 = lax.cond((n + 1) % p.reinit_every == 0, fire,
+                                   lambda args: args, (phi, c1, c2))
         streak = jnp.where(delta < p.tol, streak + 1, 0)
         return (phi, c1, c2, n + 1, delta, streak)
 
@@ -415,8 +430,19 @@ def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
                          f"({nx}, {ny})")
     cap = max_iter if max_iter is not None else p.max_iter
     vec = u0.ndim == 3
-    lambdas = p.channel_lambdas(u0.shape[-1], lambda1, lambda2) if vec \
-        else None
+    if vec:
+        lambdas = p.channel_lambdas(u0.shape[-1], lambda1, lambda2)
+    else:
+        # fold scalar overrides into the (static) params the solver bakes in
+        from ..models.fused import _fold_scalar_lambdas
+        p = _fold_scalar_lambdas(p, lambda1, lambda2)
+        lambdas = None
+    if p.reinit_every and p.reinit_steps > min(H // nx, W // ny):
+        raise ValueError(
+            f"reinit_steps={p.reinit_steps} exceeds the shard size "
+            f"({H // nx}, {W // ny}); the halo-aware redistance exchanges a "
+            f"depth-reinit_steps halo from immediate neighbors only - lower "
+            f"reinit_steps or use a coarser mesh")
     if use_pallas is None:
         use_pallas = (not vec and jax.default_backend() == "tpu"
                       and _pallas_ok(H // nx, W // ny))

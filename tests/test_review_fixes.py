@@ -64,6 +64,56 @@ def test_fused_reinit_matches_jnp_path():
     assert diff <= 5, diff
 
 
+def test_sharded_gray_lambdas_respected():
+    """Review 2 finding 1: segment_sharded must honor scalar lambda
+    overrides on grayscale inputs."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 fake devices")
+    from chan_vese_tpu.parallel.mesh import make_grid_mesh
+    from chan_vese_tpu.parallel.sharded import segment_sharded
+
+    mesh = make_grid_mesh(2, 4)
+    img, _ = two_disks(64, 64, noise=6.0)
+    u = jnp.asarray(img, F32)
+    p = CVParams(init="circle")
+    a = segment_sharded(u, p, mesh, max_iter=8, fixed=True,
+                        lambda1=5.0, lambda2=0.2)
+    b = segment_sharded(u, p, mesh, max_iter=8, fixed=True)
+    c = segment_sharded(u, p.replace(lambda1=5.0, lambda2=0.2), mesh,
+                        max_iter=8, fixed=True)
+    assert not np.array_equal(np.asarray(a.phi), np.asarray(b.phi))
+    np.testing.assert_array_equal(np.asarray(a.phi), np.asarray(c.phi))
+
+
+def test_sharded_reinit_steps_validated():
+    """Review 2 finding 2: clear error when reinit_steps exceeds the shard
+    size (the halo exchange only reaches immediate neighbors)."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 fake devices")
+    from chan_vese_tpu.parallel.mesh import make_grid_mesh
+    from chan_vese_tpu.parallel.sharded import segment_sharded
+
+    mesh = make_grid_mesh(2, 4)  # shards (32, 16)
+    u = jnp.zeros((64, 64), F32)
+    with pytest.raises(ValueError, match="reinit_steps"):
+        segment_sharded(u, CVParams(reinit_every=5, reinit_steps=20), mesh)
+
+
+def test_fused_crop_geometry_validated():
+    """Review 2 finding 3: crop/edges tied to the 4-deep-halo geometry."""
+    from chan_vese_tpu.ops import pallas_sweep
+
+    phi = jnp.zeros((40, 128), F32)
+    u = jnp.zeros((40, 128), F32)
+    with pytest.raises(ValueError, match="halo geometry"):
+        pallas_sweep.fused_iteration(phi, u, 1.0, 0.0, CVParams(),
+                                     crop=(2, 34, 2, 34), interpret=True)
+
+
 def test_checkpoint_ignores_torn_tmp(tmp_path):
     """Finding 4: a leftover torn temp file must never be 'latest'."""
     from chan_vese_tpu.utils import checkpoint
