@@ -1,0 +1,60 @@
+"""The classic per-pixel delta-phi tolerances ('rms', 'mean_abs') through
+every driver (the default 'flips' path is covered everywhere else)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chan_vese_tpu import CVParams, segment, segment_fused
+from fixtures import iou, two_disks
+
+F32 = jnp.float32
+
+
+@pytest.mark.parametrize("norm", ["rms", "mean_abs"])
+def test_jnp_driver_conv_norms(norm):
+    img, gt = two_disks(64, 64, noise=6.0)
+    # phi drifts ~t^(1/3) so delta decays slowly: pick a loose tol the
+    # run reaches within the cap
+    p = CVParams(init="circle", conv_norm=norm, tol=0.5, max_iter=200,
+                 min_iter=30)
+    res = segment(jnp.asarray(img, F32), p)
+    assert int(res.iters) < 200
+    assert iou(np.asarray(res.mask), gt) >= 0.98
+
+
+@pytest.mark.parametrize("norm", ["rms", "mean_abs"])
+def test_fused_driver_conv_norms(norm):
+    img, gt = two_disks(64, 128, noise=6.0)
+    p = CVParams(init="circle", conv_norm=norm, tol=0.5, max_iter=200,
+                 min_iter=30)
+    res = segment_fused(jnp.asarray(img, F32), p, interpret=True)
+    assert int(res.iters) < 200
+    assert iou(np.asarray(res.mask), gt) >= 0.98
+
+
+@pytest.mark.parametrize("norm", ["rms", "mean_abs"])
+def test_sharded_driver_conv_norms(norm):
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 fake devices")
+    from chan_vese_tpu.parallel.mesh import make_grid_mesh
+    from chan_vese_tpu.parallel.sharded import segment_sharded
+
+    mesh = make_grid_mesh(2, 4)
+    img, gt = two_disks(64, 64, noise=6.0)
+    p = CVParams(init="circle", conv_norm=norm, tol=0.5, max_iter=200,
+                 min_iter=30)
+    res = segment_sharded(jnp.asarray(img, F32), p, mesh)
+    assert int(res.iters) < 200
+    assert iou(np.asarray(res.mask), gt) >= 0.98
+
+
+def test_fused_and_jnp_agree_on_rms_iteration_count():
+    img, _ = two_disks(64, 128, noise=6.0)
+    u = jnp.asarray(img, F32)
+    p = CVParams(init="circle", conv_norm="rms", tol=0.5, max_iter=200,
+                 min_iter=30)
+    a = int(segment(u, p).iters)
+    b = int(segment_fused(u, p, interpret=True).iters)
+    assert abs(a - b) <= 2, (a, b)
