@@ -84,9 +84,12 @@ def phase_means(u0, phis, eps: float):
 
 
 def _coupling_term(u0, phis, cs, m: int, p: CVParams):
-    """Data-fitting force on phi_m given all current level sets."""
-    m_sets = phis.shape[0]
-    f = jnp.zeros(u0.shape[:2], dtype=phis.dtype)
+    """Data-fitting force on phi_m given all current level sets.
+
+    ``phis``: stacked (M, H, W) array or a length-M sequence of (H, W).
+    """
+    m_sets = len(phis)
+    f = jnp.zeros(u0.shape[:2], dtype=phis[0].dtype)
     hs = [heaviside(phis[k], p.eps) for k in range(m_sets)]
     for s in range(2 ** m_sets):
         d = _sqdist(u0, cs[s])
@@ -103,15 +106,47 @@ def _coupling_term(u0, phis, cs, m: int, p: CVParams):
     return f - p.nu
 
 
-def multiphase_step(phis, u0, p: CVParams):
-    """One outer iteration: 2^M means, then M sequential sweeps."""
+def multiphase_step(phis, u0, p: CVParams, use_pallas: bool = False,
+                    interpret: bool = False):
+    """One outer iteration: 2^M means, then M sequential sweeps.
+
+    use_pallas routes each level set's sweep through the fused band
+    kernel in precomputed-data-term mode (ops/pallas_sweep.fused_sweep) -
+    the TPU fast path for SURVEY.md C10; the coupling terms stay jnp.
+    """
     cs = phase_means(u0, phis, p.eps)
-    new = phis
+    # work on a list of (H, W) level sets and stack once: sequential
+    # .at[m].set() on the stacked array fuses the kernel output into a
+    # full (M, H, W) scoped-VMEM copy per sweep (compiled OOM at 512^2)
+    new = [phis[m] for m in range(phis.shape[0])]
     for m in range(phis.shape[0]):
         f = _coupling_term(u0, new, cs, m, p)
-        upd = semi_implicit_step(new[m], f, p)
-        new = new.at[m].set(upd)
-    return new, cs
+        if use_pallas:
+            from ..ops.pallas_sweep import fused_sweep
+            new[m], _ = fused_sweep(new[m], f, p, interpret=interpret)
+        else:
+            new[m] = semi_implicit_step(new[m], f, p)
+    return jnp.stack(new), cs
+
+
+def _mp_pallas_auto(u0, p: CVParams, use_pallas):
+    """Resolve the multiphase kernel-sweep switch.
+
+    Default OFF (None -> False): measured on v5e, the kernel sweeps buy
+    only ~5% end-to-end because multiphase is bottlenecked by the jnp
+    coupling terms and 2^M masked reductions, while the extra pallas
+    program costs minutes of (erratic) first-compile on the axon tunnel.
+    Opt in with use_pallas=True for long production runs at one shape.
+    """
+    from ..ops import pallas_sweep
+
+    if use_pallas is None:
+        return False
+    if use_pallas and not (p.order == "redblack"
+                           and pallas_sweep.supports(*u0.shape[:2])):
+        raise ValueError(f"pallas multiphase path unsupported for "
+                         f"{u0.shape} with order={p.order!r}")
+    return use_pallas
 
 
 def _maybe_reinit_phis(phis, n, p: CVParams):
@@ -185,10 +220,18 @@ class MultiphaseResult(NamedTuple):
     cs: jax.Array       # (2^M, ...) phase means
 
 
-@functools.partial(jax.jit, static_argnames=("p", "m_sets"))
+@functools.partial(jax.jit,
+                   static_argnames=("p", "m_sets", "use_pallas", "interpret"))
 def segment_multiphase(u0, p: CVParams = CVParams(), m_sets: int = 2,
-                       phis0: Optional[jax.Array] = None) -> MultiphaseResult:
-    """Segment into 2^m_sets phases; converges on label-flip fraction."""
+                       phis0: Optional[jax.Array] = None,
+                       use_pallas: Optional[bool] = None,
+                       interpret: bool = False) -> MultiphaseResult:
+    """Segment into 2^m_sets phases; converges on label-flip fraction.
+
+    use_pallas (None = auto on TPU): run each sweep through the fused band
+    kernel with precomputed coupling terms.
+    """
+    use_pallas = _mp_pallas_auto(u0, p, use_pallas)
     if phis0 is None:
         phis0 = init_multiphase(u0.shape[:2], m_sets, dtype=u0.dtype)
 
@@ -199,7 +242,7 @@ def segment_multiphase(u0, p: CVParams = CVParams(), m_sets: int = 2,
 
     def body(state):
         phis, n, _, streak = state
-        new, _ = multiphase_step(phis, u0, p)
+        new, _ = multiphase_step(phis, u0, p, use_pallas, interpret)
         flips = jnp.mean((labels_from_phis(new)
                           != labels_from_phis(phis)).astype(u0.dtype))
         new = _maybe_reinit_phis(new, n, p)
@@ -220,17 +263,21 @@ class MultiphaseTrace(NamedTuple):
     delta: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("p", "iters", "m_sets"))
+@functools.partial(jax.jit,
+                   static_argnames=("p", "iters", "m_sets", "use_pallas",
+                                    "interpret"))
 def segment_multiphase_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
                              m_sets: int = 2,
-                             phis0: Optional[jax.Array] = None
-                             ) -> MultiphaseTrace:
+                             phis0: Optional[jax.Array] = None,
+                             use_pallas: Optional[bool] = None,
+                             interpret: bool = False) -> MultiphaseTrace:
+    use_pallas = _mp_pallas_auto(u0, p, use_pallas)
     if phis0 is None:
         phis0 = init_multiphase(u0.shape[:2], m_sets, dtype=u0.dtype)
 
     def body(carry, _):
         phis, n = carry
-        new, _ = multiphase_step(phis, u0, p)
+        new, _ = multiphase_step(phis, u0, p, use_pallas, interpret)
         flips = jnp.mean((labels_from_phis(new)
                           != labels_from_phis(phis)).astype(u0.dtype))
         e = multiphase_energy(u0, new, p)

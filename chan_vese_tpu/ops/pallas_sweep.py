@@ -171,7 +171,10 @@ def _update_all(phi, g, f, mu, dt, eps, eta2):
 def _fused_band_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
                        phi_scr, u0_scr, new_scr, sems,
                        *, H, W, b, mu, nu, l1, l2, dt, eps, eta2,
-                       crop=None, batched=False):
+                       crop=None, batched=False, data_is_f=False):
+    # data_is_f: the second input already IS the data-fitting force f
+    # (multiphase coupling terms are built outside); c_ref[.., 0:2] unused
+    # and the u*H partial is meaningless in that mode.
     # c_ref (SMEM (rows, 8)): [c1, c2, parity, top, bottom, left, right, -]
     # per frame; parity aligns the local red-black lattice with the global
     # one when this kernel runs on a halo-padded shard
@@ -241,8 +244,11 @@ def _fused_band_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
 
     phi = phi_scr[slot]
     u0 = u0_scr[slot]
-    f = (-nu - l1 * (u0 - c_ref[crow, 0]) ** 2
-         + l2 * (u0 - c_ref[crow, 1]) ** 2)
+    if data_is_f:
+        f = u0
+    else:
+        f = (-nu - l1 * (u0 - c_ref[crow, 0]) ** 2
+             + l2 * (u0 - c_ref[crow, 1]) ** 2)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, phi.shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, phi.shape, 1)
@@ -410,6 +416,33 @@ def _call_fused(kernel, phi, u0, c, grid, nparts, b, interpret):
         return phi_new, jnp.sum(
             partials.reshape(phi.shape[0], nbands, 8), axis=1)
     return phi_new, jnp.sum(partials, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "interpret"))
+def fused_sweep(phi, f, p: CVParams, parity=None,
+                interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """One fused red-black SWEEP with a precomputed data term ``f``.
+
+    The multiphase fast path (models/multiphase.py): coupling terms are
+    built outside, the kernel does the two half-sweeps + the flip/delta
+    partials. Returns (phi_new, partials (8,)); partial slots 0/1 (u*H, H)
+    are meaningless in this mode.
+    """
+    H, W = phi.shape
+    if not supports(H, W):
+        raise ValueError(f"pallas fast path unsupported for shape "
+                         f"{phi.shape}")
+    b = band_rows(H, W)
+    nbands = pl.cdiv(H, b)
+    par = jnp.asarray(0 if parity is None else parity)
+    c = jnp.concatenate([jnp.zeros((2,), phi.dtype),
+                         par.astype(phi.dtype)[None],
+                         jnp.zeros((5,), phi.dtype)]).reshape(1, 8)
+    kernel = functools.partial(
+        _fused_band_kernel, H=H, W=W, b=b, mu=p.mu, nu=p.nu,
+        l1=p.lambda1, l2=p.lambda2, dt=p.dt, eps=p.eps, eta2=p.eta2,
+        data_is_f=True)
+    return _call_fused(kernel, phi, f, c, (nbands,), nbands, b, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("p", "interpret"))
