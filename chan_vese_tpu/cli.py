@@ -107,6 +107,16 @@ def main(argv=None) -> int:
         print("error: per-channel --lambda1/--lambda2 need --color",
               file=sys.stderr)
         return 2
+    if args.gif_every <= 0 or args.checkpoint_every <= 0:
+        print("error: --gif-every and --checkpoint-every must be positive",
+              file=sys.stderr)
+        return 2
+
+    def warn_dropped(path_name, *opts):
+        dropped = [name for name, val in opts if val]
+        if dropped and not args.quiet:
+            print(f"warning: {', '.join(dropped)} not supported on the "
+                  f"{path_name} path; ignored", file=sys.stderr)
 
     dtype = jnp.float64 if args.f64 else jnp.float32
     try:
@@ -135,6 +145,10 @@ def main(argv=None) -> int:
             from .parallel.mesh import make_grid_mesh
             from .parallel.sharded import segment_multiphase_sharded
 
+            warn_dropped("sharded multiphase",
+                         ("--trace-energy", args.trace_energy),
+                         ("--evolution-gif", args.evolution_gif),
+                         ("--checkpoint-dir", args.checkpoint_dir))
             mesh = make_grid_mesh(*args.mesh)
             res = segment_multiphase_sharded(
                 u0, p, mesh, m_sets=args.multiphase,
@@ -173,6 +187,9 @@ def main(argv=None) -> int:
         from .parallel.mesh import make_grid_mesh
         from .parallel.sharded import segment_sharded
 
+        warn_dropped("sharded", ("--trace-energy", args.trace_energy),
+                     ("--evolution-gif", args.evolution_gif),
+                     ("--checkpoint-dir", args.checkpoint_dir))
         mesh = make_grid_mesh(*args.mesh)
         res = segment_sharded(
             u0, p, mesh, max_iter=args.iters if fixed else None,
@@ -188,8 +205,14 @@ def main(argv=None) -> int:
             image_io.save_overlay(args.overlay, img, np.asarray(mask))
         return 0
 
+    if fixed and args.checkpoint_dir and args.color and not args.quiet:
+        print("warning: --checkpoint-dir is grayscale-only; ignored",
+              file=sys.stderr)
     if fixed and args.checkpoint_dir and not args.color:
         from .utils import checkpoint as ckpt
+
+        warn_dropped("checkpointed", ("--trace-energy", args.trace_energy),
+                     ("--evolution-gif", args.evolution_gif))
 
         phi = ckpt.segment_with_checkpoints(
             u0, p, iters=args.iters, ckpt_dir=args.checkpoint_dir,
@@ -235,7 +258,10 @@ def main(argv=None) -> int:
     else:
         if args.color:
             res = segment_vector(u0, p, lambda1=lam1, lambda2=lam2)
-        elif (not args.no_fused) and jax.default_backend() == "tpu":
+        elif (not args.no_fused) and jax.default_backend() == "tpu" \
+                and args.order == "redblack":
+            # the fused kernel implements red-black only; an explicit
+            # --order wavefront/jacobi must run the jnp path
             res = segment_fused(u0, p)
         else:
             res = segment(u0, p)

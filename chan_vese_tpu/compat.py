@@ -36,9 +36,11 @@ def chan_vese(image,
     extended_output=True. Accepts numpy or jax arrays; floats in [0, 1]
     are rescaled to [0, 255] when normalize='255' and max(image) <= 1.
     """
+    import jax
     import jax.numpy as jnp
 
     from .models.fused import segment_fused
+    from .models.scalar import segment as segment_jnp
     from .params import CVParams
 
     img = np.asarray(image, np.float32)
@@ -46,6 +48,10 @@ def chan_vese(image,
         img = img * 255.0
 
     vector = img.ndim == 3
+    if not vector and (len(np.atleast_1d(lambda1)) > 1
+                       or len(np.atleast_1d(lambda2)) > 1):
+        raise ValueError("per-channel lambda weights need an (H, W, C) "
+                         "image")
     l1 = tuple(np.atleast_1d(lambda1).astype(float)) if vector else None
     l2 = tuple(np.atleast_1d(lambda2).astype(float)) if vector else None
     if vector and len(l1) == 1:
@@ -58,7 +64,11 @@ def chan_vese(image,
                  lambda2=float(np.atleast_1d(lambda2)[0]),
                  dt=dt, eps=eps, tol=tol, max_iter=max_num_iter,
                  init=init_level_set)
-    res = segment_fused(jnp.asarray(img), p, lambda1=l1, lambda2=l2)
+    # the Pallas fast path only lowers on TPU backends
+    if jax.default_backend() == "tpu":
+        res = segment_fused(jnp.asarray(img), p, lambda1=l1, lambda2=l2)
+    else:
+        res = segment_jnp(jnp.asarray(img), p, lambda1=l1, lambda2=l2)
     mask = np.asarray(res.mask)
     if extended_output:
         return mask, np.asarray(res.phi), res

@@ -64,6 +64,9 @@ def segment_with_checkpoints(u0, p, iters: int, ckpt_dir, every: int = 50,
     from ..models.scalar import segment_fixed
     from ..utils.init_phi import init_phi
 
+    if every <= 0 or iters < 0:
+        raise ValueError(f"need every > 0 and iters >= 0 "
+                         f"(got every={every}, iters={iters})")
     start = 0
     phi = phi0
     if resume:

@@ -16,9 +16,11 @@ import numpy as np
 def load_image(path, color: bool = False, dtype=np.float32) -> np.ndarray:
     """Load an image as float in [0, 255]; (H, W) gray or (H, W, 3)."""
     path = Path(path)
-    if path.suffix in (".npy",):
-        arr = np.load(path)
-        return np.asarray(arr, dtype)
+    if path.suffix == ".npy":
+        return np.asarray(np.load(path), dtype)
+    if path.suffix == ".npz":
+        with np.load(path) as z:
+            return np.asarray(z[z.files[0]], dtype)
     try:
         from PIL import Image
         img = Image.open(path)
@@ -72,12 +74,17 @@ def save_overlay(path, image, mask, color=(255, 0, 0)) -> None:
 
 
 def save_evolution_gif(path, image, phi_frames, every: int = 1,
-                       duration: float = 0.08) -> None:
-    """Animated contour evolution (SURVEY.md C14 'evolution video')."""
+                       duration_ms: float = 80.0) -> None:
+    """Animated contour evolution (SURVEY.md C14 'evolution video').
+
+    duration_ms: per-frame display time; imageio v3's GIF plugin takes
+    milliseconds (the v2 API took seconds - easy to get a uselessly fast
+    animation).
+    """
     import imageio.v3 as iio
     frames = [contour_overlay(image, np.asarray(phi) >= 0)
               for phi in phi_frames[::every]]
-    iio.imwrite(Path(path), frames, duration=duration, loop=0)
+    iio.imwrite(Path(path), frames, duration=duration_ms, loop=0)
 
 
 def _save_u8(path, arr: np.ndarray) -> None:

@@ -21,11 +21,12 @@ def time_fn(fn, *args, warmup: int = 1, reps: int = 3, readback=None):
     ``readback``: optional lambda taking the output and returning a scalar
     jax array to force full materialization (recommended on remote/tunneled
     platforms where block_until_ready alone can under-measure).
+    ``warmup=0`` measures cold (includes first-compile time).
     """
     import jax
 
     out = None
-    for _ in range(max(warmup, 1)):
+    for _ in range(max(warmup, 0)):
         out = fn(*args)
         jax.block_until_ready(out)
         if readback is not None:

@@ -49,12 +49,21 @@ def read_energy_csv(path):
     return out
 
 
-def trace_parity(path_a, path_b, column: str = "energy"):
-    """Max relative deviation between two trace CSVs (the parity number)."""
+def trace_parity(path_a, path_b, column: str = "energy",
+                 allow_prefix: bool = False):
+    """Max relative deviation between two trace CSVs (the parity number).
+
+    The parity criterion is "at fixed iteration count", so traces of
+    different lengths are an error unless allow_prefix=True (compare the
+    common prefix explicitly).
+    """
     a = read_energy_csv(path_a)[column]
     b = read_energy_csv(path_b)[column]
-    n = min(len(a), len(b))
-    if n == 0:
+    if len(a) == 0 or len(b) == 0:
         raise ValueError("empty traces")
+    if len(a) != len(b) and not allow_prefix:
+        raise ValueError(f"trace lengths differ ({len(a)} vs {len(b)}); "
+                         f"pass allow_prefix=True to compare the prefix")
+    n = min(len(a), len(b))
     rel = np.abs(a[:n] - b[:n]) / np.maximum(np.abs(b[:n]), 1e-30)
     return float(rel.max())

@@ -66,27 +66,34 @@ static inline double bmcoef(const double *phi, int H, int W, int i, int j,
     return mu / sqrt(eta2 + dx0m * dx0m + dym * dym);
 }
 
+/* The shared per-cell semi-implicit update (the scheme of SURVEY.md §3.1;
+ * single definition so the plain sweep and the flip-counting sweep cannot
+ * drift apart). */
+static inline double cv_cell_update(const double *phi, const double *f,
+                                    int H, int W, int i, int j, double mu,
+                                    double dt, double eps, double eta2) {
+    double A  = acoef(phi, H, W, i, j, mu, eta2);
+    double Am = amcoef(phi, H, W, i, j, mu, eta2);
+    double B  = bcoef(phi, H, W, i, j, mu, eta2);
+    double Bm = bmcoef(phi, H, W, i, j, mu, eta2);
+    double z = phi[(size_t)i * W + j];
+    double d = (eps / M_PI) / (eps * eps + z * z);
+    double num = z + dt * d * (A * at(phi, H, W, i + 1, j)
+                               + Am * at(phi, H, W, i - 1, j)
+                               + B * at(phi, H, W, i, j + 1)
+                               + Bm * at(phi, H, W, i, j - 1)
+                               + f[(size_t)i * W + j]);
+    double den = 1.0 + dt * d * (A + Am + B + Bm);
+    return num / den;
+}
+
 /* One in-place raster Gauss-Seidel sweep with a precomputed data term f. */
 void cv_sweep(double *phi, const double *f, int H, int W, double mu,
               double dt, double eps, double eta2) {
-    const double inv_pi_eps = eps / M_PI;
-    for (int i = 0; i < H; ++i) {
-        for (int j = 0; j < W; ++j) {
-            double A  = acoef(phi, H, W, i, j, mu, eta2);
-            double Am = amcoef(phi, H, W, i, j, mu, eta2);
-            double B  = bcoef(phi, H, W, i, j, mu, eta2);
-            double Bm = bmcoef(phi, H, W, i, j, mu, eta2);
-            double z = phi[(size_t)i * W + j];
-            double d = inv_pi_eps / (eps * eps + z * z);
-            double num = z + dt * d * (A * at(phi, H, W, i + 1, j)
-                                       + Am * at(phi, H, W, i - 1, j)
-                                       + B * at(phi, H, W, i, j + 1)
-                                       + Bm * at(phi, H, W, i, j - 1)
-                                       + f[(size_t)i * W + j]);
-            double den = 1.0 + dt * d * (A + Am + B + Bm);
-            phi[(size_t)i * W + j] = num / den;
-        }
-    }
+    for (int i = 0; i < H; ++i)
+        for (int j = 0; j < W; ++j)
+            phi[(size_t)i * W + j] =
+                cv_cell_update(phi, f, H, W, i, j, mu, dt, eps, eta2);
 }
 
 /* Region means c1 (H_eps-weighted) and c2. */
@@ -148,22 +155,12 @@ void cv_segment_fixed(double *phi, const double *u0, int H, int W,
         }
         long flips = 0;
         if (delta_out) {
-            /* sweep with flip counting */
+            /* sweep with flip counting (same cv_cell_update) */
             for (int i = 0; i < H; ++i) {
                 for (int j = 0; j < W; ++j) {
-                    double A  = acoef(phi, H, W, i, j, mu, eta2);
-                    double Am = amcoef(phi, H, W, i, j, mu, eta2);
-                    double B  = bcoef(phi, H, W, i, j, mu, eta2);
-                    double Bm = bmcoef(phi, H, W, i, j, mu, eta2);
                     double z = phi[(size_t)i * W + j];
-                    double d = (eps / M_PI) / (eps * eps + z * z);
-                    double num = z + dt * d * (A * at(phi, H, W, i + 1, j)
-                                               + Am * at(phi, H, W, i - 1, j)
-                                               + B * at(phi, H, W, i, j + 1)
-                                               + Bm * at(phi, H, W, i, j - 1)
-                                               + f[(size_t)i * W + j]);
-                    double den = 1.0 + dt * d * (A + Am + B + Bm);
-                    double newz = num / den;
+                    double newz = cv_cell_update(phi, f, H, W, i, j, mu,
+                                                 dt, eps, eta2);
                     flips += ((newz >= 0.0) != (z >= 0.0));
                     phi[(size_t)i * W + j] = newz;
                 }

@@ -30,9 +30,12 @@ def test_stored_golden_matches_fresh_c_run():
                       np.float64)
     phi, e, d = baseline.segment_fixed(img, p, 60, phi0)
     gold = read_energy_csv(GOLD / "config1_64_checkerboard_f64.csv")
-    np.testing.assert_allclose(e, gold["energy"], rtol=1e-12)
+    np.testing.assert_allclose(e, gold["energy"], rtol=1e-10)
+    # rtol 1e-10: absorbs last-ulp codegen variation across compiler
+    # flags/refactors while still catching any real convention change
     np.testing.assert_allclose(
-        phi, np.load(GOLD / "config1_64_checkerboard_phi.npy"), rtol=1e-12)
+        phi, np.load(GOLD / "config1_64_checkerboard_phi.npy"), rtol=1e-10,
+        atol=1e-10)
 
 
 def test_jax_wavefront_matches_stored_golden():
