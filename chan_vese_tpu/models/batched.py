@@ -90,7 +90,7 @@ def segment_stack_fused_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
     from ..ops.reductions import means_from_sums, region_means
 
     N, H, W = u0.shape
-    if not pallas_sweep.supports(H, W):
+    if not pallas_sweep.supports(H, W) or p.order != "redblack":
         return segment_stack_fixed(u0, p, iters, phi0)
 
     if phi0 is None:

@@ -19,18 +19,26 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import pallas_sweep
-from ..ops.reductions import means_from_sums, region_means, region_sums
+from ..ops.reductions import means_from_sums, region_means
 from ..params import CVParams
 from ..utils.init_phi import init_phi
 from .scalar import SegResult, segment as _segment_jnp, step as _step_jnp
 
 
-def _delta_from_partials(parts, n_pixels, p: CVParams):
+def _delta_from_partials(parts, n_pixels, p: CVParams, offset: int = 0):
+    """Decode the convergence metric from kernel partials.
+
+    Layout: [s_uH x C, s_H, s_dphi2, flips, s_absdphi] with ``offset`` =
+    C - 1 extra leading channel slots (0 for grayscale); shared by the
+    fused, batched and sharded drivers.
+    """
     if p.conv_norm == "flips":
-        return parts[3] / n_pixels
+        return parts[offset + 3] / n_pixels
     if p.conv_norm == "rms":
-        return jnp.sqrt(parts[2] / n_pixels)
-    return parts[4] / n_pixels  # mean_abs
+        return jnp.sqrt(parts[offset + 2] / n_pixels)
+    if p.conv_norm == "mean_abs":
+        return parts[offset + 4] / n_pixels
+    raise ValueError(f"unknown conv_norm {p.conv_norm!r}")
 
 
 def _fold_scalar_lambdas(p: CVParams, lambda1, lambda2) -> CVParams:
@@ -77,7 +85,9 @@ def segment_fused(u0, p: CVParams = CVParams(),
         return _segment_fused_mc(u0, p, phi0, lambda1, lambda2, interpret)
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
     H, W = u0.shape
-    if not pallas_sweep.supports(H, W):
+    if not pallas_sweep.supports(H, W) or p.order != "redblack":
+        # the fused kernel implements red-black only; explicit wavefront/
+        # jacobi requests must run the jnp path regardless of shape
         return _segment_jnp(u0, p, phi0)
 
     phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
@@ -114,7 +124,7 @@ def _segment_fused_mc(u0, p, phi0, lambda1, lambda2, interpret):
     from ..models.vector import segment_vector
 
     H, W, C = u0.shape
-    if not pallas_sweep_mc.supports_mc(H, W, C):
+    if not pallas_sweep_mc.supports_mc(H, W, C) or p.order != "redblack":
         l1, l2 = p.channel_lambdas(C, lambda1, lambda2)
         return segment_vector(u0, p, phi0, l1, l2)
 
@@ -133,16 +143,8 @@ def _segment_fused_mc(u0, p, phi0, lambda1, lambda2, interpret):
         phi, c1, c2, n, _, streak = state
         phi_new, parts = pallas_sweep_mc.fused_iteration_mc(
             phi, ucf, c1, c2, p, lambda1, lambda2, interpret=interpret)
-        s_uh = parts[:C]
-        s_h = parts[C]
-        c1n = s_uh / jnp.maximum(s_h, 1e-30)
-        c2n = (sum_u - s_uh) / jnp.maximum(n_pix - s_h, 1e-30)
-        if p.conv_norm == "flips":
-            delta = parts[C + 2] / n_pix
-        elif p.conv_norm == "rms":
-            delta = jnp.sqrt(parts[C + 1] / n_pix)
-        else:
-            delta = parts[C + 3] / n_pix
+        c1n, c2n = means_from_sums(parts[:C], parts[C], sum_u, n_pix)
+        delta = _delta_from_partials(parts, n_pix, p, offset=C - 1)
         if p.reinit_every:
             phi_new, c1n, c2n = _reinit_and_refresh_means(phi_new, n, u0, p)
         streak = jnp.where(delta < p.tol, streak + 1, 0)
@@ -171,7 +173,7 @@ def segment_fused_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
                                        lambda2, interpret)
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
     H, W = u0.shape
-    if not pallas_sweep.supports(H, W):
+    if not pallas_sweep.supports(H, W) or p.order != "redblack":
         from ..ops.reinit import maybe_reinit
 
         phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
@@ -208,7 +210,7 @@ def _segment_fused_mc_fixed(u0, p, iters, phi0, lambda1, lambda2, interpret):
     from ..ops import pallas_sweep_mc
 
     H, W, C = u0.shape
-    if not pallas_sweep_mc.supports_mc(H, W, C):
+    if not pallas_sweep_mc.supports_mc(H, W, C) or p.order != "redblack":
         from .scalar import segment_fixed
         l1, l2 = p.channel_lambdas(C, lambda1, lambda2)
         tr = segment_fixed(u0, p, iters=iters, phi0=phi0,
@@ -225,10 +227,7 @@ def _segment_fused_mc_fixed(u0, p, iters, phi0, lambda1, lambda2, interpret):
         phi, c1, c2, n = carry
         phi_new, parts = pallas_sweep_mc.fused_iteration_mc(
             phi, ucf, c1, c2, p, lambda1, lambda2, interpret=interpret)
-        s_uh = parts[:C]
-        s_h = parts[C]
-        c1n = s_uh / jnp.maximum(s_h, 1e-30)
-        c2n = (sum_u - s_uh) / jnp.maximum(n_pix - s_h, 1e-30)
+        c1n, c2n = means_from_sums(parts[:C], parts[C], sum_u, n_pix)
         if p.reinit_every:
             phi_new, c1n, c2n = _reinit_and_refresh_means(phi_new, n, u0, p)
         return (phi_new, c1n, c2n, n + 1), None

@@ -23,17 +23,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.reductions import data_term, delta_norm, energy, region_means
-from ..ops.reinit import reinit
+from ..ops.reinit import maybe_reinit as _maybe_reinit
 from ..ops.sweep import semi_implicit_step
 from ..params import CVParams
 from ..utils.init_phi import init_phi
-
-
-def _maybe_reinit(phi, n, p: CVParams):
-    """Redistance phi every p.reinit_every iterations (no-op when 0)."""
-    from ..ops.reinit import maybe_reinit
-
-    return maybe_reinit(phi, n, p)
 
 
 class SegResult(NamedTuple):

@@ -101,8 +101,7 @@ def curvature(phi, eta2: float):
     (phi[clamp(-1)] - phi[0] == 0 -> zero-flux Neumann), and clamped
     coefficient indices (harmless: multiplied by the vanishing difference).
     """
-    A, B = face_coeffs(phi, 1.0, eta2)
-    Am, Bm = face_coeffs_backward(phi, 1.0, eta2)
+    A, B, Am, Bm = face_coeffs_all(phi, 1.0, eta2)
     return (A * (shift_down(phi) - phi)
             + Am * (shift_up(phi) - phi)
             + B * (shift_right(phi) - phi)

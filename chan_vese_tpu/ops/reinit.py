@@ -49,8 +49,6 @@ def _godunov_grad(psi, sgn):
 def maybe_reinit(x, n, p):
     """Shared redistancing cadence: every p.reinit_every iterations (no-op
     when 0). Handles a single (H, W) level set or an (M, H, W) stack."""
-    import jax
-
     if not p.reinit_every:
         return x
     if x.ndim == 3:

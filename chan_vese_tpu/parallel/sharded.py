@@ -42,8 +42,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.numerics import heaviside
+from ..ops.reductions import means_from_sums
 from ..ops.sweep import _update_all
 from ..params import CVParams
+from ..models.fused import _delta_from_partials
 from ..models.scalar import SegResult
 from .halo import exchange_halo2d
 
@@ -146,14 +148,8 @@ def _sharded_iteration(phi, u0_pad, c1, c2, p: CVParams, ix, iy, nx, ny,
             jnp.sum(dphi * dphi), jnp.sum(flips), jnp.sum(jnp.abs(dphi)),
         ])
         parts = lax.psum(parts, ("x", "y"))
-    c1n = parts[0] / jnp.maximum(parts[1], 1e-30)
-    c2n = (sum_u - parts[0]) / jnp.maximum(n_pix - parts[1], 1e-30)
-    if p.conv_norm == "flips":
-        delta = parts[3] / n_pix
-    elif p.conv_norm == "rms":
-        delta = jnp.sqrt(parts[2] / n_pix)
-    else:
-        delta = parts[4] / n_pix
+    c1n, c2n = means_from_sums(parts[0], parts[1], sum_u, n_pix)
+    delta = _delta_from_partials(parts, n_pix, p)
     return new, c1n, c2n, delta
 
 
@@ -187,14 +183,8 @@ def _sharded_iteration_vec(phi, u0_pad, c1, c2, p, l1, l2, ix, iy, nx, ny,
                    jnp.sum(jnp.abs(dphi))]),
     ])
     parts = lax.psum(parts, ("x", "y"))
-    c1n = parts[:c] / jnp.maximum(parts[c], 1e-30)
-    c2n = (sum_u - parts[:c]) / jnp.maximum(n_pix - parts[c], 1e-30)
-    if p.conv_norm == "flips":
-        delta = parts[c + 2] / n_pix
-    elif p.conv_norm == "rms":
-        delta = jnp.sqrt(parts[c + 1] / n_pix)
-    else:
-        delta = parts[c + 3] / n_pix
+    c1n, c2n = means_from_sums(parts[:c], parts[c], sum_u, n_pix)
+    delta = _delta_from_partials(parts, n_pix, p, offset=c - 1)
     return new, c1n, c2n, delta
 
 

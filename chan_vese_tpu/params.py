@@ -97,8 +97,16 @@ class CVParams:
         Falls back to broadcasting the scalar lambda1/lambda2 when no
         per-channel weights are given (Chan-Sandberg-Vese 2000).
         """
-        l1 = tuple(lambda1) if lambda1 is not None else (self.lambda1,) * nchan
-        l2 = tuple(lambda2) if lambda2 is not None else (self.lambda2,) * nchan
+        def norm(lam, default):
+            if lam is None:
+                return (default,) * nchan
+            try:
+                return tuple(float(v) for v in lam)
+            except TypeError:  # scalar: broadcast like the jnp reductions
+                return (float(lam),) * nchan
+
+        l1 = norm(lambda1, self.lambda1)
+        l2 = norm(lambda2, self.lambda2)
         if len(l1) != nchan or len(l2) != nchan:
             raise ValueError(
                 f"per-channel lambdas must have length {nchan}, "
