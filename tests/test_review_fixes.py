@@ -181,3 +181,97 @@ def test_cli_gif_respects_iter_count(tmp_path):
     import imageio.v3 as iio
     frames = iio.imread(gif, index=None)
     assert len(frames) == 3  # chunks of 3, 3, 1 - no overshoot past 7
+
+
+# ---------------------------------------------------------------------------
+# Fifth-review findings
+# ---------------------------------------------------------------------------
+
+def test_fused_honors_non_redblack_order():
+    """Finding 5.1: segment_fused with order != 'redblack' must run that
+    ordering (jnp fallback), not silently substitute the red-black kernel."""
+    from chan_vese_tpu import segment, segment_fused
+    from chan_vese_tpu.models.fused import segment_fused_fixed
+    from chan_vese_tpu.models.scalar import segment_fixed
+
+    img, _ = two_disks(64, 128, noise=6.0)
+    u = jnp.asarray(img, F32)
+    for order in ("jacobi", "wavefront"):
+        p = CVParams(init="circle", order=order, max_iter=20)
+        a = segment_fused(u, p, interpret=True)
+        b = segment(u, p)
+        assert np.array_equal(np.asarray(a.phi), np.asarray(b.phi)), order
+        phi_f, _ = segment_fused_fixed(u, p, iters=8, interpret=True)
+        tr = segment_fixed(u, p, iters=8)
+        assert np.array_equal(np.asarray(phi_f), np.asarray(tr.phi)), order
+
+
+def test_batched_fused_honors_non_redblack_order():
+    from chan_vese_tpu.models.batched import (segment_stack_fixed,
+                                              segment_stack_fused_fixed)
+
+    img, _ = two_disks(64, 128, noise=6.0)
+    u = jnp.asarray(img, F32)
+    stack = jnp.stack([u, u[::-1]])
+    p = CVParams(init="circle", order="jacobi")
+    phis_a, _ = segment_stack_fused_fixed(stack, p, iters=6)
+    phis_b, _ = segment_stack_fixed(stack, p, iters=6)
+    assert np.array_equal(np.asarray(phis_a), np.asarray(phis_b))
+
+
+def test_unknown_conv_norm_raises_everywhere():
+    """Finding 5.3: every driver rejects an unknown conv_norm (the fused and
+    sharded paths used to silently compute mean_abs)."""
+    from chan_vese_tpu import segment, segment_fused
+    from chan_vese_tpu.parallel.mesh import make_grid_mesh
+    from chan_vese_tpu.parallel.sharded import segment_sharded
+
+    img, _ = two_disks(64, 128, noise=6.0)
+    u = jnp.asarray(img, F32)
+    p = CVParams(conv_norm="bogus")
+    with pytest.raises(ValueError, match="conv_norm"):
+        segment(u, p)
+    with pytest.raises(ValueError, match="conv_norm"):
+        segment_fused(u, p, interpret=True)
+    with pytest.raises(ValueError, match="conv_norm"):
+        segment_sharded(u, p, mesh=make_grid_mesh(2, 2))
+    rgb = jnp.stack([u, u, u], axis=-1)
+    with pytest.raises(ValueError, match="conv_norm"):
+        segment_sharded(rgb, p, mesh=make_grid_mesh(2, 2))
+
+
+def test_channel_lambdas_broadcasts_scalars():
+    """Finding 5.2: scalar lambda overrides broadcast per-channel on vector
+    images (used to raise TypeError)."""
+    from chan_vese_tpu.models.vector import segment_vector_fixed
+
+    p = CVParams()
+    assert p.channel_lambdas(3, 2.0, None) == ((2.0,) * 3, (1.0,) * 3)
+    assert p.channel_lambdas(2, None, 0.5) == ((1.0,) * 2, (0.5,) * 2)
+    with pytest.raises(ValueError, match="length 3"):
+        p.channel_lambdas(3, (1.0, 2.0), None)
+
+    img, _ = two_disks(48, 64, noise=6.0)
+    u = jnp.asarray(img, F32)
+    rgb = jnp.stack([u, 0.5 * u, 255.0 - u], axis=-1)
+    p2 = CVParams(init="circle")
+    a = segment_vector_fixed(rgb, p2, iters=10, lambda1=2.0)
+    b = segment_vector_fixed(rgb, p2, iters=10, lambda1=(2.0, 2.0, 2.0))
+    assert np.array_equal(np.asarray(a.phi), np.asarray(b.phi))
+
+
+def test_curvature_matches_coefficient_form():
+    """Finding 5.5 refactor guard: curvature() (now via face_coeffs_all)
+    still equals the explicit forward/backward coefficient expansion."""
+    from chan_vese_tpu.ops.numerics import (curvature, face_coeffs,
+                                            face_coeffs_backward, shift_down,
+                                            shift_left, shift_right, shift_up)
+
+    rng = np.random.default_rng(7)
+    phi = jnp.asarray(rng.standard_normal((17, 23)), F64)
+    A, B = face_coeffs(phi, 1.0, 1e-8)
+    Am, Bm = face_coeffs_backward(phi, 1.0, 1e-8)
+    ref = (A * (shift_down(phi) - phi) + Am * (shift_up(phi) - phi)
+           + B * (shift_right(phi) - phi) + Bm * (shift_left(phi) - phi))
+    np.testing.assert_array_equal(np.asarray(curvature(phi, 1e-8)),
+                                  np.asarray(ref))
