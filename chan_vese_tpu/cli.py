@@ -267,8 +267,13 @@ def main(argv=None) -> int:
             res = segment(u0, p)
         mask, iters, c1, c2 = res.mask, int(res.iters), res.c1, res.c2
 
-    log(f"converged in {iters} iters; c1={np.asarray(c1)}, "
-        f"c2={np.asarray(c2)}")
+    if np.any(np.isnan(np.asarray(c1))) or np.any(np.isnan(np.asarray(c2))):
+        log(f"DIVERGED after {iters} iters (non-finite level set - check "
+            f"the input for NaN/Inf); c1={np.asarray(c1)}, "
+            f"c2={np.asarray(c2)}")
+    else:
+        log(f"converged in {iters} iters; c1={np.asarray(c1)}, "
+            f"c2={np.asarray(c2)}")
     if args.output:
         image_io.save_mask(args.output, mask)
     if args.overlay:

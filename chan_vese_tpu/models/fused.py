@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import pallas_sweep
-from ..ops.reductions import means_from_sums, region_means
+from ..ops.reductions import loop_continue, means_from_sums, region_means
 from ..params import CVParams
 from ..utils.init_phi import init_phi
 from .scalar import SegResult, segment as _segment_jnp, step as _step_jnp
@@ -98,8 +98,7 @@ def segment_fused(u0, p: CVParams = CVParams(),
 
     def cond(state):
         _, _, _, n, delta, streak = state
-        done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
-        return jnp.logical_and(n < p.max_iter, jnp.logical_not(done))
+        return loop_continue(n, delta, streak, p)
 
     def body(state):
         phi, c1, c2, n, _, streak = state
@@ -136,8 +135,7 @@ def _segment_fused_mc(u0, p, phi0, lambda1, lambda2, interpret):
 
     def cond(state):
         _, _, _, n, delta, streak = state
-        done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
-        return jnp.logical_and(n < p.max_iter, jnp.logical_not(done))
+        return loop_continue(n, delta, streak, p)
 
     def body(state):
         phi, c1, c2, n, _, streak = state

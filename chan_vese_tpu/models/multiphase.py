@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.numerics import heaviside
+from ..ops.reductions import loop_continue
 from ..ops.sweep import semi_implicit_step
 from ..params import CVParams
 from ..utils.init_phi import checkerboard, circle
@@ -237,8 +238,7 @@ def segment_multiphase(u0, p: CVParams = CVParams(), m_sets: int = 2,
 
     def cond(state):
         _, n, delta, streak = state
-        done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
-        return jnp.logical_and(n < p.max_iter, jnp.logical_not(done))
+        return loop_continue(n, delta, streak, p)
 
     def body(state):
         phis, n, _, streak = state

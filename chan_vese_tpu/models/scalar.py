@@ -22,7 +22,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.reductions import data_term, delta_norm, energy, region_means
+from ..ops.reductions import (data_term, delta_norm, energy, loop_continue,
+                              region_means)
 from ..ops.reinit import maybe_reinit as _maybe_reinit
 from ..ops.sweep import semi_implicit_step
 from ..params import CVParams
@@ -62,8 +63,7 @@ def segment(u0, p: CVParams = CVParams(), phi0: Optional[jax.Array] = None,
 
     def cond(state):
         phi, n, delta, streak = state
-        done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
-        return jnp.logical_and(n < p.max_iter, jnp.logical_not(done))
+        return loop_continue(n, delta, streak, p)
 
     def body(state):
         phi, n, _, streak = state

@@ -128,3 +128,22 @@ def delta_norm(phi_new, phi_old, kind: str = "flips"):
     if kind == "mean_abs":
         return jnp.mean(jnp.abs(d))
     raise ValueError(f"unknown conv_norm {kind!r}")
+
+
+def loop_continue(n, delta, streak, p, max_iter=None):
+    """Shared tolerance-loop predicate for every driver's while_loop.
+
+    Continue while (a) under the iteration cap, (b) not yet converged -
+    the update metric must stay below tol for ``p.patience`` consecutive
+    iterations (the ``streak`` counter) and at least ``p.min_iter``
+    iterations have run - and (c) not diverged: a NaN delta means phi went
+    non-finite (bad input / unstable parameters), and the loop aborts
+    immediately instead of burning the remaining iterations (failure
+    detection, SURVEY.md §5). The initial delta is +inf, which is
+    finite-NaN-wise, so iteration 0 always runs.
+    """
+    cap = p.max_iter if max_iter is None else max_iter
+    done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
+    diverged = jnp.isnan(delta)
+    return jnp.logical_and(n < cap,
+                           jnp.logical_not(jnp.logical_or(done, diverged)))

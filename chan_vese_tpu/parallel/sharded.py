@@ -42,7 +42,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.numerics import heaviside
-from ..ops.reductions import means_from_sums
+from ..ops.reductions import loop_continue, means_from_sums
 from ..ops.sweep import _update_all
 from ..params import CVParams
 from ..models.fused import _delta_from_partials
@@ -382,8 +382,7 @@ def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed,
         _, _, _, n, delta, streak = state
         if fixed:
             return n < max_iter
-        done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
-        return jnp.logical_and(n < max_iter, jnp.logical_not(done))
+        return loop_continue(n, delta, streak, p, max_iter)
 
     init = (phi0, c1, c2, jnp.int32(0), jnp.asarray(jnp.inf, u0.dtype),
             jnp.int32(0))
@@ -518,8 +517,7 @@ def _build_mp_program(p, mesh, nx, ny, cap, fixed, m_sets, vec=False):
             _, n, delta, streak = state
             if fixed:
                 return n < cap
-            done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
-            return jnp.logical_and(n < cap, jnp.logical_not(done))
+            return loop_continue(n, delta, streak, p, cap)
 
         init = (phis_loc, jnp.int32(0),
                 jnp.asarray(jnp.inf, u0_loc.dtype), jnp.int32(0))

@@ -58,3 +58,38 @@ def test_fused_and_jnp_agree_on_rms_iteration_count():
     a = int(segment(u, p).iters)
     b = int(segment_fused(u, p, interpret=True).iters)
     assert abs(a - b) <= 2, (a, b)
+
+
+def test_divergence_aborts_loop():
+    """Failure detection (SURVEY.md §5): a non-finite image makes delta NaN
+    on iteration 0; the tolerance loop must abort immediately instead of
+    burning max_iter iterations."""
+    import numpy as np
+
+    from chan_vese_tpu import CVParams, segment, segment_fused
+    from chan_vese_tpu.parallel.mesh import make_grid_mesh
+    from chan_vese_tpu.parallel.sharded import segment_sharded
+
+    bad = jnp.full((64, 128), jnp.nan, jnp.float32)
+    p = CVParams(conv_norm="rms", max_iter=200)
+    for fn, kw in ((segment, {}), (segment_fused, {"interpret": True})):
+        r = fn(bad, p, **kw)
+        assert int(r.iters) <= 2, fn
+        assert np.isnan(float(r.delta)), fn
+    r = segment_sharded(bad, p, mesh=make_grid_mesh(2, 2))
+    assert int(r.iters) <= 2 and np.isnan(float(r.delta))
+
+
+def test_divergence_guard_does_not_stop_healthy_runs():
+    """The guard must be inert on finite runs (initial delta is +inf)."""
+    from chan_vese_tpu import CVParams, segment
+    from fixtures import two_disks
+
+    img, gt = two_disks(64, 128, noise=6.0)
+    r = segment(jnp.asarray(img, jnp.float32), CVParams(init="circle"))
+    assert int(r.iters) > 5
+    m = (r.phi >= 0)
+    import numpy as np
+    inter = np.logical_and(np.asarray(m), gt).sum()
+    union = np.logical_or(np.asarray(m), gt).sum()
+    assert inter / union > 0.9
