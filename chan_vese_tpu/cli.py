@@ -51,8 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "enables --trace-energy)")
     ap.add_argument("--conv", choices=("flips", "rms", "mean_abs"),
                     default=d.conv_norm, help="convergence metric")
-    ap.add_argument("--init", choices=("checkerboard", "circle", "rect"),
-                    default=d.init)
+    ap.add_argument("--init", default=d.init,
+                    choices=("checkerboard", "circle", "rect", "disk",
+                             "small-disk"))
     ap.add_argument("--order", choices=("redblack", "jacobi", "wavefront"),
                     default=d.order,
                     help="sweep ordering (wavefront == sequential raster "

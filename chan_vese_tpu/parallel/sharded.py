@@ -80,10 +80,10 @@ def _local_checkerboard(shape, ix, iy, h, w, dtype, period=5.0):
     return (jnp.sin(gi.astype(dtype) * k) * jnp.sin(gj.astype(dtype) * k))
 
 
-def _local_circle(shape, ix, iy, h, w, H, W, dtype):
+def _local_circle(shape, ix, iy, h, w, H, W, dtype, r=None):
     gi, gj = _global_coords(shape, ix, iy, h, w, pad=0)
     cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
-    r = min(H, W) / 4.0
+    r = min(H, W) / 4.0 if r is None else r
     gi = gi.astype(dtype)
     gj = gj.astype(dtype)
     return r - jnp.sqrt((gi - cy) ** 2 + (gj - cx) ** 2)
@@ -564,8 +564,11 @@ def _make_phi0(shape, kind, dtype, mesh):
         iy = lax.axis_index("y")
         if kind == "checkerboard":
             v = _local_checkerboard((h, w), ix, iy, h, w, dtype)
-        elif kind == "circle":
+        elif kind in ("circle", "disk"):
             v = _local_circle((h, w), ix, iy, h, w, H, W, dtype)
+        elif kind in ("small disk", "small-disk"):
+            v = _local_circle((h, w), ix, iy, h, w, H, W, dtype,
+                              r=min(H, W) / 8.0)
         else:
             raise ValueError(f"unsupported sharded init {kind!r}")
         # iotas above are built for the padded convention; build unpadded

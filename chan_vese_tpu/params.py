@@ -65,7 +65,8 @@ class CVParams:
         'jacobi'    - fully parallel update from old values,
         'wavefront' - skewed-diagonal schedule that reproduces sequential
                       raster Gauss-Seidel EXACTLY (parity mode; slow).
-      init: level-set initialization: 'checkerboard' | 'circle' | 'rect'.
+      init: level-set initialization: 'checkerboard' | 'circle' (alias
+        'disk') | 'small disk' | 'rect'.
     """
 
     mu: float = 0.01 * 255.0 ** 2  # canonical length weight for [0,255] images

@@ -47,7 +47,11 @@ def rect(shape, dtype=jnp.float32, margin: float = None):
 def init_phi(shape, kind: str = "checkerboard", dtype=jnp.float32, **kw):
     if kind == "checkerboard":
         return checkerboard(shape, dtype, **kw)
-    if kind == "circle":
+    if kind in ("circle", "disk"):  # 'disk' = skimage-compat alias
+        return circle(shape, dtype, **kw)
+    if kind in ("small disk", "small-disk"):
+        h, w = shape
+        kw.setdefault("radius", min(h, w) / 8.0)
         return circle(shape, dtype, **kw)
     if kind == "rect":
         return rect(shape, dtype, **kw)
