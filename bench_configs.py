@@ -59,11 +59,13 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
-    # config 1: 256x256 grayscale, checkerboard
+    # config 1: 256x256 grayscale, checkerboard (VMEM-resident kernel:
+    # the whole image lives in VMEM across iterations, models/resident.py)
+    from chan_vese_tpu.models.resident import segment_resident_fixed
     u = jnp.asarray(rng.uniform(0, 255, (256, 256)), jnp.float32)
-    secs = _t(lambda: segment_fused_fixed(u, p, iters=iters_small),
+    secs = _t(lambda: segment_resident_fixed(u, p, iters=iters_small),
               lambda o: o[0][0, 0])
-    report("1: gray 256^2 checkerboard (fused)", 256 * 256, iters_small,
+    report("1: gray 256^2 checkerboard (resident)", 256 * 256, iters_small,
            secs)
 
     # config 2: 512x512 RGB, per-channel lambdas (multichannel kernel)

@@ -15,6 +15,7 @@ from .models.multiphase import (MultiphaseResult, segment_multiphase,
                                 segment_multiphase_fixed)
 from .models.batched import segment_batch, segment_stack_fixed
 from .models.fused import segment_fused, segment_fused_fixed
+from .models.resident import segment_resident, segment_resident_fixed
 from .compat import chan_vese
 
 __all__ = [
@@ -25,6 +26,7 @@ __all__ = [
     "segment_multiphase", "segment_multiphase_fixed", "MultiphaseResult",
     "segment_batch", "segment_stack_fixed",
     "segment_fused", "segment_fused_fixed",
+    "segment_resident", "segment_resident_fixed",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,127 @@
+"""VMEM-resident segmentation drivers for small/medium images.
+
+Wraps ops/pallas_resident.py: phi stays in VMEM across iterations inside
+one pallas_call, so the per-iteration kernel-launch + HBM round-trip of
+the banded path disappears. Measured on v5e vs the banded fused driver:
++13% at 256^2, +30% at 512^2, +91% at 1024^2 (the banded kernel is HBM
+round-trip bound there; this one does zero HBM traffic per iteration).
+
+Trajectory note: the means are reduced in-kernel (Mosaic summation order)
+rather than by XLA, so trajectories drift from the jnp/banded paths at
+the f32 ulp level from iteration 2 on - same equivalence class as every
+reduction-order change (masks agree; see tests/test_resident.py).
+
+Tolerance mode runs in CHUNKS of ``chunk`` iterations per kernel call and
+checks convergence between chunks from the per-iteration partials rows,
+so a converged run may execute up to chunk-1 extra iterations (harmless:
+a converged contour is a fixed point of the flips metric). The reported
+``iters`` is the chunk boundary where convergence was declared.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import pallas_resident
+from ..ops.reductions import region_means
+from ..params import CVParams
+from ..utils.init_phi import init_phi
+from .fused import _fold_scalar_lambdas
+from .scalar import SegResult
+
+
+def _delta_rows(parts, n_pix, p: CVParams):
+    """Per-iteration convergence metric from the (iters, 8) partials."""
+    if p.conv_norm == "flips":
+        return parts[:, 3] / n_pix
+    if p.conv_norm == "rms":
+        return jnp.sqrt(parts[:, 2] / n_pix)
+    if p.conv_norm == "mean_abs":
+        return parts[:, 4] / n_pix
+    raise ValueError(f"unknown conv_norm {p.conv_norm!r}")
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("p", "iters", "lambda1", "lambda2",
+                                    "interpret"))
+def segment_resident_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
+                           phi0: Optional[jax.Array] = None,
+                           lambda1=None, lambda2=None,
+                           interpret: bool = False):
+    """Fixed-iteration VMEM-resident run. Returns (phi, mask).
+
+    Falls back to the banded fused driver when the image does not fit the
+    resident envelope, when a non-red-black ordering is requested, or when
+    a reinit cadence is set (reinit must run between kernel calls).
+    """
+    p = _fold_scalar_lambdas(p, lambda1, lambda2)
+    H, W = u0.shape
+    if (not pallas_resident.supports_resident(H, W)
+            or p.order != "redblack" or p.reinit_every):
+        from .fused import segment_fused_fixed
+        return segment_fused_fixed(u0, p, iters, phi0, interpret=interpret)
+    phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
+    phi, _ = pallas_resident.resident_iterations(phi0, u0, p, iters,
+                                                 interpret=interpret)
+    return phi, phi >= 0
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("p", "chunk", "lambda1", "lambda2",
+                                    "interpret"))
+def segment_resident(u0, p: CVParams = CVParams(),
+                     phi0: Optional[jax.Array] = None,
+                     chunk: int = 16, lambda1=None, lambda2=None,
+                     interpret: bool = False) -> SegResult:
+    """Tolerance-mode VMEM-resident segmentation (chunked convergence).
+
+    Runs ``chunk`` iterations per kernel call; between chunks the
+    per-iteration partials rows drive the same streak/patience/min_iter/
+    divergence logic as every other driver (ops/reductions.loop_continue
+    semantics, evaluated per row).
+    """
+    p = _fold_scalar_lambdas(p, lambda1, lambda2)
+    H, W = u0.shape
+    if (not pallas_resident.supports_resident(H, W)
+            or p.order != "redblack" or p.reinit_every):
+        from .fused import segment_fused
+        return segment_fused(u0, p, phi0, interpret=interpret)
+    if chunk < 1:
+        raise ValueError("chunk must be >= 1")
+    # validate conv_norm at trace time (same contract as the other drivers)
+    _delta_rows(jnp.zeros((1, 8), u0.dtype), 1.0, p)
+
+    phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
+    n_pix = jnp.asarray(H * W, u0.dtype)
+
+    def scan_rows(deltas, streak0):
+        """Thread the streak counter through one chunk's delta rows."""
+        def step(streak, d):
+            streak = jnp.where(d < p.tol, streak + 1, 0)
+            return streak, streak
+        return jax.lax.scan(step, streak0, deltas)
+
+    def cond(state):
+        _, n, delta, streak, diverged = state
+        done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
+        stop = jnp.logical_or(done, diverged)
+        return jnp.logical_and(n < p.max_iter, jnp.logical_not(stop))
+
+    def body(state):
+        phi, n, _, streak, _ = state
+        phi_new, parts = pallas_resident.resident_iterations(
+            phi, u0, p, chunk, interpret=interpret)
+        deltas = _delta_rows(parts, n_pix, p)
+        streak, _ = scan_rows(deltas, streak)
+        diverged = jnp.any(jnp.isnan(deltas))
+        return (phi_new, n + chunk, deltas[-1], streak, diverged)
+
+    init = (phi0, jnp.int32(0), jnp.asarray(jnp.inf, u0.dtype),
+            jnp.int32(0), jnp.bool_(False))
+    phi, iters, delta, _, _ = jax.lax.while_loop(cond, body, init)
+    c1, c2 = region_means(u0, phi, p.eps)
+    return SegResult(phi, phi >= 0, iters, delta, c1, c2)

@@ -1,0 +1,148 @@
+"""VMEM-resident multi-iteration Pallas kernel (small/medium images).
+
+The banded kernel (ops/pallas_sweep.py) pays one kernel launch and one
+full HBM round-trip of phi per iteration - at 4K that cost is amortized
+by 8.3 Mpixels of work, but at 256^2 it dominates (~35 us/iter measured
+vs ~3 us of ALU). This kernel keeps EVERYTHING resident in VMEM across
+iterations: one pallas_call runs ``iters`` full Chan-Vese iterations as
+sequential grid steps over the same VMEM scratch - phi is DMA'd in once
+at step 0 and out once at the last step. HBM traffic per iteration: zero.
+
+Per grid step (= one outer Chan-Vese iteration, same math as the jnp
+driver models/scalar.py step()):
+
+    c1, c2 = in-kernel masked means of the RESIDENT phi   (exact, no lag)
+    f      = -nu - l1 (u0-c1)^2 + l2 (u0-c2)^2
+    phi    = red half-sweep, then black half-sweep (_update_all)
+    partials row k: [s_uH, s_H, s_dphi2, flips, s_absdphi, 0, 0, 0]
+
+Unlike the banded kernel the means here are the CURRENT iteration's
+(recomputed from resident phi each step), exactly matching the reference
+scheme - there is no carried-means lag.
+
+Limits: the whole (H, W) image + ~15 full-size temporaries must fit in
+VMEM - supports_resident() caps H*W accordingly (1024x1024 f32 fits).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import CVParams
+from .pallas_sweep import _VMEM_LIMIT, _heaviside, _update_all
+
+# full-array temporaries alive at once inside one step (phi, u0, new, the
+# shift/coefficient fields of _update_all, H_eps, masks) - conservative
+_ARRAYS = 18
+
+
+def supports_resident(h: int, w: int) -> bool:
+    return (w % 128 == 0 and h % 8 == 0 and h >= 8
+            and h * w * 4 * _ARRAYS <= _VMEM_LIMIT)
+
+
+def _kernel(phi_hbm, u0_hbm, out_hbm, part_ref, phi_scr, u0_scr, sems,
+            *, iters, mu, nu, l1, l2, dt, eps, eta2, n_pix):
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        pltpu.make_async_copy(phi_hbm, phi_scr, sems.at[0]).start()
+        pltpu.make_async_copy(u0_hbm, u0_scr, sems.at[1]).start()
+        pltpu.make_async_copy(phi_hbm, phi_scr, sems.at[0]).wait()
+        pltpu.make_async_copy(u0_hbm, u0_scr, sems.at[1]).wait()
+
+    phi = phi_scr[:]
+    u0 = u0_scr[:]
+
+    # region means of the resident phi (SURVEY.md C3) - current iteration's
+    h_eps = _heaviside(phi, eps)
+    s_uh = jnp.sum(u0 * h_eps)
+    s_h = jnp.sum(h_eps)
+    tiny = jnp.asarray(1e-30, phi.dtype)
+    c1 = s_uh / jnp.maximum(s_h, tiny)
+    c2 = (jnp.sum(u0) - s_uh) / jnp.maximum(n_pix - s_h, tiny)
+
+    f = -nu - l1 * (u0 - c1) ** 2 + l2 * (u0 - c2) ** 2
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, phi.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, phi.shape, 1)
+    red = ((rows + cols) % 2) == 0
+
+    g = (dt * eps / math.pi) / (eps * eps + phi * phi)
+    phi_r = jnp.where(red, _update_all(phi, g, f, mu, dt, eps, eta2), phi)
+    phi_n = jnp.where(red, phi_r, _update_all(phi_r, g, f, mu, dt, eps, eta2))
+
+    phi_scr[:] = phi_n
+
+    dphi = phi_n - phi
+    flips = ((phi_n >= 0) != (phi >= 0)).astype(phi.dtype)
+    part_ref[k, 0] = s_uh
+    part_ref[k, 1] = s_h
+    part_ref[k, 2] = jnp.sum(dphi * dphi)
+    part_ref[k, 3] = jnp.sum(flips)
+    part_ref[k, 4] = jnp.sum(jnp.abs(dphi))
+    part_ref[k, 5] = 0.0
+    part_ref[k, 6] = 0.0
+    part_ref[k, 7] = 0.0
+
+    @pl.when(k == iters - 1)
+    def _():
+        pltpu.make_async_copy(phi_scr, out_hbm, sems.at[2]).start()
+        pltpu.make_async_copy(phi_scr, out_hbm, sems.at[2]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("p", "iters", "interpret"))
+def resident_iterations(phi, u0, p: CVParams, iters: int,
+                        interpret: bool = False
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """Run ``iters`` full Chan-Vese iterations in one VMEM-resident call.
+
+    Returns (phi_new, partials (iters, 8)): row k holds the masked-mean
+    sums of the phi BEFORE iteration k (s_uH, s_H - i.e. the means that
+    iteration actually used) plus that iteration's update partials
+    (s_dphi2, flips, s_absdphi).
+    """
+    H, W = phi.shape
+    if not supports_resident(H, W):
+        raise ValueError(f"resident path unsupported for shape {phi.shape}")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+
+    kernel = functools.partial(
+        _kernel, iters=iters, mu=p.mu, nu=p.nu, l1=p.lambda1, l2=p.lambda2,
+        dt=p.dt, eps=p.eps, eta2=p.eta2, n_pix=float(H * W))
+
+    phi_new, partials = pl.pallas_call(
+        kernel,
+        grid=(iters,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, W), phi.dtype),
+            jax.ShapeDtypeStruct((iters, 8), phi.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((H, W), phi.dtype),
+            pltpu.VMEM((H, W), phi.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(phi, u0)
+    return phi_new, partials

@@ -1,0 +1,127 @@
+"""VMEM-resident multi-iteration kernel (ops/pallas_resident.py) and its
+drivers (models/resident.py). Interpret mode on CPU; the compiled-on-chip
+check lives in the tpu-marked test at the bottom."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chan_vese_tpu import CVParams, segment, segment_resident
+from chan_vese_tpu.models.resident import segment_resident_fixed
+from chan_vese_tpu.models.scalar import segment_fixed
+from chan_vese_tpu.ops.pallas_resident import (resident_iterations,
+                                               supports_resident)
+from chan_vese_tpu.ops.reductions import region_means
+from chan_vese_tpu.utils.init_phi import init_phi
+from fixtures import iou, two_disks
+
+F32 = jnp.float32
+
+
+def _fix(h=64, w=128):
+    img, gt = two_disks(h, w, noise=6.0)
+    return jnp.asarray(img, F32), gt
+
+
+def test_supports_envelope():
+    assert supports_resident(256, 256)
+    assert supports_resident(1024, 1024)
+    assert not supports_resident(2048, 2048)  # exceeds VMEM
+    assert not supports_resident(64, 100)     # W % 128
+    assert not supports_resident(63, 128)     # H % 8
+
+
+def test_first_iteration_exact_and_means_match():
+    """Iteration 1 is bit-comparable to the jnp path (before reduction-
+    order drift); partials row 0 reproduces region_means of phi0."""
+    u, _ = _fix()
+    p = CVParams(init="circle")
+    phi0 = init_phi((64, 128), "circle", F32)
+    got, parts = resident_iterations(phi0, u, p, iters=1, interpret=True)
+    tr = segment_fixed(u, p, iters=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(tr.phi),
+                               rtol=1e-6, atol=1e-5)
+    c1, c2 = region_means(u, phi0, p.eps)
+    n = 64 * 128
+    c1k = parts[0, 0] / parts[0, 1]
+    c2k = (jnp.sum(u) - parts[0, 0]) / (n - parts[0, 1])
+    np.testing.assert_allclose(float(c1k), float(c1), rtol=1e-6)
+    np.testing.assert_allclose(float(c2k), float(c2), rtol=1e-6)
+
+
+def test_long_run_mask_matches_jnp():
+    """Trajectories drift at f32-ulp level (in-kernel reduction order) but
+    the segmentation is identical."""
+    u, gt = _fix()
+    p = CVParams(init="circle")
+    phi0 = init_phi((64, 128), "circle", F32)
+    got, parts = resident_iterations(phi0, u, p, iters=60, interpret=True)
+    tr = segment_fixed(u, p, iters=60)
+    assert iou(np.asarray(got) >= 0, np.asarray(tr.mask)) == 1.0
+    assert iou(np.asarray(got) >= 0, gt) > 0.95
+    assert float(parts[-1, 3]) == 0.0  # flips converged to zero
+
+
+def test_fixed_driver_and_fallbacks():
+    u, gt = _fix()
+    p = CVParams(init="circle")
+    phi, mask = segment_resident_fixed(u, p, iters=60, interpret=True)
+    assert iou(np.asarray(mask), gt) > 0.95
+    # non-redblack order falls back to the (jnp-fallback) fixed driver
+    p_j = CVParams(init="circle", order="jacobi")
+    phi_j, _ = segment_resident_fixed(u, p_j, iters=10, interpret=True)
+    tr = segment_fixed(u, p_j, iters=10)
+    np.testing.assert_array_equal(np.asarray(phi_j), np.asarray(tr.phi))
+    # unsupported width falls back too (65x100)
+    img, _ = two_disks(64, 100, noise=6.0)
+    phi_u, _ = segment_resident_fixed(jnp.asarray(img, F32), p, iters=10,
+                                      interpret=True)
+    assert phi_u.shape == (64, 100)
+
+
+def test_tolerance_driver_converges():
+    u, gt = _fix()
+    p = CVParams(init="circle")
+    res = segment_resident(u, p, chunk=8, interpret=True)
+    assert iou(np.asarray(res.mask), gt) > 0.95
+    assert int(res.iters) % 8 == 0  # chunk-aligned
+    ref = segment(u, p)
+    assert iou(np.asarray(res.mask), np.asarray(ref.mask)) > 0.99
+    # converged within one chunk of the unchunked iteration count
+    assert abs(int(res.iters) - int(ref.iters)) <= 8 + 2
+
+
+def test_tolerance_driver_divergence_and_validation():
+    p = CVParams(conv_norm="rms", max_iter=100)
+    bad = jnp.full((64, 128), jnp.nan, F32)
+    res = segment_resident(bad, p, chunk=8, interpret=True)
+    assert int(res.iters) <= 8
+    with pytest.raises(ValueError, match="conv_norm"):
+        u, _ = _fix()
+        segment_resident(u, CVParams(conv_norm="nope"), interpret=True)
+    with pytest.raises(ValueError, match="chunk"):
+        u, _ = _fix()
+        segment_resident(u, CVParams(), chunk=0, interpret=True)
+
+
+def test_reinit_falls_back_to_banded():
+    u, gt = _fix()
+    p = CVParams(init="circle", reinit_every=5)
+    phi, mask = segment_resident_fixed(u, p, iters=30, interpret=True)
+    from chan_vese_tpu import segment_fused_fixed
+    phi_b, _ = segment_fused_fixed(u, p, iters=30, interpret=True)
+    np.testing.assert_array_equal(np.asarray(phi), np.asarray(phi_b))
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(not os.environ.get("RUN_TPU_TESTS"),
+                    reason="needs a real TPU chip")
+def test_resident_compiled_on_chip():
+    u, gt = _fix(256, 256)
+    p = CVParams(init="circle")
+    res = segment_resident(u, p, chunk=16)
+    assert iou(np.asarray(res.mask), gt) > 0.95
+    phi, mask = segment_resident_fixed(u, p, iters=100)
+    assert iou(np.asarray(mask), gt) > 0.95
