@@ -125,3 +125,34 @@ def segment_resident(u0, p: CVParams = CVParams(),
     phi, iters, delta, _, _ = jax.lax.while_loop(cond, body, init)
     c1, c2 = region_means(u0, phi, p.eps)
     return SegResult(phi, phi >= 0, iters, delta, c1, c2)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("p", "iters", "lambda1", "lambda2",
+                                    "interpret"))
+def segment_stack_resident_fixed(u0, p: CVParams = CVParams(),
+                                 iters: int = 100,
+                                 phi0: Optional[jax.Array] = None,
+                                 lambda1=None, lambda2=None,
+                                 interpret: bool = False):
+    """Fixed-iteration stack segmentation, one resident kernel call.
+
+    (N, H, W) grayscale stacks where each frame fits the VMEM envelope:
+    frames are an outer sequential grid dimension; each frame runs its
+    ``iters`` iterations entirely in VMEM (one in-DMA, one out-DMA per
+    frame total). Falls back to the banded batched driver otherwise.
+    Returns (phi (N, H, W), mask).
+    """
+    p = _fold_scalar_lambdas(p, lambda1, lambda2)
+    N, H, W = u0.shape
+    if (not pallas_resident.supports_resident(H, W)
+            or p.order != "redblack" or p.reinit_every):
+        from .batched import segment_stack_fused_fixed
+        return segment_stack_fused_fixed(u0, p, iters, phi0,
+                                         interpret=interpret)
+    if phi0 is None:
+        phi0 = jnp.broadcast_to(init_phi((H, W), p.init, u0.dtype),
+                                (N, H, W))
+    phis, _ = pallas_resident.resident_iterations_batch(
+        phi0, u0, p, iters, interpret=interpret)
+    return phis, phis >= 0

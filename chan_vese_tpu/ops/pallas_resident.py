@@ -99,6 +99,110 @@ def _kernel(phi_hbm, u0_hbm, out_hbm, part_ref, phi_scr, u0_scr, sems,
         pltpu.make_async_copy(phi_scr, out_hbm, sems.at[2]).wait()
 
 
+def _kernel_batch(phi_hbm, u0_hbm, out_hbm, part_ref, phi_scr, u0_scr, sems,
+                  *, iters, mu, nu, l1, l2, dt, eps, eta2, n_pix):
+    """Batched variant: grid (N, iters) - for each frame (outer, sequential
+    on TPU) run ``iters`` resident iterations; DMA in at k == 0 and out at
+    k == iters - 1. Partials keep only each frame's LAST iteration row
+    (SMEM budget: (N, 8) instead of (N * iters, 8))."""
+    fr = pl.program_id(0)
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        pltpu.make_async_copy(phi_hbm.at[fr], phi_scr, sems.at[0]).start()
+        pltpu.make_async_copy(u0_hbm.at[fr], u0_scr, sems.at[1]).start()
+        pltpu.make_async_copy(phi_hbm.at[fr], phi_scr, sems.at[0]).wait()
+        pltpu.make_async_copy(u0_hbm.at[fr], u0_scr, sems.at[1]).wait()
+
+    phi = phi_scr[:]
+    u0 = u0_scr[:]
+
+    h_eps = _heaviside(phi, eps)
+    s_uh = jnp.sum(u0 * h_eps)
+    s_h = jnp.sum(h_eps)
+    tiny = jnp.asarray(1e-30, phi.dtype)
+    c1 = s_uh / jnp.maximum(s_h, tiny)
+    c2 = (jnp.sum(u0) - s_uh) / jnp.maximum(n_pix - s_h, tiny)
+
+    f = -nu - l1 * (u0 - c1) ** 2 + l2 * (u0 - c2) ** 2
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, phi.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, phi.shape, 1)
+    red = ((rows + cols) % 2) == 0
+
+    g = (dt * eps / math.pi) / (eps * eps + phi * phi)
+    phi_r = jnp.where(red, _update_all(phi, g, f, mu, dt, eps, eta2), phi)
+    phi_n = jnp.where(red, phi_r, _update_all(phi_r, g, f, mu, dt, eps, eta2))
+
+    phi_scr[:] = phi_n
+
+    @pl.when(k == iters - 1)
+    def _():
+        dphi = phi_n - phi
+        flips = ((phi_n >= 0) != (phi >= 0)).astype(phi.dtype)
+        part_ref[fr, 0] = s_uh
+        part_ref[fr, 1] = s_h
+        part_ref[fr, 2] = jnp.sum(dphi * dphi)
+        part_ref[fr, 3] = jnp.sum(flips)
+        part_ref[fr, 4] = jnp.sum(jnp.abs(dphi))
+        part_ref[fr, 5] = 0.0
+        part_ref[fr, 6] = 0.0
+        part_ref[fr, 7] = 0.0
+        pltpu.make_async_copy(phi_scr, out_hbm.at[fr], sems.at[2]).start()
+        pltpu.make_async_copy(phi_scr, out_hbm.at[fr], sems.at[2]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("p", "iters", "interpret"))
+def resident_iterations_batch(phis, u0s, p: CVParams, iters: int,
+                              interpret: bool = False
+                              ) -> Tuple[jax.Array, jax.Array]:
+    """Run ``iters`` resident iterations on every frame of an (N, H, W)
+    stack in one pallas_call (frames are an outer sequential grid dim).
+
+    Returns (phis_new (N, H, W), partials (N, 8)) where each frame's row
+    holds its LAST iteration's [s_uH, s_H, s_dphi2, flips, s_absdphi].
+    """
+    N, H, W = phis.shape
+    if u0s.shape != phis.shape:
+        raise ValueError(f"u0s {u0s.shape} vs phis {phis.shape}")
+    if not supports_resident(H, W):
+        raise ValueError(f"resident path unsupported for {(H, W)}")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+
+    kernel = functools.partial(
+        _kernel_batch, iters=iters, mu=p.mu, nu=p.nu, l1=p.lambda1,
+        l2=p.lambda2, dt=p.dt, eps=p.eps, eta2=p.eta2, n_pix=float(H * W))
+
+    phis_new, partials = pl.pallas_call(
+        kernel,
+        grid=(N, iters),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, H, W), phis.dtype),
+            jax.ShapeDtypeStruct((N, 8), phis.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((H, W), phis.dtype),
+            pltpu.VMEM((H, W), phis.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(phis, u0s)
+    return phis_new, partials
+
+
 @functools.partial(jax.jit, static_argnames=("p", "iters", "interpret"))
 def resident_iterations(phi, u0, p: CVParams, iters: int,
                         interpret: bool = False

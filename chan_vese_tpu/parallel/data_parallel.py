@@ -19,8 +19,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.batched import (segment_batch, segment_stack_fixed,
-                              segment_stack_fused_fixed)
+from ..models.batched import segment_batch, segment_stack_fixed
 from ..params import CVParams
 
 
@@ -69,9 +68,15 @@ def segment_stack_sharded(u0, p: CVParams = CVParams(), mesh: Mesh = None,
 
 @functools.lru_cache(maxsize=64)
 def _build_fused_stack(p, mesh, iters, interpret):
+    # per-device work: VMEM-resident per-frame kernel when each frame fits
+    # the envelope (models/resident.py; ~2.4x the banded stack kernel at
+    # 512^2 x 30 iters on v5e), banded stack kernel otherwise (the
+    # resident driver falls back internally).
+    from ..models.resident import segment_stack_resident_fixed
+
     def local_fn(stack):
-        return segment_stack_fused_fixed(stack, p, iters=iters,
-                                         interpret=interpret)
+        return segment_stack_resident_fixed(stack, p, iters=iters,
+                                            interpret=interpret)
 
     mapped = shard_map(local_fn, mesh=mesh, in_specs=P("data"),
                        out_specs=(P("data"), P("data")), check_vma=False)
