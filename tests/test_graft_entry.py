@@ -26,3 +26,36 @@ def test_dryrun_multichip(n):
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(n)
+
+
+def test_dryrun_self_provisions_from_small_ambient_backend():
+    """Simulate the driver: a process whose backend is ALREADY initialized
+    with 1 device calls dryrun_multichip(8). The function must provision
+    the fake 8-device CPU mesh itself (in-process or via a clean
+    subprocess) instead of asserting on the ambient device count
+    (VERDICT.md round-1 missing item #1)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = Path(__file__).resolve().parents[1]
+    env = dict(os.environ)
+    # strip the conftest 8-device provisioning so the child really has 1
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = str(repo) + os.pathsep + env.get("PYTHONPATH", "")
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_num_cpu_devices', 1)\n"
+        "assert len(jax.devices()) == 1\n"
+        "import __graft_entry__\n"
+        "__graft_entry__.dryrun_multichip(8)\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          cwd=str(repo), capture_output=True, text=True,
+                          timeout=1800)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip OK" in proc.stdout
