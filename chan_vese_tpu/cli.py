@@ -119,6 +119,17 @@ def main(argv=None) -> int:
             print(f"warning: {', '.join(dropped)} not supported on the "
                   f"{path_name} path; ignored", file=sys.stderr)
 
+    def diverged_exit(iters, *signals):
+        """Exit 1 (skipping output artifacts) if any signal went
+        non-finite - a diverged run must not look like a success to
+        scripted callers."""
+        if any(not np.all(np.isfinite(np.asarray(s))) for s in signals):
+            print(f"DIVERGED after {iters} iters (non-finite level set - "
+                  f"check the input for NaN/Inf and the parameter scales); "
+                  f"no outputs written", file=sys.stderr)
+            return True
+        return False
+
     dtype = jnp.float64 if args.f64 else jnp.float32
     try:
         img = image_io.load_image(args.input, color=args.color)
@@ -155,6 +166,8 @@ def main(argv=None) -> int:
                 u0, p, mesh, m_sets=args.multiphase,
                 max_iter=args.iters if fixed else None, fixed=fixed)
             iters = args.iters if fixed else int(res.iters)
+            if diverged_exit(iters, res.cs):
+                return 1
             log(f"multiphase sharded {args.mesh[0]}x{args.mesh[1]}: "
                 f"{2 ** args.multiphase} phases, {iters} iters")
             if args.output:
@@ -170,9 +183,13 @@ def main(argv=None) -> int:
             if args.trace_energy:
                 trace_util.write_energy_csv(args.trace_energy, tr.energy,
                                             tr.delta)
+            if diverged_exit(iters, tr.energy[-1]):
+                return 1
         else:
             res = mp.segment_multiphase(u0, p, m_sets=args.multiphase)
             labels, iters = res.labels, int(res.iters)
+            if diverged_exit(iters, res.cs, res.delta):
+                return 1
         log(f"multiphase: {2 ** args.multiphase} phases, {iters} iters")
         if args.output:
             image_io.save_labels(args.output, labels)
@@ -197,6 +214,8 @@ def main(argv=None) -> int:
             fixed=fixed, lambda1=lam1, lambda2=lam2,
             use_pallas=False if args.no_fused else None)
         mask, iters = res.mask, (args.iters if fixed else int(res.iters))
+        if diverged_exit(iters, res.c1, res.c2):
+            return 1
         log(f"sharded over {args.mesh[0]}x{args.mesh[1]} mesh; "
             f"{iters} iters; c1={np.asarray(res.c1)}, "
             f"c2={np.asarray(res.c2)}")
@@ -268,13 +287,10 @@ def main(argv=None) -> int:
             res = segment(u0, p)
         mask, iters, c1, c2 = res.mask, int(res.iters), res.c1, res.c2
 
-    if np.any(np.isnan(np.asarray(c1))) or np.any(np.isnan(np.asarray(c2))):
-        log(f"DIVERGED after {iters} iters (non-finite level set - check "
-            f"the input for NaN/Inf); c1={np.asarray(c1)}, "
-            f"c2={np.asarray(c2)}")
-    else:
-        log(f"converged in {iters} iters; c1={np.asarray(c1)}, "
-            f"c2={np.asarray(c2)}")
+    if diverged_exit(iters, c1, c2):
+        return 1
+    log(f"converged in {iters} iters; c1={np.asarray(c1)}, "
+        f"c2={np.asarray(c2)}")
     if args.output:
         image_io.save_mask(args.output, mask)
     if args.overlay:

@@ -33,7 +33,9 @@ def _delta_from_partials(parts, n_pixels, p: CVParams, offset: int = 0):
     fused, batched and sharded drivers.
     """
     if p.conv_norm == "flips":
-        return parts[offset + 3] / n_pixels
+        # 0 * s_dphi2 NaN-poisons the metric when phi went non-finite
+        # (sign comparisons alone would count 0 flips on a NaN field)
+        return parts[offset + 3] / n_pixels + 0.0 * parts[offset + 2]
     if p.conv_norm == "rms":
         return jnp.sqrt(parts[offset + 2] / n_pixels)
     if p.conv_norm == "mean_abs":

@@ -243,8 +243,12 @@ def segment_multiphase(u0, p: CVParams = CVParams(), m_sets: int = 2,
     def body(state):
         phis, n, _, streak = state
         new, _ = multiphase_step(phis, u0, p, use_pallas, interpret)
-        flips = jnp.mean((labels_from_phis(new)
-                          != labels_from_phis(phis)).astype(u0.dtype))
+        # 0 * sum(new) NaN-poisons the label-flip metric when a level set
+        # went non-finite (labels of NaN phis are finite garbage), so
+        # loop_continue's divergence abort fires
+        flips = (jnp.mean((labels_from_phis(new)
+                           != labels_from_phis(phis)).astype(u0.dtype))
+                 + 0.0 * jnp.sum(new))
         new = _maybe_reinit_phis(new, n, p)
         streak = jnp.where(flips < p.tol, streak + 1, 0)
         return (new, n + 1, flips, streak)

@@ -15,7 +15,9 @@ Tolerance mode runs in CHUNKS of ``chunk`` iterations per kernel call and
 checks convergence between chunks from the per-iteration partials rows,
 so a converged run may execute up to chunk-1 extra iterations (harmless:
 a converged contour is a fixed point of the flips metric). The reported
-``iters`` is the chunk boundary where convergence was declared.
+``iters`` is the chunk boundary where convergence was declared. The
+max_iter cap is exact: full chunks run in the while_loop and the
+remainder (max_iter % chunk, a static size) runs once at the end.
 """
 
 from __future__ import annotations
@@ -37,7 +39,8 @@ from .scalar import SegResult
 def _delta_rows(parts, n_pix, p: CVParams):
     """Per-iteration convergence metric from the (iters, 8) partials."""
     if p.conv_norm == "flips":
-        return parts[:, 3] / n_pix
+        # 0 * s_dphi2 NaN-poisons the rows when phi went non-finite
+        return parts[:, 3] / n_pix + 0.0 * parts[:, 2]
     if p.conv_norm == "rms":
         return jnp.sqrt(parts[:, 2] / n_pix)
     if p.conv_norm == "mean_abs":
@@ -105,24 +108,36 @@ def segment_resident(u0, p: CVParams = CVParams(),
             return streak, streak
         return jax.lax.scan(step, streak0, deltas)
 
-    def cond(state):
-        _, n, delta, streak, diverged = state
+    def not_stopped(state):
+        _, n, _, streak, diverged = state
         done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
-        stop = jnp.logical_or(done, diverged)
-        return jnp.logical_and(n < p.max_iter, jnp.logical_not(stop))
+        return jnp.logical_not(jnp.logical_or(done, diverged))
 
-    def body(state):
+    def run_chunk(state, size):
         phi, n, _, streak, _ = state
         phi_new, parts = pallas_resident.resident_iterations(
-            phi, u0, p, chunk, interpret=interpret)
+            phi, u0, p, size, interpret=interpret)
         deltas = _delta_rows(parts, n_pix, p)
         streak, _ = scan_rows(deltas, streak)
-        diverged = jnp.any(jnp.isnan(deltas))
-        return (phi_new, n + chunk, deltas[-1], streak, diverged)
+        diverged = jnp.any(jnp.logical_not(jnp.isfinite(deltas)))
+        return (phi_new, n + size, deltas[-1], streak, diverged)
+
+    # full chunks via while_loop, then the static remainder in a cond, so
+    # the run stops EXACTLY at max_iter (not rounded up to the chunk)
+    full = (p.max_iter // chunk) * chunk
+    rem = p.max_iter - full
+
+    def cond(state):
+        return jnp.logical_and(state[1] < full, not_stopped(state))
 
     init = (phi0, jnp.int32(0), jnp.asarray(jnp.inf, u0.dtype),
             jnp.int32(0), jnp.bool_(False))
-    phi, iters, delta, _, _ = jax.lax.while_loop(cond, body, init)
+    state = jax.lax.while_loop(cond, lambda s: run_chunk(s, chunk), init)
+    if rem:
+        state = jax.lax.cond(
+            jnp.logical_and(state[1] < p.max_iter, not_stopped(state)),
+            lambda s: run_chunk(s, rem), lambda s: s, state)
+    phi, iters, delta, _, _ = state
     c1, c2 = region_means(u0, phi, p.eps)
     return SegResult(phi, phi >= 0, iters, delta, c1, c2)
 

@@ -119,10 +119,14 @@ def delta_norm(phi_new, phi_old, kind: str = "flips"):
     operating point segmentations typically reach 0 flips within tens of
     iterations while delta-phi is still drifting.
     """
+    d = phi_new - phi_old
     if kind == "flips":
         flipped = (phi_new >= 0) != (phi_old >= 0)
-        return jnp.mean(flipped.astype(phi_new.dtype))
-    d = phi_new - phi_old
+        # NaN-poison: comparisons against a NaN phi are all-False, so the
+        # flip count alone would report a garbage state as "converged".
+        # 0 * sum(d) is 0 for finite updates and NaN when phi went
+        # NaN/Inf, which loop_continue treats as divergence.
+        return jnp.mean(flipped.astype(phi_new.dtype)) + 0.0 * jnp.sum(d)
     if kind == "rms":
         return jnp.sqrt(jnp.mean(d * d))
     if kind == "mean_abs":
@@ -136,14 +140,16 @@ def loop_continue(n, delta, streak, p, max_iter=None):
     Continue while (a) under the iteration cap, (b) not yet converged -
     the update metric must stay below tol for ``p.patience`` consecutive
     iterations (the ``streak`` counter) and at least ``p.min_iter``
-    iterations have run - and (c) not diverged: a NaN delta means phi went
-    non-finite (bad input / unstable parameters), and the loop aborts
-    immediately instead of burning the remaining iterations (failure
-    detection, SURVEY.md §5). The initial delta is +inf, which is
-    finite-NaN-wise, so iteration 0 always runs.
+    iterations have run - and (c) not diverged: a non-finite delta (NaN,
+    or +Inf from e.g. an rms norm overflowing) means phi went non-finite
+    (bad input / unstable parameters), and the loop aborts immediately
+    instead of burning the remaining iterations (failure detection,
+    SURVEY.md §5). The initial delta is +inf by convention, so the
+    divergence test is gated on n > 0 (iteration 0 always runs).
     """
     cap = p.max_iter if max_iter is None else max_iter
     done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
-    diverged = jnp.isnan(delta)
+    diverged = jnp.logical_and(n > 0,
+                               jnp.logical_not(jnp.isfinite(delta)))
     return jnp.logical_and(n < cap,
                            jnp.logical_not(jnp.logical_or(done, diverged)))

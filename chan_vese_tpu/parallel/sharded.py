@@ -89,6 +89,16 @@ def _local_circle(shape, ix, iy, h, w, H, W, dtype, r=None):
     return r - jnp.sqrt((gi - cy) ** 2 + (gj - cx) ** 2)
 
 
+def _local_rect(shape, ix, iy, h, w, H, W, dtype, margin=None):
+    """Sharded mirror of utils/init_phi.rect (global-coordinate SDF)."""
+    gi, gj = _global_coords(shape, ix, iy, h, w, pad=0)
+    m = min(H, W) / 8.0 if margin is None else margin
+    gi = gi.astype(dtype)
+    gj = gj.astype(dtype)
+    return jnp.minimum(jnp.minimum(gi - m, (H - 1 - m) - gi),
+                       jnp.minimum(gj - m, (W - 1 - m) - gj))
+
+
 def _canvas_cols(w: int) -> int:
     """Lane-aligned canvas width for a (h+8, w+8) padded shard."""
     return -(-(w + 2 * _D) // 128) * 128
@@ -298,7 +308,8 @@ def _sharded_multiphase_iteration(phis, u0_pad, p: CVParams, ix, iy, nx, ny,
         return lab
 
     flips = lax.psum(
-        jnp.sum((labels(new) != labels(phis)).astype(phis.dtype)),
+        jnp.sum((labels(new) != labels(phis)).astype(phis.dtype))
+        + 0.0 * jnp.sum(new),  # NaN-poison: divergence detection
         ("x", "y"))
     return new, flips / n_pix
 
@@ -569,6 +580,8 @@ def _make_phi0(shape, kind, dtype, mesh):
         elif kind in ("small disk", "small-disk"):
             v = _local_circle((h, w), ix, iy, h, w, H, W, dtype,
                               r=min(H, W) / 8.0)
+        elif kind == "rect":
+            v = _local_rect((h, w), ix, iy, h, w, H, W, dtype)
         else:
             raise ValueError(f"unsupported sharded init {kind!r}")
         # iotas above are built for the padded convention; build unpadded

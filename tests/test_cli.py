@@ -133,3 +133,64 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     ref30 = segment_fixed(u, p, iters=30).phi
     np.testing.assert_allclose(np.asarray(phi_b), np.asarray(ref30),
                                rtol=1e-10, atol=1e-10)
+
+
+def test_cli_diverged_exit_code(tmp_path):
+    """ADVICE.md round-1: a diverged run must return rc=1 and write no
+    output artifacts (scripted callers used to see a silent success)."""
+    bad = np.full((64, 64), np.nan, np.float32)
+    inp = tmp_path / "bad.npy"
+    np.save(inp, bad)
+    out = tmp_path / "mask.png"
+    rc = main([str(inp), "-o", str(out), "--quiet"])
+    assert rc == 1
+    assert not out.exists()
+
+
+def test_cli_rect_init_with_mesh(tmp_path):
+    """ADVICE.md round-1: --init rect + --mesh used to crash inside the
+    shard_map trace; the sharded init now mirrors utils/init_phi.rect."""
+    import jax
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 fake devices")
+    img, gt = two_disks(64, 64, noise=6.0)
+    inp = tmp_path / "in.png"
+    image_io._save_u8(inp, np.clip(img, 0, 255).astype(np.uint8))
+    out = tmp_path / "mask.png"
+    rc = main([str(inp), "-o", str(out), "--init", "rect",
+               "--mesh", "2", "2", "--quiet"])
+    assert rc == 0
+    mask = image_io.load_image(out) > 127
+    assert iou(mask, gt) >= 0.95
+
+
+def test_sharded_rect_matches_unsharded(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 fake devices")
+    from chan_vese_tpu import CVParams, segment_fixed
+    from chan_vese_tpu.parallel.mesh import make_grid_mesh
+    from chan_vese_tpu.parallel.sharded import segment_sharded
+
+    from chan_vese_tpu.parallel.sharded import _make_phi0
+    from chan_vese_tpu.utils.init_phi import init_phi
+
+    mesh = make_grid_mesh(2, 2)
+    # the sharded rect init is exactly the unsharded one
+    np.testing.assert_array_equal(
+        np.asarray(_make_phi0((64, 64), "rect", jnp.float64, mesh)),
+        np.asarray(init_phi((64, 64), "rect", jnp.float64)))
+
+    img, _ = two_disks(64, 64, noise=6.0)
+    u = jnp.asarray(img, jnp.float64)
+    p = CVParams(init="rect")
+    res = segment_sharded(u, p, mesh, max_iter=10, fixed=True)
+    ref = segment_fixed(u, p, iters=10)
+    # trajectories drift at reduction-order level (psum'd c1/c2); masks
+    # and phi agree loosely
+    assert iou(np.asarray(res.mask), np.asarray(ref.mask)) >= 0.999
+    np.testing.assert_allclose(np.asarray(res.phi), np.asarray(ref.phi),
+                               rtol=1e-4, atol=1e-4)

@@ -80,6 +80,56 @@ def test_divergence_aborts_loop():
     assert int(r.iters) <= 2 and np.isnan(float(r.delta))
 
 
+def test_divergence_aborts_loop_flips_norm():
+    """ADVICE.md round-1 (medium): under the DEFAULT conv_norm='flips' a
+    NaN phi yields zero sign flips, which used to read as instant
+    convergence with a garbage all-False mask. The NaN-poisoned flip
+    metric must abort instead."""
+    import numpy as np
+
+    from chan_vese_tpu import CVParams, segment, segment_fused
+    from chan_vese_tpu.parallel.mesh import make_grid_mesh
+    from chan_vese_tpu.parallel.sharded import segment_sharded
+
+    bad = jnp.full((64, 128), jnp.nan, jnp.float32)
+    p = CVParams(conv_norm="flips", max_iter=200, min_iter=0)
+    for fn, kw in ((segment, {}), (segment_fused, {"interpret": True})):
+        r = fn(bad, p, **kw)
+        assert int(r.iters) <= 2, fn
+        assert not np.isfinite(float(r.delta)), fn
+    r = segment_sharded(bad, p, mesh=make_grid_mesh(2, 2))
+    assert int(r.iters) <= 2 and not np.isfinite(float(r.delta))
+
+
+def test_divergence_aborts_multiphase_flips():
+    """Multiphase label-flip metric must also NaN-poison (its labels are
+    finite garbage on a NaN level set)."""
+    import numpy as np
+
+    from chan_vese_tpu import CVParams
+    from chan_vese_tpu.models.multiphase import segment_multiphase
+
+    bad = jnp.full((32, 32), jnp.nan, jnp.float32)
+    p = CVParams(max_iter=100, min_iter=0)
+    r = segment_multiphase(bad, p, m_sets=2)
+    assert int(r.iters) <= 2
+    assert not np.isfinite(float(r.delta))
+
+
+def test_inf_delta_aborts_loop():
+    """VERDICT.md weak #7: a delta that goes +Inf WITHOUT NaN (rms on
+    overflow) must abort too - the predicate is ~isfinite, not isnan."""
+    import numpy as np
+
+    from chan_vese_tpu import CVParams, segment
+
+    bad = jnp.full((64, 128), jnp.inf, jnp.float32)
+    p = CVParams(conv_norm="rms", max_iter=200, min_iter=0)
+    r = segment(bad, p)
+    assert int(r.iters) <= 2
+    assert not np.isfinite(float(r.delta))
+
+
 def test_divergence_guard_does_not_stop_healthy_runs():
     """The guard must be inert on finite runs (initial delta is +inf)."""
     from chan_vese_tpu import CVParams, segment

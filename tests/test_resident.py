@@ -106,6 +106,17 @@ def test_tolerance_driver_divergence_and_validation():
         segment_resident(u, CVParams(), chunk=0, interpret=True)
 
 
+def test_tolerance_driver_stops_exactly_at_max_iter():
+    """ADVICE.md round-1: the chunked driver must not overshoot max_iter.
+    tol=0 never converges, so the run must execute EXACTLY max_iter
+    iterations (full chunks + the static remainder chunk)."""
+    u, _ = _fix()
+    for max_iter, chunk in ((100, 16), (10, 16), (32, 16), (7, 4)):
+        p = CVParams(init="circle", tol=0.0, max_iter=max_iter)
+        res = segment_resident(u, p, chunk=chunk, interpret=True)
+        assert int(res.iters) == max_iter, (max_iter, chunk, int(res.iters))
+
+
 def test_reinit_falls_back_to_banded():
     u, gt = _fix()
     p = CVParams(init="circle", reinit_every=5)
