@@ -72,25 +72,35 @@ def _reinit_and_refresh_means(phi, n, u0, p: CVParams):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("p", "lambda1", "lambda2", "interpret"))
+                   static_argnames=("p", "lambda1", "lambda2", "interpret",
+                                    "fixed", "max_iter"))
 def segment_fused(u0, p: CVParams = CVParams(),
                   phi0: Optional[jax.Array] = None,
                   lambda1=None, lambda2=None,
-                  interpret: bool = False) -> SegResult:
+                  interpret: bool = False, fixed: bool = False,
+                  max_iter: Optional[int] = None) -> SegResult:
     """Tolerance-mode segmentation on the fused kernel.
 
     Grayscale (H, W) or vector-valued (H, W, C) - the latter dispatches to
     the multichannel kernel (ops/pallas_sweep_mc.py) with per-channel
-    lambda weight tuples.
+    lambda weight tuples. ``fixed=True`` runs exactly ``max_iter`` (or
+    p.max_iter) iterations regardless of tolerance, still returning the
+    full SegResult (iters/delta/c1/c2) - the degenerate-mesh fast path of
+    parallel/sharded.py uses this for eval config 4.
     """
+    cap = p.max_iter if max_iter is None else max_iter
     if u0.ndim == 3:
-        return _segment_fused_mc(u0, p, phi0, lambda1, lambda2, interpret)
+        return _segment_fused_mc(u0, p, phi0, lambda1, lambda2, interpret,
+                                 fixed, cap)
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
     H, W = u0.shape
     if not pallas_sweep.supports(H, W) or p.order != "redblack":
         # the fused kernel implements red-black only; explicit wavefront/
         # jacobi requests must run the jnp path regardless of shape
-        return _segment_jnp(u0, p, phi0)
+        if fixed:
+            # a negative tol can never be reached, so the loop runs to cap
+            return _segment_jnp(u0, p.replace(max_iter=cap, tol=-1.0), phi0)
+        return _segment_jnp(u0, p.replace(max_iter=cap), phi0)
 
     phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
     n_pix = jnp.asarray(H * W, u0.dtype)
@@ -100,7 +110,9 @@ def segment_fused(u0, p: CVParams = CVParams(),
 
     def cond(state):
         _, _, _, n, delta, streak = state
-        return loop_continue(n, delta, streak, p)
+        if fixed:
+            return n < cap
+        return loop_continue(n, delta, streak, p, cap)
 
     def body(state):
         phi, c1, c2, n, _, streak = state
@@ -119,15 +131,19 @@ def segment_fused(u0, p: CVParams = CVParams(),
     return SegResult(phi, phi >= 0, iters, delta, c1, c2)
 
 
-def _segment_fused_mc(u0, p, phi0, lambda1, lambda2, interpret):
+def _segment_fused_mc(u0, p, phi0, lambda1, lambda2, interpret,
+                      fixed=False, cap=None):
     """Vector-valued tolerance-mode driver over the multichannel kernel."""
     from ..ops import pallas_sweep_mc
     from ..models.vector import segment_vector
 
+    cap = p.max_iter if cap is None else cap
     H, W, C = u0.shape
     if not pallas_sweep_mc.supports_mc(H, W, C) or p.order != "redblack":
         l1, l2 = p.channel_lambdas(C, lambda1, lambda2)
-        return segment_vector(u0, p, phi0, l1, l2)
+        pf = p.replace(max_iter=cap, tol=-1.0) if fixed \
+            else p.replace(max_iter=cap)
+        return segment_vector(u0, pf, phi0, l1, l2)
 
     ucf = jnp.transpose(u0, (2, 0, 1))  # channels-first for the kernel
     phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
@@ -137,7 +153,9 @@ def _segment_fused_mc(u0, p, phi0, lambda1, lambda2, interpret):
 
     def cond(state):
         _, _, _, n, delta, streak = state
-        return loop_continue(n, delta, streak, p)
+        if fixed:
+            return n < cap
+        return loop_continue(n, delta, streak, p, cap)
 
     def body(state):
         phi, c1, c2, n, _, streak = state
