@@ -1,0 +1,137 @@
+"""Banded multi-iteration drivers: k iterations per HBM pass at any size.
+
+Wraps ops/pallas_banded.py. This is the large-image counterpart of
+models/resident.py: where the resident driver amortizes launches and HBM
+round-trips by keeping the whole image in VMEM (<= ~1024^2), this one
+streams deep-halo bands so the same k-fold amortization works at 4K and
+beyond.
+
+Trajectory class (documented, tested): c1/c2 refresh every k iterations
+from the chunk's final partials instead of every iteration - the
+lagged-means family (see ops/pallas_banded.py docstring). k = 1 is
+exactly the fused driver's schedule. Convergence and divergence are
+evaluated at chunk boundaries from the last in-chunk iteration's
+delta/flip partials, so a tolerance crossing is detected up to k-1
+iterations late and ``patience`` counts consecutive chunk CHECKS here.
+The max_iter cap is exact: full chunks run in the while_loop and the
+static remainder runs once at the end (same scheme as models/resident).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import pallas_banded
+from ..ops.reductions import loop_continue, means_from_sums, region_means
+from ..params import CVParams
+from ..utils.init_phi import init_phi
+from .fused import _delta_from_partials, _fold_scalar_lambdas
+from .scalar import SegResult
+
+
+def _supported(u0, p: CVParams, k: int) -> bool:
+    H, W = u0.shape
+    return (pallas_banded.supports_banded(H, W, k)
+            and p.order == "redblack" and not p.reinit_every)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("p", "iters", "k", "lambda1", "lambda2",
+                                    "interpret"))
+def segment_banded_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
+                         k: int = 8, phi0: Optional[jax.Array] = None,
+                         lambda1=None, lambda2=None,
+                         interpret: bool = False):
+    """Fixed-iteration banded run. Returns (phi, mask).
+
+    Runs ceil-free: iters = full k-chunks + one static remainder chunk.
+    Falls back to the fused driver off the supported envelope.
+    """
+    p = _fold_scalar_lambdas(p, lambda1, lambda2)
+    if not _supported(u0, p, k) or iters < 1:
+        from .fused import segment_fused_fixed
+        return segment_fused_fixed(u0, p, iters, phi0, interpret=interpret)
+    H, W = u0.shape
+    phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
+    n_pix = jnp.asarray(H * W, u0.dtype)
+    sum_u = jnp.sum(u0)
+    c1, c2 = region_means(u0, phi0, p.eps)
+
+    def chunk(carry, size):
+        phi, c1, c2 = carry
+        phi, parts = pallas_banded.banded_chunk(phi, u0, c1, c2, p, size,
+                                                interpret=interpret)
+        c1, c2 = means_from_sums(parts[0], parts[1], sum_u, n_pix)
+        return (phi, c1, c2)
+
+    full, rem = iters // k, iters % k
+    carry = (phi0, c1, c2)
+    if full:
+        carry = jax.lax.scan(lambda cr, _: (chunk(cr, k), None), carry,
+                             None, length=full)[0]
+    if rem:
+        carry = chunk(carry, rem)
+    phi = carry[0]
+    return phi, phi >= 0
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("p", "k", "lambda1", "lambda2",
+                                    "interpret"))
+def segment_banded(u0, p: CVParams = CVParams(),
+                   phi0: Optional[jax.Array] = None, k: int = 8,
+                   lambda1=None, lambda2=None,
+                   interpret: bool = False) -> SegResult:
+    """Tolerance-mode banded segmentation (chunk-granular convergence).
+
+    Convergence/divergence logic is ops/reductions.loop_continue evaluated
+    once per chunk on the final in-chunk iteration's partials; ``patience``
+    therefore counts chunks on this driver.
+    """
+    p = _fold_scalar_lambdas(p, lambda1, lambda2)
+    if not _supported(u0, p, k):
+        from .fused import segment_fused
+        return segment_fused(u0, p, phi0, interpret=interpret)
+    H, W = u0.shape
+    # validate conv_norm at trace time (same contract as the other drivers)
+    _delta_from_partials(jnp.zeros((8,), u0.dtype), 1.0, p)
+    phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
+    n_pix = jnp.asarray(H * W, u0.dtype)
+    sum_u = jnp.sum(u0)
+    c1_0, c2_0 = region_means(u0, phi0, p.eps)
+
+    def not_stopped(state):
+        _, _, _, n, delta, streak = state
+        done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
+        diverged = jnp.logical_and(n > 0,
+                                   jnp.logical_not(jnp.isfinite(delta)))
+        return jnp.logical_not(jnp.logical_or(done, diverged))
+
+    def run_chunk(state, size):
+        phi, c1, c2, n, _, streak = state
+        phi, parts = pallas_banded.banded_chunk(phi, u0, c1, c2, p, size,
+                                                interpret=interpret)
+        c1, c2 = means_from_sums(parts[0], parts[1], sum_u, n_pix)
+        delta = _delta_from_partials(parts, n_pix, p)
+        streak = jnp.where(delta < p.tol, streak + 1, 0)
+        return (phi, c1, c2, n + size, delta, streak)
+
+    full = (p.max_iter // k) * k
+    rem = p.max_iter - full
+
+    def cond(state):
+        return jnp.logical_and(state[3] < full, not_stopped(state))
+
+    init = (phi0, c1_0, c2_0, jnp.int32(0),
+            jnp.asarray(jnp.inf, u0.dtype), jnp.int32(0))
+    state = jax.lax.while_loop(cond, lambda s: run_chunk(s, k), init)
+    if rem:
+        state = jax.lax.cond(
+            jnp.logical_and(state[3] < p.max_iter, not_stopped(state)),
+            lambda s: run_chunk(s, rem), lambda s: s, state)
+    phi, c1, c2, iters, delta, _ = state
+    return SegResult(phi, phi >= 0, iters, delta, c1, c2)

@@ -36,15 +36,19 @@ from .fused import _fold_scalar_lambdas
 from .scalar import SegResult
 
 
-def _delta_rows(parts, n_pix, p: CVParams):
-    """Per-iteration convergence metric from the (iters, 8) partials."""
+def _delta_rows(parts, n_pix, p: CVParams, offset: int = 0):
+    """Per-iteration convergence metric from the (iters, >=5) partials.
+
+    ``offset`` = C - 1 extra leading channel slots (0 for grayscale),
+    matching the multichannel partials layout of ops/pallas_sweep_mc.py.
+    """
     if p.conv_norm == "flips":
         # 0 * s_dphi2 NaN-poisons the rows when phi went non-finite
-        return parts[:, 3] / n_pix + 0.0 * parts[:, 2]
+        return parts[:, offset + 3] / n_pix + 0.0 * parts[:, offset + 2]
     if p.conv_norm == "rms":
-        return jnp.sqrt(parts[:, 2] / n_pix)
+        return jnp.sqrt(parts[:, offset + 2] / n_pix)
     if p.conv_norm == "mean_abs":
-        return parts[:, 4] / n_pix
+        return parts[:, offset + 4] / n_pix
     raise ValueError(f"unknown conv_norm {p.conv_norm!r}")
 
 
@@ -60,7 +64,23 @@ def segment_resident_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
     Falls back to the banded fused driver when the image does not fit the
     resident envelope, when a non-red-black ordering is requested, or when
     a reinit cadence is set (reinit must run between kernel calls).
+
+    Vector-valued (H, W, C) images route to the multichannel resident
+    kernel (exact per-iteration per-channel means, zero HBM traffic per
+    iteration), with the same fused-mc fallback off the envelope.
     """
+    if u0.ndim == 3:
+        H, W, C = u0.shape
+        if (not pallas_resident.supports_resident_mc(H, W, C)
+                or p.order != "redblack" or p.reinit_every):
+            from .fused import segment_fused_fixed
+            return segment_fused_fixed(u0, p, iters, phi0, lambda1=lambda1,
+                                       lambda2=lambda2, interpret=interpret)
+        phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
+        ucf = jnp.transpose(u0, (2, 0, 1))
+        phi, _ = pallas_resident.resident_iterations_mc(
+            phi0, ucf, p, iters, lambda1, lambda2, interpret=interpret)
+        return phi, phi >= 0
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
     H, W = u0.shape
     if (not pallas_resident.supports_resident(H, W)

@@ -1,0 +1,246 @@
+"""Banded multi-iteration Pallas kernel: k iterations per HBM pass.
+
+The VMEM-resident kernel (ops/pallas_resident.py) proves that amortizing
+kernel launches and HBM round-trips over multiple iterations wins big
+(+91% at 1024^2), but it needs the whole image in VMEM. This kernel
+extends the idea to images of ANY size by generalizing the overlapped
+band tiling of ops/pallas_sweep.py from 1 iteration to k:
+
+    load  (U + b + D, W) tile          U = ceil8(4k), D = ceil8(2k)
+    run   k full red-black iterations in VMEM (fori_loop, frozen c1/c2)
+    store the band's b rows
+
+One full red-black iteration at row r reads old phi over rows
+[r - 4, r + 2] (the backward face coefficients compose two stencils -
+see ops/pallas_sweep.py), so after j in-tile iterations rows
+[4j, T - 2j) of the tile still carry the exact global trajectory; a
+halo of 4k up / 2k down (rounded to the sublane tiling) keeps the
+band's rows exact through all k iterations. Where the window clips at
+the image top/bottom the tile edge IS the image edge and the in-tile
+clamped shifts equal global Neumann exactly - same invariant as the
+single-iteration kernel, deepened.
+
+HBM traffic per iteration drops ~k-fold (read phi+u0 tile, write band,
+all once per k iterations) and so does the per-iteration VPU cost of
+everything outside the two half-sweeps: the data term f, the
+H_eps/atan evaluation, and the reduction partials run once per chunk
+instead of once per iteration.
+
+Trajectory class: c1/c2 are FROZEN across the k iterations of a chunk
+(they refresh from the chunk's final partials, like the fused driver's
+schedule stretched by k). This is a documented semantic difference from
+the per-iteration-means paths - the same lagged-means family as
+Getreuer's IPOL scheme, converging to the same fixed point (masks agree;
+see tests/test_banded.py). k = 1 reproduces ops/pallas_sweep.py
+semantics exactly.
+
+Partials (8,) per chunk, same layout as the fused kernel, measured on
+the LAST in-chunk iteration: [s_uH, s_H, s_dphi2, flips, s_absdphi,
+0, 0, 0] - s_uH/s_H feed the next chunk's means; the delta/flip slots
+drive chunk-granular convergence (tolerance crossings are detected up
+to k-1 iterations late, which is harmless: a converged contour is a
+fixed point of the flips metric).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import CVParams
+from .pallas_sweep import _VMEM_LIMIT, _heaviside, _update_all
+
+# live tile-sized buffers: 8 double-buffered scratch tiles (phi/u0/f/work
+# x 2) + ~16 tile-sized Mosaic temporaries of the two half-sweeps
+# (measured from the register-allocator spill report on v5e: ~67 MB of
+# spill slots at tile 280 rows = ~16 tiles on top of the declared scratch)
+_TILES = 34
+_VMEM_BUDGET = _VMEM_LIMIT  # tests shrink this to force multi-band layouts
+
+
+def _halos(k: int) -> Tuple[int, int]:
+    """(up, down) halo depth for k in-tile iterations, sublane-aligned."""
+    up = -(-4 * k // 8) * 8
+    dn = -(-2 * k // 8) * 8
+    return up, dn
+
+
+def band_rows_banded(h: int, w: int, k: int) -> int:
+    """Largest multiple-of-8 band height fitting VMEM with k-deep halos."""
+    up, dn = _halos(k)
+    per_row = w * 4 * _TILES
+    b = max(8, (_VMEM_BUDGET // per_row) // 8 * 8)
+    return min(b, max(8, ((h - up - dn) // 8) * 8))
+
+
+def supports_banded(h: int, w: int, k: int) -> bool:
+    up, dn = _halos(k)
+    return (w % 128 == 0 and h % 8 == 0 and 1 <= k <= 64
+            and band_rows_banded(h, w, k) + up + dn <= h)
+
+
+def _banded_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
+                   phi_scr, u0_scr, f_scr, work_scr, sems,
+                   *, H, W, b, k, up, dn, mu, nu, l1, l2, dt, eps, eta2):
+    """Grid (nbands, k): step (i, j) runs iteration j of band i.
+
+    The in-chunk iterate lives in ``work_scr`` (explicit scratch, not a
+    loop-carried value: a fori_loop over k tile-sized carries makes
+    Mosaic's register allocator spill tens of MB of VMEM - measured OOM
+    at k = 4 on v5e - while one-iteration-per-grid-step keeps the live
+    set identical to the proven single-iteration kernel). The frozen
+    data term is computed once per band into ``f_scr``; stores drain two
+    BANDS behind, giving them k grid steps of latency to hide in.
+    """
+    T = b + up + dn
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nbands = pl.num_programs(0)
+
+    def window(ii):
+        g0 = pl.multiple_of(jnp.minimum(ii * b, H - b), 8)
+        s = pl.multiple_of(jnp.clip(g0 - up, 0, H - T), 8)
+        return g0, s
+
+    def load_dmas(ii, slot):
+        _, s = window(ii)
+        return (pltpu.make_async_copy(phi_hbm.at[pl.ds(s, T), :],
+                                      phi_scr.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(u0_hbm.at[pl.ds(s, T), :],
+                                      u0_scr.at[slot], sems.at[slot, 1]))
+
+    def store_dma(ii, slot):
+        g0, s = window(ii)
+        o = pl.multiple_of(g0 - s, 8)
+        return pltpu.make_async_copy(
+            work_scr.at[slot].at[pl.ds(o, b), :],
+            out_hbm.at[pl.ds(g0, b), :], sems.at[slot, 2])
+
+    slot = i % 2
+
+    @pl.when(j == 0)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            for dma in load_dmas(i, slot):
+                dma.start()
+
+        @pl.when(i + 1 < nbands)
+        def _():
+            for dma in load_dmas(i + 1, (i + 1) % 2):
+                dma.start()
+
+        for dma in load_dmas(i, slot):
+            dma.wait()
+
+        # band i's store reads work_scr[slot]; it was issued at
+        # (i - 2, k - 1) and must drain before this band reuses the slot
+        @pl.when(i >= 2)
+        def _():
+            store_dma(i - 2, slot).wait()
+
+        u0 = u0_scr[slot]
+        f_scr[slot] = (-nu - l1 * (u0 - c_ref[0, 0]) ** 2
+                       + l2 * (u0 - c_ref[0, 1]) ** 2)
+        work_scr[slot] = phi_scr[slot]
+
+    phi = work_scr[slot]
+    f = f_scr[slot]
+
+    _, s = window(i)
+    rows = jax.lax.broadcasted_iota(jnp.int32, phi.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, phi.shape, 1)
+    grow = rows + s
+    red = ((grow + cols) % 2) == 0
+
+    g = (dt * eps / math.pi) / (eps * eps + phi * phi)
+    phi_r = jnp.where(red, _update_all(phi, g, f, mu, dt, eps, eta2), phi)
+    phi_n = jnp.where(red, phi_r,
+                      _update_all(phi_r, g, f, mu, dt, eps, eta2))
+    work_scr[slot] = phi_n
+
+    @pl.when(j == k - 1)
+    def _():
+        store_dma(i, slot).start()
+
+        g0, _ = window(i)
+        hi = jnp.minimum((i + 1) * b, H)
+        m = ((grow >= i * b) & (grow < hi)).astype(phi_n.dtype)
+        h_eps = _heaviside(phi_n, eps)
+        dphi = phi_n - phi
+        flips = ((phi_n >= 0) != (phi >= 0)).astype(phi_n.dtype)
+        part_ref[i, 0] = jnp.sum(u0_scr[slot] * h_eps * m)
+        part_ref[i, 1] = jnp.sum(h_eps * m)
+        part_ref[i, 2] = jnp.sum(dphi * dphi * m)
+        part_ref[i, 3] = jnp.sum(flips * m)
+        part_ref[i, 4] = jnp.sum(jnp.abs(dphi) * m)
+        part_ref[i, 5] = 0.0
+        part_ref[i, 6] = 0.0
+        part_ref[i, 7] = 0.0
+
+        @pl.when(i == nbands - 1)
+        def _():
+            store_dma(i, slot).wait()
+
+        @pl.when((i == nbands - 1) & (nbands >= 2))
+        def _():
+            store_dma(i - 1, (i - 1) % 2).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("p", "k", "interpret"))
+def banded_chunk(phi, u0, c1, c2, p: CVParams, k: int = 8,
+                 interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Run k red-black iterations with frozen means in one HBM pass.
+
+    Returns (phi_new, partials (8,)) where the partials describe the
+    LAST iteration's transition (layout of ops/pallas_sweep.py).
+    """
+    H, W = phi.shape
+    if not supports_banded(H, W, k):
+        raise ValueError(f"banded path unsupported for {phi.shape}, k={k}")
+    up, dn = _halos(k)
+    b = band_rows_banded(H, W, k)
+    nbands = pl.cdiv(H, b)
+    c = jnp.stack([jnp.asarray(c1, phi.dtype),
+                   jnp.asarray(c2, phi.dtype)]).reshape(1, 2)
+
+    kernel = functools.partial(
+        _banded_kernel, H=H, W=W, b=b, k=k, up=up, dn=dn, mu=p.mu, nu=p.nu,
+        l1=p.lambda1, l2=p.lambda2, dt=p.dt, eps=p.eps, eta2=p.eta2)
+
+    T = b + up + dn
+    phi_new, partials = pl.pallas_call(
+        kernel,
+        grid=(nbands, k),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(phi.shape, phi.dtype),
+            jax.ShapeDtypeStruct((nbands, 8), phi.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, T, W), phi.dtype),   # phi tiles
+            pltpu.VMEM((2, T, W), phi.dtype),   # u0 tiles
+            pltpu.VMEM((2, T, W), phi.dtype),   # frozen data term
+            pltpu.VMEM((2, T, W), phi.dtype),   # in-chunk iterate
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(c, phi, u0)
+    return phi_new, jnp.sum(partials, axis=0)

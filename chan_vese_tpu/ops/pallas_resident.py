@@ -48,6 +48,13 @@ def supports_resident(h: int, w: int) -> bool:
             and h * w * 4 * _ARRAYS <= _VMEM_LIMIT)
 
 
+def supports_resident_mc(h: int, w: int, c: int) -> bool:
+    # the C-channel image replaces the scalar u0 (+ per-channel distance
+    # temporaries in the data-term loop)
+    return (w % 128 == 0 and h % 8 == 0 and h >= 8 and 1 <= c <= 8
+            and h * w * 4 * (_ARRAYS + 2 * c) <= _VMEM_LIMIT)
+
+
 def _kernel(phi_hbm, u0_hbm, out_hbm, part_ref, phi_scr, u0_scr, sems,
             *, iters, mu, nu, l1, l2, dt, eps, eta2, n_pix):
     k = pl.program_id(0)
@@ -151,6 +158,122 @@ def _kernel_batch(phi_hbm, u0_hbm, out_hbm, part_ref, phi_scr, u0_scr, sems,
         part_ref[fr, 7] = 0.0
         pltpu.make_async_copy(phi_scr, out_hbm.at[fr], sems.at[2]).start()
         pltpu.make_async_copy(phi_scr, out_hbm.at[fr], sems.at[2]).wait()
+
+
+def _kernel_mc(phi_hbm, u0_hbm, out_hbm, part_ref, phi_scr, u0_scr,
+               sems, *, iters, C, mu, nu, l1, l2, dt, eps, eta2, n_pix):
+    """Multichannel resident step: per-channel means of the resident phi,
+    Chan-Sandberg-Vese data term, red-black sweep - all in VMEM.
+
+    Partials row k: [s_uH_0..s_uH_{C-1}, s_H, s_dphi2, flips, s_absdphi].
+    """
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        pltpu.make_async_copy(phi_hbm, phi_scr, sems.at[0]).start()
+        pltpu.make_async_copy(u0_hbm, u0_scr, sems.at[1]).start()
+        pltpu.make_async_copy(phi_hbm, phi_scr, sems.at[0]).wait()
+        pltpu.make_async_copy(u0_hbm, u0_scr, sems.at[1]).wait()
+
+    phi = phi_scr[:]
+
+    h_eps = _heaviside(phi, eps)
+    s_h = jnp.sum(h_eps)
+    tiny = jnp.asarray(1e-30, phi.dtype)
+    inv_in = 1.0 / jnp.maximum(s_h, tiny)
+    inv_out = 1.0 / jnp.maximum(n_pix - s_h, tiny)
+
+    f = jnp.full(phi.shape, -nu, dtype=phi.dtype)
+    s_uhs = []
+    for ch in range(C):
+        u_ch = u0_scr[ch]
+        s_uh = jnp.sum(u_ch * h_eps)
+        s_uhs.append(s_uh)
+        c1 = s_uh * inv_in
+        c2 = (jnp.sum(u_ch) - s_uh) * inv_out
+        d1 = u_ch - c1
+        d2 = u_ch - c2
+        f = f + (l2[ch] / C) * (d2 * d2) - (l1[ch] / C) * (d1 * d1)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, phi.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, phi.shape, 1)
+    red = ((rows + cols) % 2) == 0
+
+    g = (dt * eps / math.pi) / (eps * eps + phi * phi)
+    phi_r = jnp.where(red, _update_all(phi, g, f, mu, dt, eps, eta2), phi)
+    phi_n = jnp.where(red, phi_r, _update_all(phi_r, g, f, mu, dt, eps, eta2))
+
+    phi_scr[:] = phi_n
+
+    dphi = phi_n - phi
+    flips = ((phi_n >= 0) != (phi >= 0)).astype(phi.dtype)
+    for ch in range(C):
+        part_ref[k, ch] = s_uhs[ch]
+    part_ref[k, C] = s_h
+    part_ref[k, C + 1] = jnp.sum(dphi * dphi)
+    part_ref[k, C + 2] = jnp.sum(flips)
+    part_ref[k, C + 3] = jnp.sum(jnp.abs(dphi))
+
+    @pl.when(k == iters - 1)
+    def _():
+        pltpu.make_async_copy(phi_scr, out_hbm, sems.at[2]).start()
+        pltpu.make_async_copy(phi_scr, out_hbm, sems.at[2]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("p", "iters", "lambda1",
+                                             "lambda2", "interpret"))
+def resident_iterations_mc(phi, u0_cfirst, p: CVParams, iters: int,
+                           lambda1=None, lambda2=None,
+                           interpret: bool = False
+                           ) -> Tuple[jax.Array, jax.Array]:
+    """Multichannel VMEM-resident run on a (C, H, W) channels-first image.
+
+    Returns (phi_new, partials (iters, C + 4)); row k holds the means
+    sums of the phi iteration k started from plus its update partials
+    (layout of ops/pallas_sweep_mc.py). Means are exact per iteration
+    (recomputed in-kernel from the resident phi), same as the scalar
+    resident kernel.
+    """
+    C, H, W = u0_cfirst.shape
+    if phi.shape != (H, W):
+        raise ValueError(f"phi {phi.shape} vs image {(H, W)}")
+    if not supports_resident_mc(H, W, C):
+        raise ValueError(f"resident mc path unsupported for {(H, W, C)}")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    l1, l2 = p.channel_lambdas(C, lambda1, lambda2)
+
+    kernel = functools.partial(
+        _kernel_mc, iters=iters, C=C, mu=p.mu, nu=p.nu, l1=l1, l2=l2,
+        dt=p.dt, eps=p.eps, eta2=p.eta2, n_pix=float(H * W))
+
+    phi_new, partials = pl.pallas_call(
+        kernel,
+        grid=(iters,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, W), phi.dtype),
+            jax.ShapeDtypeStruct((iters, C + 4), phi.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((H, W), phi.dtype),
+            pltpu.VMEM((C, H, W), phi.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(phi, u0_cfirst)
+    return phi_new, partials
 
 
 @functools.partial(jax.jit, static_argnames=("p", "iters", "interpret"))

@@ -30,10 +30,13 @@ from .pallas_sweep import (_HALO, _HALO_UP, _VMEM_LIMIT, _heaviside,
                            _update_all)
 
 
+_VMEM_BUDGET = _VMEM_LIMIT  # tests shrink this to force multi-band layouts
+
+
 def band_rows_mc(h: int, w: int, c: int) -> int:
-    # per band: phi + new + C u0 channels + ~5 temporaries, all tile-sized
-    per_row = w * 4 * (7 + c)
-    b = max(8, (_VMEM_LIMIT // per_row) // 8 * 8)
+    # per band: double-buffered phi/new (2+2) + u0 (2C) + ~7 temporaries
+    per_row = w * 4 * (11 + 2 * c)
+    b = max(8, (_VMEM_BUDGET // per_row) // 8 * 8)
     return min(b, max(8, ((h - _HALO) // 8) * 8))
 
 
@@ -45,27 +48,53 @@ def supports_mc(h: int, w: int, c: int) -> bool:
 def _kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
             phi_scr, u0_scr, new_scr, sems,
             *, H, W, C, b, mu, nu, l1, l2, dt, eps, eta2):
+    # double-buffered DMA pipeline, same schedule as the scalar kernel
+    # (ops/pallas_sweep.py): prefetch band i+1's tiles while computing
+    # band i; stores drain two grid steps behind
     i = pl.program_id(0)
-    g0 = jnp.minimum(i * b, H - b)
-    s = jnp.clip(g0 - _HALO_UP, 0, H - (b + _HALO))
-    g0 = pl.multiple_of(g0, 8)
-    s = pl.multiple_of(s, 8)
-    o = pl.multiple_of(g0 - s, 8)
+    nbands = pl.num_programs(0)
 
-    load_phi = pltpu.make_async_copy(
-        phi_hbm.at[pl.ds(s, b + _HALO), :], phi_scr, sems.at[0])
-    load_u0 = pltpu.make_async_copy(
-        u0_hbm.at[:, pl.ds(s, b + _HALO), :], u0_scr, sems.at[1])
-    load_phi.start()
-    load_u0.start()
-    load_phi.wait()
-    load_u0.wait()
+    def window(ii):
+        g0 = pl.multiple_of(jnp.minimum(ii * b, H - b), 8)
+        s = pl.multiple_of(jnp.clip(g0 - _HALO_UP, 0, H - (b + _HALO)), 8)
+        return g0, s
 
-    phi = phi_scr[:]
+    def load_dmas(ii, slot):
+        _, s = window(ii)
+        return (pltpu.make_async_copy(phi_hbm.at[pl.ds(s, b + _HALO), :],
+                                      phi_scr.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(u0_hbm.at[:, pl.ds(s, b + _HALO), :],
+                                      u0_scr.at[slot], sems.at[slot, 1]))
+
+    def store_dma(ii, slot):
+        g0, s = window(ii)
+        o = pl.multiple_of(g0 - s, 8)
+        return pltpu.make_async_copy(
+            new_scr.at[slot].at[pl.ds(o, b), :],
+            out_hbm.at[pl.ds(g0, b), :], sems.at[slot, 2])
+
+    slot = i % 2
+
+    @pl.when(i == 0)
+    def _():
+        for dma in load_dmas(i, slot):
+            dma.start()
+
+    @pl.when(i + 1 < nbands)
+    def _():
+        for dma in load_dmas(i + 1, (i + 1) % 2):
+            dma.start()
+
+    for dma in load_dmas(i, slot):
+        dma.wait()
+
+    g0, s = window(i)
+
+    phi = phi_scr[slot]
     # Chan-Sandberg-Vese data term: channel-averaged weighted sq. distances
     f = jnp.full(phi.shape, -nu, dtype=phi.dtype)
     for ch in range(C):
-        u_ch = u0_scr[ch]
+        u_ch = u0_scr[slot, ch]
         d1 = u_ch - c_ref[0, ch]
         d2 = u_ch - c_ref[0, C + ch]
         f = f + (l2[ch] / C) * (d2 * d2) - (l1[ch] / C) * (d1 * d1)
@@ -79,10 +108,12 @@ def _kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
     phi_r = jnp.where(red, _update_all(phi, g, f, mu, dt, eps, eta2), phi)
     phi_n = jnp.where(red, phi_r, _update_all(phi_r, g, f, mu, dt, eps, eta2))
 
-    new_scr[:] = phi_n
-    store = pltpu.make_async_copy(
-        new_scr.at[pl.ds(o, b), :], out_hbm.at[pl.ds(g0, b), :], sems.at[2])
-    store.start()
+    @pl.when(i >= 2)
+    def _():
+        store_dma(i - 2, slot).wait()
+
+    new_scr[slot] = phi_n
+    store_dma(i, slot).start()
 
     hi = jnp.minimum((i + 1) * b, H)
     m = ((grow >= i * b) & (grow < hi)).astype(phi.dtype)
@@ -91,13 +122,19 @@ def _kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
     dphi = phi_n - phi
     flips = ((phi_n >= 0) != (phi >= 0)).astype(phi.dtype)
     for ch in range(C):
-        part_ref[i, ch] = jnp.sum(u0_scr[ch] * hm)
+        part_ref[i, ch] = jnp.sum(u0_scr[slot, ch] * hm)
     part_ref[i, C] = jnp.sum(hm)
     part_ref[i, C + 1] = jnp.sum(dphi * dphi * m)
     part_ref[i, C + 2] = jnp.sum(flips * m)
     part_ref[i, C + 3] = jnp.sum(jnp.abs(dphi) * m)
 
-    store.wait()
+    @pl.when(i == nbands - 1)
+    def _():
+        store_dma(i, slot).wait()
+
+    @pl.when((i == nbands - 1) & (nbands >= 2))
+    def _():
+        store_dma(i - 1, (i - 1) % 2).wait()
 
 
 @functools.partial(jax.jit,
@@ -142,10 +179,10 @@ def fused_iteration_mc(phi, u0_cfirst, c1, c2, p: CVParams,
             jax.ShapeDtypeStruct((nbands, C + 4), phi.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((b + _HALO, W), phi.dtype),
-            pltpu.VMEM((C, b + _HALO, W), phi.dtype),
-            pltpu.VMEM((b + _HALO, W), phi.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, b + _HALO, W), phi.dtype),
+            pltpu.VMEM((2, C, b + _HALO, W), phi.dtype),
+            pltpu.VMEM((2, b + _HALO, W), phi.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

@@ -1,0 +1,186 @@
+"""Banded multi-iteration kernel tests (ops/pallas_banded.py).
+
+The trajectory class is frozen-means-per-chunk: the jnp reference here
+re-implements exactly that schedule (k red-black steps with a fixed data
+term, then a means refresh), and the kernel must match it elementwise.
+k = 1 must reproduce the fused kernel's per-iteration schedule exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chan_vese_tpu.models.banded import segment_banded, segment_banded_fixed
+from chan_vese_tpu.models.fused import segment_fused_fixed
+from chan_vese_tpu.ops import pallas_banded, pallas_sweep
+from chan_vese_tpu.ops.reductions import data_term, region_means
+from chan_vese_tpu.ops.sweep import redblack_step
+from chan_vese_tpu.params import CVParams
+from fixtures import iou, two_disks
+
+F32 = jnp.float32
+
+
+def _ref_chunk(phi, u0, c1, c2, p, k):
+    """k frozen-means red-black iterations (the documented banded class)."""
+    f = data_term(u0, c1, c2, p.nu, p.lambda1, p.lambda2)
+    for _ in range(k - 1):
+        phi = redblack_step(phi, f, p)
+    phi_prev = phi
+    phi = redblack_step(phi, f, p)
+    from chan_vese_tpu.ops.numerics import heaviside
+    h = heaviside(phi, p.eps)
+    parts = jnp.stack([
+        jnp.sum(u0 * h), jnp.sum(h),
+        jnp.sum((phi - phi_prev) ** 2),
+        jnp.sum(((phi >= 0) != (phi_prev >= 0)).astype(phi.dtype)),
+        jnp.sum(jnp.abs(phi - phi_prev)),
+    ])
+    return phi, parts
+
+
+@pytest.mark.parametrize("shape,k", [((64, 128), 2), ((64, 128), 4),
+                                     ((104, 256), 3), ((256, 384), 8)])
+def test_banded_chunk_matches_frozen_means_reference(shape, k):
+    rng = np.random.default_rng(0)
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), F32)
+    phi = jnp.asarray(rng.standard_normal(shape), F32)
+    p = CVParams()
+    c1, c2 = region_means(u0, phi, p.eps)
+    got_phi, got_parts = pallas_banded.banded_chunk(phi, u0, c1, c2, p, k,
+                                                    interpret=True)
+    want_phi, want_parts = _ref_chunk(phi, u0, c1, c2, p, k)
+    np.testing.assert_allclose(np.asarray(got_phi), np.asarray(want_phi),
+                               rtol=2e-6, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_parts)[:5],
+                               np.asarray(want_parts),
+                               rtol=2e-5, atol=0.5)
+
+
+def test_banded_k1_matches_fused_iteration():
+    """k = 1 is the fused kernel's schedule: same update, same partials."""
+    rng = np.random.default_rng(1)
+    shape = (64, 128)
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), F32)
+    phi = jnp.asarray(rng.standard_normal(shape) * 5, F32)
+    p = CVParams()
+    c1, c2 = region_means(u0, phi, p.eps)
+    got_phi, got_parts = pallas_banded.banded_chunk(phi, u0, c1, c2, p, 1,
+                                                    interpret=True)
+    want_phi, want_parts = pallas_sweep.fused_iteration(
+        phi, u0, c1, c2, p, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_phi), np.asarray(want_phi),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_parts), np.asarray(want_parts),
+                               rtol=1e-5, atol=0.5)
+
+
+def test_banded_multiband_equals_single_band():
+    """Force several deep-halo bands; band layout must not change values."""
+    rng = np.random.default_rng(2)
+    shape = (96, 128)
+    k = 3
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), F32)
+    phi = jnp.asarray(rng.standard_normal(shape) * 10, F32)
+    p = CVParams()
+    c1, c2 = region_means(u0, phi, p.eps)
+    pb = pallas_banded
+    got_big, parts_big = pb.banded_chunk(phi, u0, c1, c2, p, k,
+                                         interpret=True)
+    old = pb._VMEM_BUDGET
+    try:
+        pb._VMEM_BUDGET = 8 * 128 * 4 * pb._TILES  # force b = 8
+        pb.banded_chunk.clear_cache()
+        assert pb.band_rows_banded(*shape, k) == 8
+        assert pb.supports_banded(*shape, k)
+        got_small, parts_small = pb.banded_chunk(phi, u0, c1, c2, p, k,
+                                                 interpret=True)
+    finally:
+        pb._VMEM_BUDGET = old
+        pb.banded_chunk.clear_cache()
+    np.testing.assert_allclose(np.asarray(got_big), np.asarray(got_small),
+                               rtol=2e-6, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(parts_big), np.asarray(parts_small),
+                               rtol=2e-5, atol=0.5)
+
+
+def test_banded_fixed_driver_trajectory():
+    """Driver == chunked jnp reference over several chunks + remainder."""
+    rng = np.random.default_rng(3)
+    shape = (64, 128)
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), F32)
+    p = CVParams()
+    k, iters = 4, 11  # 2 full chunks + remainder 3
+    from chan_vese_tpu.utils.init_phi import init_phi
+    phi = init_phi(shape, p.init, F32)
+    got_phi, got_mask = segment_banded_fixed(u0, p, iters=iters, k=k,
+                                             phi0=phi, interpret=True)
+
+    n_pix = float(np.prod(shape))
+    sum_u = jnp.sum(u0)
+    c1, c2 = region_means(u0, phi, p.eps)
+    want = phi
+    done = 0
+    while done < iters:
+        size = min(k, iters - done)
+        want, parts = _ref_chunk(want, u0, c1, c2, p, size)
+        from chan_vese_tpu.ops.reductions import means_from_sums
+        c1, c2 = means_from_sums(parts[0], parts[1], sum_u, n_pix)
+        done += size
+    np.testing.assert_allclose(np.asarray(got_phi), np.asarray(want),
+                               rtol=3e-5, atol=3e-4)
+    np.testing.assert_array_equal(np.asarray(got_mask),
+                                  np.asarray(want) >= 0)
+
+
+def test_banded_segments_two_disks():
+    """End-to-end quality: banded mask agrees with the fused path."""
+    u0, _ = two_disks(64, 128, noise=6.0)
+    u0 = jnp.asarray(u0, F32)
+    p = CVParams(tol=1e-4, max_iter=200, min_iter=10)
+    res = segment_banded(u0, p, k=4, interpret=True)
+    phi_ref, mask_ref = segment_fused_fixed(u0, p, iters=int(res.iters),
+                                            interpret=True)
+    assert iou(np.asarray(res.mask), np.asarray(mask_ref)) > 0.99
+    assert int(res.iters) <= p.max_iter
+
+
+def test_banded_max_iter_exact():
+    u0, _ = two_disks(64, 128, noise=6.0)
+    u0 = jnp.asarray(u0, F32)
+    p = CVParams(tol=-1.0, max_iter=10, min_iter=0)  # never converges
+    res = segment_banded(u0, p, k=4, interpret=True)
+    assert int(res.iters) == 10
+
+
+def test_banded_divergence_aborts():
+    rng = np.random.default_rng(4)
+    u0 = jnp.asarray(rng.uniform(0, 255, (64, 128)), F32)
+    # dt grotesquely large -> NaN within a few iterations
+    p = CVParams(dt=1e30, mu=1e30, tol=1e-12, max_iter=400, min_iter=0,
+                 conv_norm="rms")
+    res = segment_banded(u0, p, k=4, interpret=True)
+    assert int(res.iters) < 400
+    assert not np.isfinite(float(res.delta))
+
+
+def test_banded_fallback_unsupported_shape():
+    """Odd width routes to the fused/jnp fallback transparently."""
+    u0, _ = two_disks(40, 100, noise=6.0)
+    u0 = jnp.asarray(u0, F32)
+    p = CVParams(max_iter=8, tol=-1.0, min_iter=0)
+    res = segment_banded(u0, p, k=4, interpret=True)
+    assert res.phi.shape == (40, 100)
+    assert int(res.iters) == 8
+
+
+def test_halos_alignment():
+    assert pallas_banded._halos(1) == (8, 8)
+    assert pallas_banded._halos(2) == (8, 8)
+    assert pallas_banded._halos(3) == (16, 8)
+    assert pallas_banded._halos(8) == (32, 16)
+    for k in (1, 2, 3, 5, 8, 16):
+        up, dn = pallas_banded._halos(k)
+        assert up >= 4 * k and dn >= 2 * k
+        assert up % 8 == 0 and dn % 8 == 0

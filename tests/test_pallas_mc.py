@@ -89,3 +89,32 @@ def test_mc_iteration_compiled_tpu():
                                rtol=2e-6, atol=2e-5)
     np.testing.assert_allclose(np.asarray(parts[:3]), np.asarray(want_suh),
                                rtol=1e-4)
+
+
+def test_mc_multiband_pipeline_equals_single_band():
+    """Force >= 3 bands so the double-buffered DMA pipeline (prefetch +
+    two-behind store drain) is actually exercised."""
+    rng = np.random.default_rng(5)
+    shape = (96, 128, 3)
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), F32)
+    phi = jnp.asarray(rng.standard_normal(shape[:2]) * 10, F32)
+    p = CVParams()
+    c1, c2 = region_means(u0, phi, p.eps)
+    ucf = jnp.transpose(u0, (2, 0, 1))
+    pm = pallas_sweep_mc
+    got_big, parts_big = pm.fused_iteration_mc(phi, ucf, c1, c2, p,
+                                               interpret=True)
+    old = pm._VMEM_BUDGET
+    try:
+        pm._VMEM_BUDGET = 8 * 128 * 4 * (11 + 2 * 3)  # force b = 8
+        pm.fused_iteration_mc.clear_cache()
+        assert pm.band_rows_mc(96, 128, 3) == 8
+        got_small, parts_small = pm.fused_iteration_mc(phi, ucf, c1, c2, p,
+                                                       interpret=True)
+    finally:
+        pm._VMEM_BUDGET = old
+        pm.fused_iteration_mc.clear_cache()
+    np.testing.assert_allclose(np.asarray(got_big), np.asarray(got_small),
+                               rtol=2e-6, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(parts_big),
+                               np.asarray(parts_small), rtol=2e-5, atol=0.5)

@@ -190,3 +190,52 @@ def test_data_parallel_uses_resident(monkeypatch):
                                         interpret=True)
     for k in range(8):
         assert iou(np.asarray(masks[k]), gt) > 0.95
+
+
+def test_resident_mc_matches_jnp_trajectory():
+    """Multichannel resident kernel == jnp vector trajectory (exact
+    per-iteration means, so the reference is the plain vector step)."""
+    from chan_vese_tpu.ops import pallas_resident
+    from chan_vese_tpu.ops.reductions import data_term, region_means
+
+    rng = np.random.default_rng(7)
+    shape = (32, 128, 3)
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), jnp.float32)
+    phi0 = jnp.asarray(rng.standard_normal(shape[:2]) * 3, jnp.float32)
+    p = CVParams()
+    iters = 5
+    l1 = (1.0, 1.2, 0.8)
+
+    ucf = jnp.transpose(u0, (2, 0, 1))
+    got, parts = pallas_resident.resident_iterations_mc(
+        phi0, ucf, p, iters, lambda1=l1, interpret=True)
+
+    l1e, l2e = p.channel_lambdas(3, l1, None)
+    want = phi0
+    for _ in range(iters):
+        c1, c2 = region_means(u0, want, p.eps)
+        f = data_term(u0, c1, c2, p.nu, jnp.asarray(l1e), jnp.asarray(l2e))
+        from chan_vese_tpu.ops.sweep import redblack_step
+        want = redblack_step(want, f, p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-4)
+    assert parts.shape == (iters, 3 + 4)
+    assert bool(jnp.all(jnp.isfinite(parts)))
+
+
+def test_resident_fixed_routes_rgb():
+    """(H, W, C) input uses the mc resident kernel; unaligned falls back."""
+    from chan_vese_tpu.models.resident import segment_resident_fixed
+    from chan_vese_tpu.models.fused import segment_fused_fixed
+
+    rng = np.random.default_rng(8)
+    u0 = jnp.asarray(rng.uniform(0, 255, (32, 128, 3)), jnp.float32)
+    p = CVParams()
+    phi, mask = segment_resident_fixed(u0, p, iters=8, interpret=True)
+    phi_ref, _ = segment_fused_fixed(u0, p, iters=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(phi), np.asarray(phi_ref),
+                               rtol=3e-5, atol=3e-4)
+    # unaligned width -> fused/jnp fallback, same shapes out
+    u0o = jnp.asarray(rng.uniform(0, 255, (32, 100, 3)), jnp.float32)
+    phi2, _ = segment_resident_fixed(u0o, p, iters=4, interpret=True)
+    assert phi2.shape == (32, 100)
