@@ -14,13 +14,16 @@ import time
 
 def _tpu_mpixel_iters(iters=200, reps=3):
     # iters amortizes the ~25 ms per-dispatch host<->device latency of the
-    # tunneled dev chip (at 200 iters it is <15% of the measurement)
+    # tunneled dev chip (at 200 iters it is <15% of the measurement).
+    # Solver: the banded multi-iteration kernel (ops/pallas_banded.py,
+    # k = 8 iterations per HBM pass; frozen-means-per-chunk trajectory
+    # class, same fixed point - see models/banded.py docstring).
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from chan_vese_tpu.params import CVParams
-    from chan_vese_tpu.models.fused import segment_fused_fixed
+    from chan_vese_tpu.models.banded import segment_banded_fixed
 
     H, W = 2160, 3840
     rng = np.random.default_rng(0)
@@ -28,7 +31,7 @@ def _tpu_mpixel_iters(iters=200, reps=3):
     u0 = jnp.asarray(host)
     p = CVParams()
 
-    phi, _ = segment_fused_fixed(u0, p, iters=iters)  # compile + warm
+    phi, _ = segment_banded_fixed(u0, p, iters=iters, k=8)  # compile + warm
     jax.block_until_ready(phi)
     _ = float(phi[0, 0])
 
@@ -36,7 +39,7 @@ def _tpu_mpixel_iters(iters=200, reps=3):
     for r in range(reps):
         u = u0 + jnp.float32(r + 1)  # defeat any result caching
         t0 = time.perf_counter()
-        phi, _ = segment_fused_fixed(u, p, iters=iters)
+        phi, _ = segment_banded_fixed(u, p, iters=iters, k=8)
         _ = float(phi[0, 0])  # forces execution + readback of the result
         best = min(best, time.perf_counter() - t0)
     return H * W * iters / best / 1e6
@@ -83,7 +86,7 @@ def main():
 
     if on_tpu:
         value = _tpu_mpixel_iters()
-        metric = "Mpixel-iters/s, 4K scalar Chan-Vese, fused Pallas, 1 TPU chip"
+        metric = "Mpixel-iters/s, 4K scalar Chan-Vese, banded k=8 Pallas, 1 TPU chip"
     else:
         value = _cpu_fallback_mpixel_iters()
         metric = "Mpixel-iters/s, 512^2 scalar Chan-Vese, jnp path, CPU (no TPU found)"

@@ -41,8 +41,7 @@ def main():
     import jax.numpy as jnp
 
     from chan_vese_tpu.params import CVParams
-    from chan_vese_tpu.models.fused import segment_fused_fixed
-    from chan_vese_tpu.models.multiphase import segment_multiphase_fixed
+    from chan_vese_tpu.models.resident import segment_resident_fixed
 
     rng = np.random.default_rng(0)
     p = CVParams()
@@ -61,26 +60,34 @@ def main():
 
     # config 1: 256x256 grayscale, checkerboard (VMEM-resident kernel:
     # the whole image lives in VMEM across iterations, models/resident.py)
-    from chan_vese_tpu.models.resident import segment_resident_fixed
     u = jnp.asarray(rng.uniform(0, 255, (256, 256)), jnp.float32)
     secs = _t(lambda: segment_resident_fixed(u, p, iters=iters_small),
               lambda o: o[0][0, 0])
     report("1: gray 256^2 checkerboard (resident)", 256 * 256, iters_small,
            secs)
 
-    # config 2: 512x512 RGB, per-channel lambdas (multichannel kernel)
+    # config 2: 512x512 RGB, per-channel lambdas (VMEM-resident
+    # multichannel kernel; falls back to the fused mc kernel off the
+    # resident envelope)
     u = jnp.asarray(rng.uniform(0, 255, (512, 512, 3)), jnp.float32)
-    secs = _t(lambda: segment_fused_fixed(
+    secs = _t(lambda: segment_resident_fixed(
         u, p, iters=iters_small, lambda1=(1.0, 1.2, 0.8)),
         lambda o: o[0][0, 0])
-    report("2: RGB 512^2 per-channel lambda (fused mc)", 512 * 512,
+    report("2: RGB 512^2 per-channel lambda (resident mc)", 512 * 512,
            iters_small, secs)
 
-    # config 3: multiphase 512^2, 2 level sets
+    # config 3: multiphase 512^2, 2 level sets. Measures the production
+    # solver loop (fully fused 4-phase resident kernel via
+    # segment_multiphase(fixed=True)); the per-iteration energy TRACE of
+    # segment_multiphase_fixed is a diagnostic that costs as much as the
+    # iteration itself and is not part of the reference hot loop
+    # (SURVEY.md 3.1 marks energy logging optional).
+    from chan_vese_tpu.models.multiphase import segment_multiphase
     u = jnp.asarray(rng.uniform(0, 255, (512, 512)), jnp.float32)
-    secs = _t(lambda: segment_multiphase_fixed(
-        u, p, iters=iters_small, m_sets=2), lambda o: o.phis[0, 0, 0])
-    report("3: multiphase 512^2 (2 phis, 4 phases)", 512 * 512,
+    secs = _t(lambda: segment_multiphase(
+        u, p, m_sets=2, fixed=True, max_iter=iters_small),
+        lambda o: o.phis[0, 0, 0])
+    report("3: multiphase 512^2 (2 phis, fused mp2 resident)", 512 * 512,
            iters_small, secs)
 
     # config 4: single 4K, 2D-sharded grid + halo exchange. Pre-place the
@@ -102,14 +109,17 @@ def main():
     report(f"4: 4K sharded {nx}x{ny} mesh + ICI halos", 2160 * 3840, iters,
            secs)
 
-    # config 4b: single-chip 4K fused (the headline; for comparison).
+    # config 4b: single-chip 4K (the headline; for comparison).
+    # Banded multi-iteration kernel, k = 8 iterations per HBM pass
+    # (frozen-means-per-chunk trajectory class, models/banded.py).
     # Re-place on one device: pallas_call is not SPMD-partitionable, so
     # timing it on the mesh-sharded input would measure a gather (or fail)
     # on a real multi-device mesh.
+    from chan_vese_tpu.models.banded import segment_banded_fixed
     u_single = jax.device_put(np.asarray(u), jax.devices()[0])
-    secs = _t(lambda: segment_fused_fixed(u_single, p, iters=iters),
+    secs = _t(lambda: segment_banded_fixed(u_single, p, iters=iters, k=8),
               lambda o: o[0][0, 0])
-    report("4b: 4K single-chip fused Pallas", 2160 * 3840, iters, secs)
+    report("4b: 4K single-chip banded k=8 Pallas", 2160 * 3840, iters, secs)
 
     # config 5: 256 frames of 512^2 via vmap over the data mesh
     from chan_vese_tpu.parallel.mesh import make_data_mesh

@@ -130,24 +130,48 @@ def multiphase_step(phis, u0, p: CVParams, use_pallas: bool = False,
     return jnp.stack(new), cs
 
 
-def _mp_pallas_auto(u0, p: CVParams, use_pallas):
-    """Resolve the multiphase kernel-sweep switch.
+def _mp2_route(u0, p: CVParams, m_sets: int, use_pallas,
+               allow_resident: bool = True):
+    """Resolve the multiphase kernel switch.
 
-    Default OFF (None -> False): measured on v5e, the kernel sweeps buy
-    only ~5% end-to-end because multiphase is bottlenecked by the jnp
-    coupling terms and 2^M masked reductions, while the extra pallas
-    program costs minutes of (erratic) first-compile on the axon tunnel.
-    Opt in with use_pallas=True for long production runs at one shape.
+    Returns one of:
+      'resident' - fully fused 4-phase VMEM-resident kernel
+                   (ops/pallas_multiphase.mp2_resident_iterations)
+      'banded'   - fully fused 4-phase banded kernel (mp2_iteration)
+      'sweeps'   - per-level-set fused_sweep kernels with jnp coupling
+                   (the only kernel option for M != 2 or vector images)
+      None       - pure jnp path
+
+    ``use_pallas=None`` is AUTO: the fused kernels on a TPU backend
+    (round-1 ablations showed the per-sweep kernels alone buy ~5%
+    because the jnp coupling terms dominate; the fully fused M = 2
+    kernel removes that bottleneck, so auto is now ON), jnp elsewhere.
+    Explicit True picks the best supported kernel route or raises.
     """
-    from ..ops import pallas_sweep
+    from ..ops import pallas_multiphase, pallas_sweep
 
+    mp2_ok = (m_sets == 2 and u0.ndim == 2 and p.order == "redblack")
     if use_pallas is None:
-        return False
-    if use_pallas and not (p.order == "redblack"
-                           and pallas_sweep.supports(*u0.shape[:2])):
-        raise ValueError(f"pallas multiphase path unsupported for "
-                         f"{u0.shape} with order={p.order!r}")
-    return use_pallas
+        import jax
+        if jax.default_backend() == "tpu" and mp2_ok:
+            if (allow_resident and not p.reinit_every
+                    and pallas_multiphase.supports_mp2_resident(*u0.shape)):
+                return "resident"
+            if pallas_multiphase.supports_mp2(*u0.shape):
+                return "banded"
+        return None
+    if not use_pallas:
+        return None
+    if mp2_ok:
+        if (allow_resident and not p.reinit_every
+                and pallas_multiphase.supports_mp2_resident(*u0.shape)):
+            return "resident"
+        if pallas_multiphase.supports_mp2(*u0.shape):
+            return "banded"
+    if p.order == "redblack" and pallas_sweep.supports(*u0.shape[:2]):
+        return "sweeps"
+    raise ValueError(f"pallas multiphase path unsupported for "
+                     f"{u0.shape} with order={p.order!r}")
 
 
 def _maybe_reinit_phis(phis, n, p: CVParams):
@@ -221,41 +245,156 @@ class MultiphaseResult(NamedTuple):
     cs: jax.Array       # (2^M, ...) phase means
 
 
+def _mp2_banded_loop(u0, p: CVParams, phis0, interpret, fixed, cap):
+    """while_loop over the fully fused 4-phase banded kernel.
+
+    Means are carried through the loop from the kernel partials (the
+    exact phase_means schedule - partials of the new phis are the means
+    the next iteration starts from).
+    """
+    from ..ops.pallas_multiphase import mp2_iteration
+
+    n_pix = jnp.asarray(u0.size, u0.dtype)
+    tiny = jnp.asarray(1e-30, u0.dtype)
+    cs0 = jnp.stack(phase_means(u0, phis0, p.eps))
+
+    def cond(state):
+        _, _, n, delta, streak = state
+        if fixed:
+            return n < cap
+        return loop_continue(n, delta, streak, p, cap)
+
+    def body(state):
+        phis, cs, n, _, streak = state
+        new, parts = mp2_iteration(phis, u0, cs, p, interpret=interpret)
+        cs = parts[0:4] / jnp.maximum(parts[4:8], tiny)
+        # 0 * s_dphi2 NaN-poisons the flip metric when a phi went
+        # non-finite (labels of NaN fields are finite garbage)
+        flips = parts[8] / n_pix + 0.0 * parts[9]
+        if p.reinit_every:
+            new = _maybe_reinit_phis(new, n, p)
+            cs = jnp.stack(phase_means(u0, new, p.eps))
+        streak = jnp.where(flips < p.tol, streak + 1, 0)
+        return (new, cs, n + 1, flips, streak)
+
+    init = (phis0, cs0, jnp.int32(0), jnp.asarray(jnp.inf, phis0.dtype),
+            jnp.int32(0))
+    phis, _, iters, delta, _ = jax.lax.while_loop(cond, body, init)
+    return phis, iters, delta
+
+
+def _mp2_resident_loop(u0, p: CVParams, phis0, interpret, fixed, cap,
+                       chunk: int = 32):
+    """Chunked tolerance/fixed loop over the resident 4-phase kernel.
+
+    Same chunking scheme as models/resident.segment_resident: full
+    chunks in a while_loop + a static remainder, convergence evaluated
+    per in-chunk iteration from the partials rows (col 0 = label flips,
+    col 1 = s_dphi2 for NaN poisoning), so max_iter is exact and a
+    converged run overshoots by at most chunk-1 iterations.
+    """
+    from ..ops.pallas_multiphase import mp2_resident_iterations
+
+    n_pix = jnp.asarray(u0.size, u0.dtype)
+
+    def delta_rows(parts):
+        return parts[:, 0] / n_pix + 0.0 * parts[:, 1]
+
+    def scan_rows(deltas, streak0):
+        def step(streak, d):
+            streak = jnp.where(d < p.tol, streak + 1, 0)
+            return streak, streak
+        return jax.lax.scan(step, streak0, deltas)
+
+    def not_stopped(state):
+        _, n, _, streak, diverged = state
+        done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
+        return jnp.logical_not(jnp.logical_or(done, diverged))
+
+    def run_chunk(state, size):
+        phis, n, _, streak, _ = state
+        phis, parts = mp2_resident_iterations(phis, u0, p, size,
+                                              interpret=interpret)
+        deltas = delta_rows(parts)
+        streak, _ = scan_rows(deltas, streak)
+        diverged = jnp.any(jnp.logical_not(jnp.isfinite(deltas)))
+        return (phis, n + size, deltas[-1], streak, diverged)
+
+    if fixed:
+        phis, parts = mp2_resident_iterations(phis0, u0, p, cap,
+                                              interpret=interpret)
+        return phis, jnp.int32(cap), delta_rows(parts)[-1]
+
+    full = (cap // chunk) * chunk
+    rem = cap - full
+
+    def cond(state):
+        return jnp.logical_and(state[1] < full, not_stopped(state))
+
+    init = (phis0, jnp.int32(0), jnp.asarray(jnp.inf, u0.dtype),
+            jnp.int32(0), jnp.bool_(False))
+    state = jax.lax.while_loop(cond, lambda s: run_chunk(s, chunk), init)
+    if rem:
+        state = jax.lax.cond(
+            jnp.logical_and(state[1] < cap, not_stopped(state)),
+            lambda s: run_chunk(s, rem), lambda s: s, state)
+    phis, iters, delta, _, _ = state
+    return phis, iters, delta
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("p", "m_sets", "use_pallas", "interpret"))
+                   static_argnames=("p", "m_sets", "use_pallas", "interpret",
+                                    "fixed", "max_iter"))
 def segment_multiphase(u0, p: CVParams = CVParams(), m_sets: int = 2,
                        phis0: Optional[jax.Array] = None,
                        use_pallas: Optional[bool] = None,
-                       interpret: bool = False) -> MultiphaseResult:
+                       interpret: bool = False, fixed: bool = False,
+                       max_iter: Optional[int] = None) -> MultiphaseResult:
     """Segment into 2^m_sets phases; converges on label-flip fraction.
 
-    use_pallas (None = auto on TPU): run each sweep through the fused band
-    kernel with precomputed coupling terms.
+    use_pallas (None = auto: fused kernels on TPU, jnp elsewhere): for
+    M = 2 grayscale the whole coupled iteration runs in one fused kernel
+    (VMEM-resident when the image fits, banded otherwise); for other
+    configurations kernels cover the sweeps only (see _mp2_route).
+    ``fixed=True`` runs exactly ``max_iter`` (or p.max_iter) iterations.
     """
-    use_pallas = _mp_pallas_auto(u0, p, use_pallas)
+    route = _mp2_route(u0, p, m_sets, use_pallas)
+    cap = p.max_iter if max_iter is None else max_iter
     if phis0 is None:
         phis0 = init_multiphase(u0.shape[:2], m_sets, dtype=u0.dtype)
 
-    def cond(state):
-        _, n, delta, streak = state
-        return loop_continue(n, delta, streak, p)
+    if route == "resident":
+        phis, iters, delta = _mp2_resident_loop(u0, p, phis0, interpret,
+                                                fixed, cap)
+    elif route == "banded":
+        phis, iters, delta = _mp2_banded_loop(u0, p, phis0, interpret,
+                                              fixed, cap)
+    else:
+        use_sweep_kernels = route == "sweeps"
 
-    def body(state):
-        phis, n, _, streak = state
-        new, _ = multiphase_step(phis, u0, p, use_pallas, interpret)
-        # 0 * sum(new) NaN-poisons the label-flip metric when a level set
-        # went non-finite (labels of NaN phis are finite garbage), so
-        # loop_continue's divergence abort fires
-        flips = (jnp.mean((labels_from_phis(new)
-                           != labels_from_phis(phis)).astype(u0.dtype))
-                 + 0.0 * jnp.sum(new))
-        new = _maybe_reinit_phis(new, n, p)
-        streak = jnp.where(flips < p.tol, streak + 1, 0)
-        return (new, n + 1, flips, streak)
+        def cond(state):
+            _, n, delta, streak = state
+            if fixed:
+                return n < cap
+            return loop_continue(n, delta, streak, p, cap)
 
-    init = (phis0, jnp.int32(0), jnp.asarray(jnp.inf, phis0.dtype),
-            jnp.int32(0))
-    phis, iters, delta, _ = jax.lax.while_loop(cond, body, init)
+        def body(state):
+            phis, n, _, streak = state
+            new, _ = multiphase_step(phis, u0, p, use_sweep_kernels,
+                                     interpret)
+            # 0 * sum(new) NaN-poisons the label-flip metric when a level
+            # set went non-finite (labels of NaN phis are finite garbage),
+            # so loop_continue's divergence abort fires
+            flips = (jnp.mean((labels_from_phis(new)
+                               != labels_from_phis(phis)).astype(u0.dtype))
+                     + 0.0 * jnp.sum(new))
+            new = _maybe_reinit_phis(new, n, p)
+            streak = jnp.where(flips < p.tol, streak + 1, 0)
+            return (new, n + 1, flips, streak)
+
+        init = (phis0, jnp.int32(0), jnp.asarray(jnp.inf, phis0.dtype),
+                jnp.int32(0))
+        phis, iters, delta, _ = jax.lax.while_loop(cond, body, init)
     cs = jnp.stack(phase_means(u0, phis, p.eps))
     return MultiphaseResult(phis, labels_from_phis(phis), iters, delta, cs)
 
@@ -275,13 +414,47 @@ def segment_multiphase_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
                              phis0: Optional[jax.Array] = None,
                              use_pallas: Optional[bool] = None,
                              interpret: bool = False) -> MultiphaseTrace:
-    use_pallas = _mp_pallas_auto(u0, p, use_pallas)
+    """Fixed-iteration run with per-iteration energy/flip traces.
+
+    This is the parity/diagnostic entry point: the energy is evaluated
+    in jnp between iterations, so the resident kernel (which runs all
+    iterations inside one pallas_call) is excluded from the route; the
+    banded fused kernel still applies. For throughput benchmarking use
+    ``segment_multiphase(..., fixed=True)`` - the per-iteration energy
+    evaluation here costs as much as the iteration itself (SURVEY.md
+    §3.1 marks energy logging optional).
+    """
+    route = _mp2_route(u0, p, m_sets, use_pallas, allow_resident=False)
     if phis0 is None:
         phis0 = init_multiphase(u0.shape[:2], m_sets, dtype=u0.dtype)
 
+    if route == "banded":
+        from ..ops.pallas_multiphase import mp2_iteration
+
+        n_pix = jnp.asarray(u0.size, u0.dtype)
+        tiny = jnp.asarray(1e-30, u0.dtype)
+        cs0 = jnp.stack(phase_means(u0, phis0, p.eps))
+
+        def body(carry, _):
+            phis, cs, n = carry
+            new, parts = mp2_iteration(phis, u0, cs, p, interpret=interpret)
+            cs = parts[0:4] / jnp.maximum(parts[4:8], tiny)
+            flips = parts[8] / n_pix
+            e = multiphase_energy(u0, new, p)
+            if p.reinit_every:
+                new = _maybe_reinit_phis(new, n, p)
+                cs = jnp.stack(phase_means(u0, new, p.eps))
+            return (new, cs, n + 1), (e, flips)
+
+        (phis, _, _), (es, ds) = jax.lax.scan(
+            body, (phis0, cs0, jnp.int32(0)), None, length=iters)
+        return MultiphaseTrace(phis, labels_from_phis(phis), es, ds)
+
+    use_sweep_kernels = route == "sweeps"
+
     def body(carry, _):
         phis, n = carry
-        new, _ = multiphase_step(phis, u0, p, use_pallas, interpret)
+        new, _ = multiphase_step(phis, u0, p, use_sweep_kernels, interpret)
         flips = jnp.mean((labels_from_phis(new)
                           != labels_from_phis(phis)).astype(u0.dtype))
         e = multiphase_energy(u0, new, p)
