@@ -78,6 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "(spatial sharding with ICI halo exchange)")
     ap.add_argument("--no-fused", action="store_true",
                     help="skip the fused Pallas path even on TPU")
+    ap.add_argument("--halo", choices=("ppermute", "rdma", "overlap"),
+                    default="ppermute",
+                    help="sharded halo mechanism: XLA collective "
+                         "(default), Pallas remote-DMA ring, or "
+                         "comm/compute overlap (jnp path only)")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="write .npz checkpoints here every "
                          "--checkpoint-every iterations (fixed mode); "
@@ -176,7 +181,20 @@ def main(argv=None) -> int:
                 image_io.save_overlay(args.overlay, img,
                                       np.asarray(res.labels) % 2 == 1)
             return 0
-        if fixed:
+        if fixed and args.checkpoint_dir:
+            from .utils.checkpoint import segment_multiphase_with_checkpoints
+
+            warn_dropped("multiphase checkpointed",
+                         ("--trace-energy", args.trace_energy),
+                         ("--evolution-gif", args.evolution_gif))
+            res = segment_multiphase_with_checkpoints(
+                u0, p, iters=args.iters, ckpt_dir=args.checkpoint_dir,
+                every=args.checkpoint_every, m_sets=args.multiphase)
+            labels, iters = res.labels, args.iters
+            if diverged_exit(iters, res.cs):
+                return 1
+            log(f"multiphase checkpointed run -> {args.checkpoint_dir}")
+        elif fixed:
             tr = mp.segment_multiphase_fixed(u0, p, iters=args.iters,
                                              m_sets=args.multiphase)
             labels, iters = tr.labels, args.iters
@@ -203,32 +221,83 @@ def main(argv=None) -> int:
 
     if args.mesh is not None:
         from .parallel.mesh import make_grid_mesh
-        from .parallel.sharded import segment_sharded
+        from .parallel.sharded import (segment_sharded,
+                                       segment_sharded_fixed_trace)
 
-        warn_dropped("sharded", ("--trace-energy", args.trace_energy),
-                     ("--evolution-gif", args.evolution_gif),
-                     ("--checkpoint-dir", args.checkpoint_dir))
         mesh = make_grid_mesh(*args.mesh)
-        res = segment_sharded(
-            u0, p, mesh, max_iter=args.iters if fixed else None,
-            fixed=fixed, lambda1=lam1, lambda2=lam2,
-            use_pallas=False if args.no_fused else None)
-        mask, iters = res.mask, (args.iters if fixed else int(res.iters))
-        if diverged_exit(iters, res.c1, res.c2):
+        up = (False if (args.no_fused or args.halo == "overlap") else None)
+        if not fixed:
+            # the per-iteration trace/checkpoint/gif surfaces need a fixed
+            # iteration count, exactly like the unsharded paths
+            warn_dropped("sharded tolerance-mode",
+                         ("--trace-energy", args.trace_energy),
+                         ("--evolution-gif", args.evolution_gif),
+                         ("--checkpoint-dir", args.checkpoint_dir))
+            res = segment_sharded(u0, p, mesh, fixed=False, lambda1=lam1,
+                                  lambda2=lam2, use_pallas=up,
+                                  halo=args.halo)
+            mask, iters, c1, c2 = res.mask, int(res.iters), res.c1, res.c2
+        elif args.trace_energy:
+            if args.checkpoint_dir:
+                warn_dropped("sharded traced",
+                             ("--checkpoint-dir", args.checkpoint_dir))
+            tr = segment_sharded_fixed_trace(
+                u0, p, mesh, iters=args.iters, lambda1=lam1, lambda2=lam2,
+                use_pallas=up, halo=args.halo)
+            trace_util.write_energy_csv(args.trace_energy, tr.energy,
+                                        tr.delta, tr.c1, tr.c2)
+            mask, iters = tr.mask, args.iters
+            c1, c2 = tr.c1[-1], tr.c2[-1]
+        elif args.checkpoint_dir:
+            if args.color:
+                warn_dropped("sharded color",
+                             ("--checkpoint-dir", args.checkpoint_dir))
+                res = segment_sharded(u0, p, mesh, max_iter=args.iters,
+                                      fixed=True, lambda1=lam1,
+                                      lambda2=lam2, use_pallas=up,
+                                      halo=args.halo)
+            else:
+                from .utils.checkpoint_sharded import (
+                    segment_sharded_with_checkpoints)
+
+                res = segment_sharded_with_checkpoints(
+                    u0, p, mesh, iters=args.iters,
+                    ckpt_dir=args.checkpoint_dir,
+                    every=args.checkpoint_every, use_pallas=up,
+                    halo=args.halo)
+                log(f"sharded checkpointed run -> {args.checkpoint_dir}")
+            mask, iters, c1, c2 = res.mask, args.iters, res.c1, res.c2
+        else:
+            res = segment_sharded(u0, p, mesh, max_iter=args.iters,
+                                  fixed=True, lambda1=lam1, lambda2=lam2,
+                                  use_pallas=up, halo=args.halo)
+            mask, iters, c1, c2 = res.mask, args.iters, res.c1, res.c2
+        if fixed and args.evolution_gif:
+            # chunked re-run threading phi0, as in the unsharded gif path
+            from .parallel.sharded import _make_phi0
+            frames = []
+            phi = _make_phi0(u0.shape[:2], p.init, dtype, mesh)
+            n = 0
+            while n < args.iters:
+                chunk = min(args.gif_every, args.iters - n)
+                r = segment_sharded(u0, p, mesh, phi0=phi, max_iter=chunk,
+                                    fixed=True, lambda1=lam1, lambda2=lam2,
+                                    use_pallas=up, halo=args.halo)
+                phi = r.phi
+                n += chunk
+                frames.append(np.asarray(phi))
+            image_io.save_evolution_gif(args.evolution_gif, img, frames)
+        if diverged_exit(iters, c1, c2):
             return 1
         log(f"sharded over {args.mesh[0]}x{args.mesh[1]} mesh; "
-            f"{iters} iters; c1={np.asarray(res.c1)}, "
-            f"c2={np.asarray(res.c2)}")
+            f"{iters} iters; c1={np.asarray(c1)}, c2={np.asarray(c2)}")
         if args.output:
             image_io.save_mask(args.output, np.asarray(mask))
         if args.overlay:
             image_io.save_overlay(args.overlay, img, np.asarray(mask))
         return 0
 
-    if fixed and args.checkpoint_dir and args.color and not args.quiet:
-        print("warning: --checkpoint-dir is grayscale-only; ignored",
-              file=sys.stderr)
-    if fixed and args.checkpoint_dir and not args.color:
+    if fixed and args.checkpoint_dir:
         from .utils import checkpoint as ckpt
 
         warn_dropped("checkpointed", ("--trace-energy", args.trace_energy),
@@ -236,7 +305,7 @@ def main(argv=None) -> int:
 
         phi = ckpt.segment_with_checkpoints(
             u0, p, iters=args.iters, ckpt_dir=args.checkpoint_dir,
-            every=args.checkpoint_every)
+            every=args.checkpoint_every, lambda1=lam1, lambda2=lam2)
         mask = np.asarray(phi) >= 0
         log(f"checkpointed run: {args.iters} iters -> "
             f"{args.checkpoint_dir}")

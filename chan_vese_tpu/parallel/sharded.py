@@ -33,7 +33,7 @@ from __future__ import annotations
 import functools
 import math
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -59,18 +59,29 @@ def _global_coords(shape, ix, iy, h, w, pad=_D):
     return ix * h + pi - pad, iy * w + pj - pad
 
 
-def _resync_replicas(pad, ix, iy, nx, ny):
-    """Refresh global-edge replica halos from the current edge cells."""
+def _resync_replicas(pad, ix, iy, nx, ny, edges=(True, True, True, True)):
+    """Refresh global-edge replica halos from the current edge cells.
+
+    ``edges`` (static top/bottom/left/right booleans) restricts which
+    sides are treated as potential canvas edges - strip slices of the
+    canvas (the halo-overlap path) only contain some of them."""
+    et, eb, el, er = edges
     rows = jax.lax.broadcasted_iota(jnp.int32, pad.shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, pad.shape, 1)
-    top = jnp.broadcast_to(pad[_D: _D + 1, :], pad.shape)
-    bot = jnp.broadcast_to(pad[-_D - 1: -_D, :], pad.shape)
-    pad = jnp.where((ix == 0) & (rows < _D), top, pad)
-    pad = jnp.where((ix == nx - 1) & (rows >= pad.shape[0] - _D), bot, pad)
-    left = jnp.broadcast_to(pad[:, _D: _D + 1], pad.shape)
-    right = jnp.broadcast_to(pad[:, -_D - 1: -_D], pad.shape)
-    pad = jnp.where((iy == 0) & (cols < _D), left, pad)
-    pad = jnp.where((iy == ny - 1) & (cols >= pad.shape[1] - _D), right, pad)
+    if et:
+        top = jnp.broadcast_to(pad[_D: _D + 1, :], pad.shape)
+        pad = jnp.where((ix == 0) & (rows < _D), top, pad)
+    if eb:
+        bot = jnp.broadcast_to(pad[-_D - 1: -_D, :], pad.shape)
+        pad = jnp.where((ix == nx - 1) & (rows >= pad.shape[0] - _D), bot,
+                        pad)
+    if el:
+        left = jnp.broadcast_to(pad[:, _D: _D + 1], pad.shape)
+        pad = jnp.where((iy == 0) & (cols < _D), left, pad)
+    if er:
+        right = jnp.broadcast_to(pad[:, -_D - 1: -_D], pad.shape)
+        pad = jnp.where((iy == ny - 1) & (cols >= pad.shape[1] - _D),
+                        right, pad)
     return pad
 
 
@@ -111,7 +122,7 @@ def _pallas_ok(h: int, w: int) -> bool:
 
 def _sharded_iteration(phi, u0_pad, c1, c2, p: CVParams, ix, iy, nx, ny,
                        h, w, n_pix, sum_u, use_pallas=False,
-                       interpret=False, pallas_env=None):
+                       interpret=False, pallas_env=None, halo="ppermute"):
     """One red-black iteration on a local block; returns new phi + stats.
 
     use_pallas routes the padded-block sweep through the fused band kernel
@@ -120,9 +131,30 @@ def _sharded_iteration(phi, u0_pad, c1, c2, p: CVParams, ix, iy, nx, ny,
     width with edge-extended dead columns (never consumed by the
     interior's stencils). ``pallas_env`` carries the loop-invariant
     (u0_canvas, parity, edges) prebuilt by _run_sharded so they are not
-    rematerialized every while_loop iteration.
+    rematerialized every while_loop iteration. ``halo`` selects the
+    exchange mechanism: 'ppermute' (XLA collective, default) or 'rdma'
+    (Pallas make_async_remote_copy ring, parallel/halo_rdma.py).
     """
-    pad = exchange_halo2d(phi, _D)
+    if halo == "overlap" and not use_pallas:
+        new = _overlap_new(phi, u0_pad, c1, c2, p, ix, iy, nx, ny, h, w)
+        h_eps = heaviside(new, p.eps)
+        u0_loc = u0_pad[_D: _D + h, _D: _D + w]
+        dphi = new - phi
+        flips = ((new >= 0) != (phi >= 0)).astype(phi.dtype)
+        parts = jnp.stack([
+            jnp.sum(u0_loc * h_eps), jnp.sum(h_eps),
+            jnp.sum(dphi * dphi), jnp.sum(flips), jnp.sum(jnp.abs(dphi)),
+        ])
+        parts = lax.psum(parts, ("x", "y"))
+        c1n, c2n = means_from_sums(parts[0], parts[1], sum_u, n_pix)
+        delta = _delta_from_partials(parts, n_pix, p)
+        return new, c1n, c2n, delta
+
+    if halo == "rdma":
+        from .halo_rdma import exchange_halo2d_rdma
+        pad = exchange_halo2d_rdma(phi, _D, interpret=interpret)
+    else:
+        pad = exchange_halo2d(phi, _D)
 
     if use_pallas:
         from ..ops import pallas_sweep
@@ -163,6 +195,63 @@ def _sharded_iteration(phi, u0_pad, c1, c2, p: CVParams, ix, iy, nx, ny,
     return new, c1n, c2n, delta
 
 
+
+def _overlap_new(phi, u0_pad, c1, c2, p: CVParams, ix, iy, nx, ny, h, w):
+    """One jnp iteration with halo-comm / interior-compute overlap (the
+    PP-analog row of SURVEY.md 2.9; VERDICT r1 item 5).
+
+    Dependency structure: the ppermute halo exchange reads only phi's
+    boundary strips while the block INTERIOR updates from purely local
+    data (a full red-black iteration at local cell (r, c) has composite
+    stencil reach 4 up/left, 2 down/right, so rows [4, h-2) x cols
+    [4, w-2) never touch a halo). The two are data-independent, letting
+    XLA's async collective-permute run the ICI transfers concurrently
+    with the interior sweep. Afterwards four thin strips (16 canvas
+    rows/cols) recompute the rim from the exchanged pad - sliced from
+    the same masks/data term, with replica resync gated to the canvas
+    edges each strip actually contains - and overwrite the rim of the
+    interior result. Elementwise identical to the exchange-then-sweep
+    path (tests/test_sharded_overlap.py).
+    """
+    S = 16
+    ph, pw = h + 2 * _D, w + 2 * _D
+
+    gi, gj = _global_coords((ph, pw), ix, iy, h, w)
+    valid = ((gi >= 0) & (gi < nx * h) & (gj >= 0) & (gj < ny * w))
+    red = ((gi + gj) % 2 == 0) & valid
+    black = ((gi + gj) % 2 == 1) & valid
+    f = (-p.nu - p.lambda1 * (u0_pad - c1) ** 2
+         + p.lambda2 * (u0_pad - c2) ** 2)
+
+    # interior: purely local (edge-replicated pad carries NO neighbor
+    # data; cells within reach of the block edge are overwritten below)
+    local_pad = jnp.pad(phi, _D, mode="edge")
+    upd_local = _sweep_local(local_pad, f, p, red, black, ix, iy, nx, ny)
+    new = upd_local[_D: _D + h, _D: _D + w]
+
+    # communication, independent of the interior compute above
+    pad = exchange_halo2d(phi, _D)
+
+    def strip(rs, re, cs, ce, edges):
+        return _sweep_local(pad[rs:re, cs:ce], f[rs:re, cs:ce], p,
+                            red[rs:re, cs:ce], black[rs:re, cs:ce],
+                            ix, iy, nx, ny, resync_edges=edges)
+
+    n_s = strip(0, S, 0, pw, (True, False, True, True))
+    s_s = strip(ph - S, ph, 0, pw, (False, True, True, True))
+    w_s = strip(0, ph, 0, S, (True, True, True, False))
+    e_s = strip(0, ph, pw - S, pw, (True, True, False, True))
+
+    # rim thickness = stencil reach: 4 rows up/left, 2 rows down/right
+    new = new.at[0:_D, :].set(n_s[_D: 2 * _D, _D: _D + w])
+    new = new.at[h - 2: h, :].set(
+        s_s[S - _D - 2: S - _D, _D: _D + w])
+    new = new.at[:, 0:_D].set(w_s[_D: _D + h, _D: 2 * _D])
+    new = new.at[:, w - 2: w].set(
+        e_s[_D: _D + h, S - _D - 2: S - _D])
+    return new
+
+
 def _sharded_iteration_vec(phi, u0_pad, c1, c2, p, l1, l2, ix, iy, nx, ny,
                            h, w, n_pix, sum_u):
     """Vector-valued (C-channel) jnp sharded iteration (SURVEY.md C9 on
@@ -198,6 +287,38 @@ def _sharded_iteration_vec(phi, u0_pad, c1, c2, p, l1, l2, ix, iy, nx, ny,
     return new, c1n, c2n, delta
 
 
+
+def _sharded_energy(new, u0_loc, c1, c2, p: CVParams, lambdas=None):
+    """psum'd Chan-Vese energy of a local block, exactly matching
+    ops/reductions.energy on the assembled image: forward differences
+    read the south/east neighbor through a 1-deep halo, and the halo's
+    global-edge replicas make the clamped-difference-vanishes convention
+    hold at the true image boundary."""
+    from ..ops.numerics import dirac
+
+    pad1 = exchange_halo2d(new, 1)
+    ph = pad1[1:-1, 1:-1]
+    gx = pad1[2:, 1:-1] - ph
+    gy = pad1[1:-1, 2:] - ph
+    h = heaviside(new, p.eps)
+    length = jnp.sum(dirac(new, p.eps) * jnp.sqrt(gx * gx + gy * gy))
+    area = jnp.sum(h)
+    if u0_loc.ndim == 3:
+        l1, l2 = lambdas
+        l1 = jnp.asarray(l1, u0_loc.dtype)
+        l2 = jnp.asarray(l2, u0_loc.dtype)
+        fit1 = jnp.sum(jnp.mean(l1 * (u0_loc - c1) ** 2, axis=-1) * h)
+        fit2 = jnp.sum(jnp.mean(l2 * (u0_loc - c2) ** 2, axis=-1)
+                       * (1.0 - h))
+        local = p.mu * length + p.nu * area + fit1 + fit2
+    else:
+        fit1 = jnp.sum((u0_loc - c1) ** 2 * h)
+        fit2 = jnp.sum((u0_loc - c2) ** 2 * (1.0 - h))
+        local = (p.mu * length + p.nu * area
+                 + p.lambda1 * fit1 + p.lambda2 * fit2)
+    return lax.psum(local, ("x", "y"))
+
+
 def _sharded_reinit(phi_local, n, p: CVParams, always=False):
     """Halo-aware redistancing on a local block (no-op when disabled).
 
@@ -224,11 +345,12 @@ def _sharded_reinit(phi_local, n, p: CVParams, always=False):
                         lambda v: v, phi_local)
 
 
-def _sweep_local(pad, f, p, red, black, ix, iy, nx, ny):
+def _sweep_local(pad, f, p, red, black, ix, iy, nx, ny,
+                 resync_edges=(True, True, True, True)):
     """Red+black half-sweeps on a padded block with replica resync."""
     upd = _update_all(pad, f, p.mu, p.dt, p.eps, p.eta2)
     pad = jnp.where(red, upd, pad)
-    pad = _resync_replicas(pad, ix, iy, nx, ny)
+    pad = _resync_replicas(pad, ix, iy, nx, ny, resync_edges)
     upd = _update_all(pad, f, p.mu, p.dt, p.eps, p.eta2)
     return jnp.where(black, upd, pad)
 
@@ -315,7 +437,8 @@ def _sharded_multiphase_iteration(phis, u0_pad, p: CVParams, ix, iy, nx, ny,
 
 
 def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed,
-                 use_pallas=False, interpret=False, lambdas=None):
+                 use_pallas=False, interpret=False, lambdas=None,
+                 halo="ppermute"):
     """shard_map body: the full solver on a local (h, w[, C]) block."""
     ix = lax.axis_index("x")
     iy = lax.axis_index("y")
@@ -364,7 +487,7 @@ def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed,
             phi, c1, c2, delta = _sharded_iteration(
                 phi, u0_pad, c1, c2, p, ix, iy, nx, ny, h, w, n_pix, s_u,
                 use_pallas=use_pallas, interpret=interpret,
-                pallas_env=pallas_env)
+                pallas_env=pallas_env, halo=halo)
         if p.reinit_every:
             # redistance on cadence, refreshing the carried means from the
             # redistanced level set inside the SAME cond (reinit rescales
@@ -406,7 +529,8 @@ def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
                     max_iter: Optional[int] = None, fixed: bool = False,
                     use_pallas: Optional[bool] = None,
                     lambda1=None, lambda2=None,
-                    interpret: bool = False) -> SegResult:
+                    interpret: bool = False,
+                    halo: str = "ppermute") -> SegResult:
     """Segment one large image sharded over a 2D ('x', 'y') device mesh.
 
     u0: (H, W) grayscale or (H, W, C) vector-valued (channels replicated,
@@ -414,6 +538,13 @@ def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
     W % ny == 0. phi is returned with the input's spatial sharding.
     Tolerance mode by default; fixed=True runs exactly max_iter iterations
     (eval config 4 benchmarking).
+
+    halo: per-iteration phi halo exchange mechanism - 'ppermute' (XLA
+    collective, default and the multi-device-validated path) or 'rdma'
+    (Pallas remote-DMA ring, parallel/halo_rdma.py; equivalence-tested
+    on the fake CPU mesh, pending on-chip multi-device validation).
+    Applies to the grayscale per-iteration exchange; one-time u0 halos
+    stay on ppermute.
 
     use_pallas: route the per-shard sweep through the fused band kernel
     (None = auto: on the TPU backend when the shard geometry allows and
@@ -429,8 +560,17 @@ def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
         raise ValueError(f"image {u0.shape} not divisible by mesh "
                          f"({nx}, {ny})")
     cap = max_iter if max_iter is not None else p.max_iter
+    if halo not in ("ppermute", "rdma", "overlap"):
+        raise ValueError(f"unknown halo mechanism {halo!r}")
+    if halo == "overlap" and (min(H // nx, W // ny) < 16
+                              or (use_pallas is not False)):
+        raise ValueError(
+            "halo='overlap' needs use_pallas=False (the per-shard kernel "
+            "consumes the whole canvas) and shards of at least 16x16")
     vec = u0.ndim == 3
     if vec:
+        if halo != "ppermute":
+            raise ValueError(f"halo={halo!r} supports grayscale images only")
         lambdas = p.channel_lambdas(u0.shape[-1], lambda1, lambda2)
     else:
         # fold scalar overrides into the (static) params the solver bakes in
@@ -465,7 +605,7 @@ def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
                              fixed=fixed, max_iter=cap)
 
     run = _build_program(p, mesh, nx, ny, cap, fixed, use_pallas,
-                         interpret, vec, lambdas)
+                         interpret, vec, lambdas, halo)
 
     spec = NamedSharding(mesh, P("x", "y", None) if vec else P("x", "y"))
     u0 = jax.device_put(u0, spec)
@@ -560,14 +700,14 @@ def _build_mp_program(p, mesh, nx, ny, cap, fixed, m_sets, vec=False):
 
 @functools.lru_cache(maxsize=64)
 def _build_program(p, mesh, nx, ny, cap, fixed, use_pallas, interpret,
-                   vec=False, lambdas=None):
+                   vec=False, lambdas=None, halo="ppermute"):
     """Cache the jitted shard_map program (a fresh closure per call would
     retrace on every segment_sharded invocation - ~2s per call at 4K)."""
 
     def local_fn(u0_loc, phi0_loc):
         return _run_sharded(u0_loc, phi0_loc, p, nx, ny, cap, fixed,
                             use_pallas=use_pallas, interpret=interpret,
-                            lambdas=lambdas)
+                            lambdas=lambdas, halo=halo)
 
     u_spec = P("x", "y", None) if vec else P("x", "y")
     mapped = shard_map(
@@ -605,3 +745,131 @@ def _make_phi0(shape, kind, dtype, mesh):
                    out_specs=P("x", "y"))
     with jax.set_mesh(mesh):
         return jax.jit(fn)()
+
+
+class ShardedTrace(NamedTuple):
+    phi: jax.Array
+    mask: jax.Array
+    energy: jax.Array   # (iters,)
+    delta: jax.Array    # (iters,)
+    c1: jax.Array       # (iters[, C])
+    c2: jax.Array
+
+
+@functools.lru_cache(maxsize=64)
+def _build_trace_program(p, mesh, nx, ny, iters, use_pallas, interpret,
+                         vec, lambdas, halo):
+    def local_fn(u0_loc, phi0_loc):
+        ix = lax.axis_index("x")
+        iy = lax.axis_index("y")
+        h, w = u0_loc.shape[:2]
+        n_pix = jnp.asarray(nx * h * ny * w, u0_loc.dtype)
+
+        if vec:
+            u0_pad = jax.vmap(lambda ch: exchange_halo2d(ch, _D),
+                              in_axes=2, out_axes=2)(u0_loc)
+            l1, l2 = lambdas
+        else:
+            u0_pad = exchange_halo2d(u0_loc, _D)
+        u0l = u0_loc
+        h0 = heaviside(phi0_loc, p.eps)
+        if vec:
+            s_uh = lax.psum(jnp.sum(u0l * h0[..., None], axis=(0, 1)),
+                            ("x", "y"))
+            s_u = lax.psum(jnp.sum(u0l, axis=(0, 1)), ("x", "y"))
+        else:
+            s_uh = lax.psum(jnp.sum(u0l * h0), ("x", "y"))
+            s_u = lax.psum(jnp.sum(u0l), ("x", "y"))
+        s_h = lax.psum(jnp.sum(h0), ("x", "y"))
+        c1 = s_uh / jnp.maximum(s_h, 1e-30)
+        c2 = (s_u - s_uh) / jnp.maximum(n_pix - s_h, 1e-30)
+
+        pallas_env = None
+        if use_pallas:
+            wc = _canvas_cols(w)
+            u0_canvas = jnp.pad(u0_pad,
+                                ((0, 0), (0, wc - u0_pad.shape[1])),
+                                mode="edge")
+            parity = (ix * h + iy * w) % 2
+            edges = jnp.stack([ix == 0, ix == nx - 1, iy == 0,
+                               iy == ny - 1]).astype(u0_loc.dtype)
+            pallas_env = (u0_canvas, parity, edges)
+
+        def body(carry, _):
+            phi, c1, c2, n = carry
+            if vec:
+                phi, c1n, c2n, delta = _sharded_iteration_vec(
+                    phi, u0_pad, c1, c2, p, l1, l2, ix, iy, nx, ny, h, w,
+                    n_pix, s_u)
+            else:
+                phi, c1n, c2n, delta = _sharded_iteration(
+                    phi, u0_pad, c1, c2, p, ix, iy, nx, ny, h, w, n_pix,
+                    s_u, use_pallas=use_pallas, interpret=interpret,
+                    pallas_env=pallas_env, halo=halo)
+            e = _sharded_energy(phi, u0l, c1n, c2n, p, lambdas)
+            phi = _sharded_reinit(phi, n, p)
+            return (phi, c1n, c2n, n + 1), (e, delta, c1, c2)
+
+        (phi, _, _, _), (es, ds, c1s, c2s) = lax.scan(
+            body, (phi0_loc, c1, c2, jnp.int32(0)), None, length=iters)
+        return phi, es, ds, c1s, c2s
+
+    u_spec = P("x", "y", None) if vec else P("x", "y")
+    mapped = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(u_spec, P("x", "y")),
+        out_specs=(P("x", "y"), P(), P(), P(), P()),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+def segment_sharded_fixed_trace(u0, p: CVParams = CVParams(),
+                                mesh: Optional[Mesh] = None,
+                                iters: int = 100,
+                                phi0: Optional[jax.Array] = None,
+                                use_pallas: Optional[bool] = None,
+                                lambda1=None, lambda2=None,
+                                interpret: bool = False,
+                                halo: str = "ppermute") -> ShardedTrace:
+    """Fixed-iteration SHARDED run with per-iteration energy/delta/means
+    traces (the parity artifact of BASELINE.json:5, computed with psum'd
+    reductions instead of a host gather). Mirrors models/scalar.py
+    segment_fixed's trace convention: energy after each sweep, means
+    recomputed from the post-sweep phi.
+    """
+    if mesh is None:
+        raise ValueError("segment_sharded_fixed_trace needs a mesh")
+    nx, ny = mesh.shape["x"], mesh.shape["y"]
+    H, W = u0.shape[:2]
+    if H % nx or W % ny:
+        raise ValueError(f"image {u0.shape} not divisible by mesh "
+                         f"({nx}, {ny})")
+    if halo not in ("ppermute", "rdma", "overlap"):
+        raise ValueError(f"unknown halo mechanism {halo!r}")
+    vec = u0.ndim == 3
+    if vec:
+        if halo != "ppermute":
+            raise ValueError(f"halo={halo!r} supports grayscale only")
+        lambdas = p.channel_lambdas(u0.shape[-1], lambda1, lambda2)
+    else:
+        from ..models.fused import _fold_scalar_lambdas
+        p = _fold_scalar_lambdas(p, lambda1, lambda2)
+        lambdas = None
+    if use_pallas is None:
+        use_pallas = (not vec and jax.default_backend() == "tpu"
+                      and _pallas_ok(H // nx, W // ny) and halo != "overlap")
+    elif use_pallas and (vec or not _pallas_ok(H // nx, W // ny)):
+        raise ValueError(f"pallas path unsupported for shard "
+                         f"({u0.shape}, mesh ({nx}, {ny}))")
+
+    run = _build_trace_program(p, mesh, nx, ny, iters, use_pallas,
+                               interpret, vec, lambdas, halo)
+    spec = NamedSharding(mesh, P("x", "y", None) if vec else P("x", "y"))
+    u0 = jax.device_put(u0, spec)
+    if phi0 is None:
+        phi0 = _make_phi0((H, W), p.init, u0.dtype, mesh)
+    else:
+        phi0 = jax.device_put(phi0, NamedSharding(mesh, P("x", "y")))
+    with jax.set_mesh(mesh):
+        phi, es, ds, c1s, c2s = run(u0, phi0)
+    return ShardedTrace(phi, phi >= 0, es, ds, c1s, c2s)

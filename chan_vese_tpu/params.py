@@ -108,6 +108,12 @@ class CVParams:
 
         l1 = norm(lambda1, self.lambda1)
         l2 = norm(lambda2, self.lambda2)
+        # a length-1 tuple is a scalar in sequence clothing (the CLI's
+        # default --lambda1 is [1.0] regardless of channel count)
+        if len(l1) == 1 and nchan > 1:
+            l1 = l1 * nchan
+        if len(l2) == 1 and nchan > 1:
+            l2 = l2 * nchan
         if len(l1) != nchan or len(l2) != nchan:
             raise ValueError(
                 f"per-channel lambdas must have length {nchan}, "

@@ -52,12 +52,14 @@ def load(path):
 
 
 def segment_with_checkpoints(u0, p, iters: int, ckpt_dir, every: int = 50,
-                             phi0=None, resume: bool = True):
+                             phi0=None, resume: bool = True,
+                             lambda1=None, lambda2=None):
     """Fixed-iteration segmentation checkpointing every ``every`` iters.
 
     Resumes from the newest checkpoint in ckpt_dir when ``resume``.
     Chunked driver: runs `every`-iteration device-side scans between
-    host-side checkpoint writes.
+    host-side checkpoint writes. Vector-valued (H, W, C) images route
+    through the vector trace driver (per-channel lambda tuples apply).
     """
     import jax.numpy as jnp
 
@@ -83,8 +85,52 @@ def segment_with_checkpoints(u0, p, iters: int, ckpt_dir, every: int = 50,
         chunk = min(every, iters - n)
         # start_iter keeps the global iteration counter (and hence the
         # reinit cadence) identical to an unchunked run
-        tr = segment_fixed(u0, p, iters=chunk, phi0=phi, start_iter=n)
+        if u0.ndim == 3:
+            from ..models.vector import segment_vector_fixed
+            tr = segment_vector_fixed(u0, p, iters=chunk, phi0=phi,
+                                      lambda1=lambda1, lambda2=lambda2,
+                                      start_iter=n)
+        else:
+            tr = segment_fixed(u0, p, iters=chunk, phi0=phi, start_iter=n)
         phi = tr.phi
         n += chunk
         save(ckpt_dir, n, phi, tr.c1[-1], tr.c2[-1])
     return phi
+
+
+def segment_multiphase_with_checkpoints(u0, p, iters: int, ckpt_dir,
+                                        every: int = 50, m_sets: int = 2,
+                                        phis0=None, resume: bool = True):
+    """Multiphase counterpart: checkpoints the (M, H, W) level-set stack
+    every ``every`` iterations; resumes from the newest checkpoint."""
+    import jax.numpy as jnp
+
+    from ..models.multiphase import init_multiphase, segment_multiphase
+
+    if every <= 0 or iters < 0:
+        raise ValueError(f"need every > 0 and iters >= 0 "
+                         f"(got every={every}, iters={iters})")
+    start = 0
+    phis = phis0
+    if resume:
+        ck = latest(ckpt_dir)
+        if ck is not None:
+            state = load(ck)
+            start = int(state["step"])
+            phis = jnp.asarray(state["phi"], u0.dtype)
+    if phis is None:
+        phis = init_multiphase(u0.shape[:2], m_sets, dtype=u0.dtype)
+
+    n = start
+    res = None
+    while n < iters:
+        chunk = min(every, iters - n)
+        res = segment_multiphase(u0, p, m_sets=m_sets, phis0=phis,
+                                 fixed=True, max_iter=chunk)
+        phis = res.phis
+        n += chunk
+        save(ckpt_dir, n, phis)
+    if res is None:
+        res = segment_multiphase(u0, p, m_sets=m_sets, phis0=phis,
+                                 fixed=True, max_iter=0)
+    return res

@@ -1,0 +1,109 @@
+"""Sharded checkpoint/resume via orbax array serialization (SURVEY.md §5
+checkpoint row: "orbax-free simple .npz ... for 4K sharded runs" was the
+v1; this is the pod-correct v2 the round-1 VERDICT asked for).
+
+Unlike utils/checkpoint.py (which gathers phi to one host via
+np.asarray), orbax's TensorStore-backed serialization writes each
+process's addressable shards directly and restores them onto the mesh
+with the requested sharding - no cross-host gather, which is what makes
+4K-and-up multi-host runs checkpointable. On a single host the two are
+interchangeable; the call-site surface (save/latest/restore + the
+chunked driver) mirrors utils/checkpoint.py.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+_CKPT_RE = re.compile(r"^ckpt_(\d{8})$")
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_sharded(path_dir, step: int, phi, c1=None, c2=None) -> Path:
+    """Write a sharded checkpoint directory ckpt_<step>."""
+    d = Path(path_dir).resolve()
+    d.mkdir(parents=True, exist_ok=True)
+    p = d / f"ckpt_{step:08d}"
+    ckptr = _checkpointer()
+    state = {
+        "step": np.asarray(step, np.int32),
+        "phi": phi,
+        "c1": np.asarray(np.nan if c1 is None else c1, np.float64),
+        "c2": np.asarray(np.nan if c2 is None else c2, np.float64),
+    }
+    ckptr.save(p, state, force=True)
+    ckptr.wait_until_finished()
+    return p
+
+
+def latest_sharded(path_dir) -> Optional[Path]:
+    d = Path(path_dir).resolve()
+    if not d.is_dir():
+        return None
+    cands = sorted(f for f in d.iterdir()
+                   if f.is_dir() and _CKPT_RE.match(f.name))
+    return cands[-1] if cands else None
+
+
+def restore_sharded(path, mesh, shape, dtype):
+    """Restore {step, phi, c1, c2} with phi placed P('x','y') on ``mesh``."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ckptr = _checkpointer()
+    tgt = {
+        "step": np.zeros((), np.int32),
+        "phi": jax.ShapeDtypeStruct(
+            shape, dtype, sharding=NamedSharding(mesh, P("x", "y"))),
+        "c1": np.zeros((), np.float64),
+        "c2": np.zeros((), np.float64),
+    }
+    return ckptr.restore(Path(path).resolve(), tgt)
+
+
+def segment_sharded_with_checkpoints(u0, p, mesh, iters: int, ckpt_dir,
+                                     every: int = 50, phi0=None,
+                                     resume: bool = True,
+                                     use_pallas=None, halo="ppermute"):
+    """Fixed-iteration SHARDED segmentation, checkpointing every ``every``
+    iterations with orbax array serialization; resumes from the newest
+    checkpoint. Returns the final (sharded) SegResult.
+    """
+    import jax.numpy as jnp
+
+    from ..parallel.sharded import segment_sharded
+
+    if every <= 0 or iters < 0:
+        raise ValueError(f"need every > 0 and iters >= 0 "
+                         f"(got every={every}, iters={iters})")
+    start = 0
+    phi = phi0
+    if resume:
+        ck = latest_sharded(ckpt_dir)
+        if ck is not None:
+            state = restore_sharded(ck, mesh, u0.shape[:2], u0.dtype)
+            start = int(state["step"])
+            phi = state["phi"]
+
+    n = start
+    res = None
+    while n < iters:
+        chunk = min(every, iters - n)
+        res = segment_sharded(u0, p, mesh, phi0=phi, max_iter=chunk,
+                              fixed=True, use_pallas=use_pallas, halo=halo)
+        phi = res.phi
+        n += chunk
+        save_sharded(ckpt_dir, n, phi, res.c1, res.c2)
+    if res is None:  # resumed past the requested iteration count
+        res = segment_sharded(u0, p, mesh, phi0=phi, max_iter=0,
+                              fixed=True, use_pallas=use_pallas, halo=halo)
+    return res

@@ -1,0 +1,160 @@
+"""Sharded energy trace + orbax sharded checkpointing + the extended
+checkpoint drivers (VERDICT r1 missing #5 / weak #9)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chan_vese_tpu.cli import main
+from chan_vese_tpu.models.scalar import segment_fixed
+from chan_vese_tpu.params import CVParams
+from chan_vese_tpu.parallel import mesh as meshmod
+from chan_vese_tpu.parallel.sharded import (segment_sharded,
+                                            segment_sharded_fixed_trace)
+from chan_vese_tpu.utils import checkpoint_sharded as cks
+from chan_vese_tpu.utils import image_io, trace
+from fixtures import colored_squares, two_disks
+
+F32 = jnp.float32
+
+
+@pytest.fixture(scope="module")
+def grid_mesh():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 (fake) devices")
+    return meshmod.make_grid_mesh(2, 4)
+
+
+def test_sharded_trace_matches_unsharded(grid_mesh):
+    """Sharded per-iteration energy/delta/means == unsharded segment_fixed
+    (the psum'd energy uses the same forward-difference convention)."""
+    img, _ = two_disks(32, 64, noise=6.0)
+    u0 = jnp.asarray(img)  # f64 under the test config: tight agreement
+    p = CVParams()
+    tr_sh = segment_sharded_fixed_trace(u0, p, grid_mesh, iters=20)
+    tr_un = segment_fixed(u0, p, iters=20)
+    np.testing.assert_allclose(np.asarray(tr_sh.energy),
+                               np.asarray(tr_un.energy), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(tr_sh.c1), np.asarray(tr_un.c1),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(tr_sh.delta),
+                               np.asarray(tr_un.delta),
+                               rtol=1e-7, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(tr_sh.mask),
+                                  np.asarray(tr_un.mask))
+
+
+def test_sharded_trace_vector(grid_mesh):
+    from chan_vese_tpu.models.vector import segment_vector_fixed
+
+    img, _ = colored_squares(32, 64, noise=4.0)
+    u0 = jnp.asarray(img)
+    p = CVParams()
+    l1 = (1.0, 1.2, 0.8)
+    tr_sh = segment_sharded_fixed_trace(u0, p, grid_mesh, iters=15,
+                                        lambda1=l1)
+    tr_un = segment_vector_fixed(u0, p, iters=15, lambda1=l1)
+    np.testing.assert_allclose(np.asarray(tr_sh.energy),
+                               np.asarray(tr_un.energy), rtol=1e-9)
+    np.testing.assert_array_equal(np.asarray(tr_sh.mask),
+                                  np.asarray(tr_un.mask))
+
+
+def test_sharded_checkpoint_roundtrip_and_resume(grid_mesh, tmp_path):
+    img, _ = two_disks(32, 64, noise=6.0)
+    u0 = jnp.asarray(img)  # f64 under the test config: tight agreement
+    p = CVParams()
+    ckdir = tmp_path / "ck"
+    res = cks.segment_sharded_with_checkpoints(u0, p, grid_mesh, iters=12,
+                                               ckpt_dir=ckdir, every=5)
+    # checkpoints at 5, 10, 12
+    names = sorted(d.name for d in ckdir.iterdir() if d.is_dir())
+    assert names == ["ckpt_00000005", "ckpt_00000010", "ckpt_00000012"]
+    # chunked == unchunked (chunk-start means == carried partial means)
+    ref = segment_sharded(u0, p, grid_mesh, max_iter=12, fixed=True)
+    np.testing.assert_allclose(np.asarray(res.phi), np.asarray(ref.phi),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(res.mask),
+                                  np.asarray(ref.mask))
+    # resume: bit-exact restart from the newest checkpoint
+    state = cks.restore_sharded(cks.latest_sharded(ckdir), grid_mesh,
+                                u0.shape, u0.dtype)
+    assert int(state["step"]) == 12
+    np.testing.assert_array_equal(np.asarray(state["phi"]),
+                                  np.asarray(res.phi))
+    res2 = cks.segment_sharded_with_checkpoints(u0, p, grid_mesh, iters=12,
+                                                ckpt_dir=ckdir, every=5)
+    np.testing.assert_array_equal(np.asarray(res2.phi),
+                                  np.asarray(res.phi))
+
+
+def test_multiphase_checkpoint_resume(tmp_path):
+    from chan_vese_tpu.models.multiphase import segment_multiphase
+    from chan_vese_tpu.utils.checkpoint import (
+        segment_multiphase_with_checkpoints)
+    from fixtures import four_regions
+
+    img, _ = four_regions(32, 64, noise=4.0)
+    u0 = jnp.asarray(img, F32)
+    p = CVParams(mu=0.003 * 255 ** 2)
+    ckdir = tmp_path / "mp"
+    res = segment_multiphase_with_checkpoints(u0, p, iters=10,
+                                              ckpt_dir=ckdir, every=4)
+    ref = segment_multiphase(u0, p, fixed=True, max_iter=10)
+    np.testing.assert_array_equal(np.asarray(res.labels),
+                                  np.asarray(ref.labels))
+    res2 = segment_multiphase_with_checkpoints(u0, p, iters=10,
+                                               ckpt_dir=ckdir, every=4)
+    np.testing.assert_array_equal(np.asarray(res2.phis),
+                                  np.asarray(res.phis))
+
+
+def test_vector_checkpoint(tmp_path):
+    from chan_vese_tpu.models.vector import segment_vector_fixed
+    from chan_vese_tpu.utils.checkpoint import segment_with_checkpoints
+
+    img, _ = colored_squares(32, 64, noise=4.0)
+    u0 = jnp.asarray(img, F32)
+    p = CVParams()
+    phi = segment_with_checkpoints(u0, p, iters=8, ckpt_dir=tmp_path / "v",
+                                   every=3, lambda1=(1.0, 1.2, 0.8))
+    ref = segment_vector_fixed(u0, p, iters=8, lambda1=(1.0, 1.2, 0.8))
+    np.testing.assert_allclose(np.asarray(phi), np.asarray(ref.phi),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_cli_sharded_trace_and_checkpoint(grid_mesh, tmp_path):
+    img, _ = two_disks(32, 64, noise=6.0)
+    pth = tmp_path / "in.png"
+    image_io._save_u8(pth, np.clip(img, 0, 255).astype(np.uint8))
+
+    csv = tmp_path / "t.csv"
+    rc = main([str(pth), "--mesh", "2", "4", "--iters", "10",
+               "--trace-energy", str(csv), "--quiet",
+               "-o", str(tmp_path / "m.png")])
+    assert rc == 0
+    tr = trace.read_energy_csv(csv)
+    assert len(tr["energy"]) == 10
+    assert (np.diff(tr["energy"]) <= 1e-6 * np.abs(tr["energy"][:-1])).all()
+
+    ck = tmp_path / "ck"
+    rc = main([str(pth), "--mesh", "2", "4", "--iters", "10",
+               "--checkpoint-dir", str(ck), "--checkpoint-every", "5",
+               "--quiet", "-o", str(tmp_path / "m2.png")])
+    assert rc == 0
+    assert cks.latest_sharded(ck) is not None
+
+
+def test_cli_color_checkpoint(tmp_path):
+    """Also covers the default --lambda1 [1.0] -> 3-channel broadcast."""
+    img, _ = colored_squares(32, 64, noise=4.0)
+    pth = tmp_path / "in.png"
+    image_io._save_u8(pth, np.clip(img, 0, 255).astype(np.uint8))
+    ck = tmp_path / "ck"
+    rc = main([str(pth), "--color", "--iters", "8",
+               "--checkpoint-dir", str(ck), "--checkpoint-every", "4",
+               "--quiet", "-o", str(tmp_path / "m.png")])
+    assert rc == 0
+    from chan_vese_tpu.utils.checkpoint import latest
+    assert latest(ck) is not None
