@@ -16,6 +16,7 @@ from .models.multiphase import (MultiphaseResult, segment_multiphase,
 from .models.batched import segment_batch, segment_stack_fixed
 from .models.fused import segment_fused, segment_fused_fixed
 from .models.resident import segment_resident, segment_resident_fixed
+from .models.banded import segment_banded, segment_banded_fixed
 from .compat import chan_vese
 
 __all__ = [
@@ -27,6 +28,7 @@ __all__ = [
     "segment_batch", "segment_stack_fixed",
     "segment_fused", "segment_fused_fixed",
     "segment_resident", "segment_resident_fixed",
+    "segment_banded", "segment_banded_fixed",
 ]
 
 __version__ = "0.1.0"

@@ -83,6 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="sharded halo mechanism: XLA collective "
                          "(default), Pallas remote-DMA ring, or "
                          "comm/compute overlap (jnp path only)")
+    ap.add_argument("--comm-k", type=int, default=1, metavar="K",
+                    help="sharded communication-avoiding chunking: one "
+                         "4K-deep halo exchange per K iterations "
+                         "(frozen-means trajectory class; grayscale)")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="write .npz checkpoints here every "
                          "--checkpoint-every iterations (fixed mode); "
@@ -225,7 +229,8 @@ def main(argv=None) -> int:
                                        segment_sharded_fixed_trace)
 
         mesh = make_grid_mesh(*args.mesh)
-        up = (False if (args.no_fused or args.halo == "overlap") else None)
+        up = (False if (args.no_fused or args.halo == "overlap"
+                        or args.comm_k > 1) else None)
         if not fixed:
             # the per-iteration trace/checkpoint/gif surfaces need a fixed
             # iteration count, exactly like the unsharded paths
@@ -235,7 +240,7 @@ def main(argv=None) -> int:
                          ("--checkpoint-dir", args.checkpoint_dir))
             res = segment_sharded(u0, p, mesh, fixed=False, lambda1=lam1,
                                   lambda2=lam2, use_pallas=up,
-                                  halo=args.halo)
+                                  halo=args.halo, comm_k=args.comm_k)
             mask, iters, c1, c2 = res.mask, int(res.iters), res.c1, res.c2
         elif args.trace_energy:
             if args.checkpoint_dir:
@@ -270,7 +275,8 @@ def main(argv=None) -> int:
         else:
             res = segment_sharded(u0, p, mesh, max_iter=args.iters,
                                   fixed=True, lambda1=lam1, lambda2=lam2,
-                                  use_pallas=up, halo=args.halo)
+                                  use_pallas=up, halo=args.halo,
+                                  comm_k=args.comm_k)
             mask, iters, c1, c2 = res.mask, args.iters, res.c1, res.c2
         if fixed and args.evolution_gif:
             # chunked re-run threading phi0, as in the unsharded gif path

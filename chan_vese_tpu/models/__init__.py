@@ -7,6 +7,7 @@ from .multiphase import (MultiphaseResult, MultiphaseTrace,
 from .batched import (segment_batch, segment_stack_fixed,
                       segment_stack_fused_fixed)
 from .fused import segment_fused, segment_fused_fixed
+from .banded import segment_banded, segment_banded_fixed
 
 __all__ = [
     "segment", "segment_fixed", "step", "SegResult", "SegTrace",
@@ -15,4 +16,5 @@ __all__ = [
     "MultiphaseResult", "MultiphaseTrace",
     "segment_batch", "segment_stack_fixed", "segment_stack_fused_fixed",
     "segment_fused", "segment_fused_fixed",
+    "segment_banded", "segment_banded_fixed",
 ]

@@ -7,7 +7,7 @@ extends the idea to images of ANY size by generalizing the overlapped
 band tiling of ops/pallas_sweep.py from 1 iteration to k:
 
     load  (U + b + D, W) tile          U = ceil8(4k), D = ceil8(2k)
-    run   k full red-black iterations in VMEM (fori_loop, frozen c1/c2)
+    run   k full red-black iterations in VMEM (frozen c1/c2)
     store the band's b rows
 
 One full red-black iteration at row r reads old phi over rows
@@ -87,20 +87,24 @@ def supports_banded(h: int, w: int, k: int) -> bool:
 
 def _banded_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
                    phi_scr, u0_scr, f_scr, work_scr, sems,
-                   *, H, W, b, k, up, dn, mu, nu, l1, l2, dt, eps, eta2):
+                   *, H, W, b, k, up, dn, mu, nu, l1, l2, dt, eps, eta2,
+                   unroll=1):
     """Grid (nbands, k): step (i, j) runs iteration j of band i.
 
     The in-chunk iterate lives in ``work_scr`` (explicit scratch, not a
     loop-carried value: a fori_loop over k tile-sized carries makes
     Mosaic's register allocator spill tens of MB of VMEM - measured OOM
     at k = 4 on v5e - while one-iteration-per-grid-step keeps the live
-    set identical to the proven single-iteration kernel). The frozen
-    data term is computed once per band into ``f_scr``; stores drain two
-    BANDS behind, giving them k grid steps of latency to hide in.
+    set identical to the proven single-iteration kernel; ``unroll``
+    iterations per step trade a little of that safety for fewer
+    per-step overheads). The frozen data term is computed once per band
+    into ``f_scr``; stores drain two BANDS behind, giving them k grid
+    steps of latency to hide in.
     """
     T = b + up + dn
     i = pl.program_id(0)
     j = pl.program_id(1)
+    nsteps = pl.num_programs(1)
     nbands = pl.num_programs(0)
 
     def window(ii):
@@ -150,22 +154,25 @@ def _banded_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
                        + l2 * (u0 - c_ref[0, 1]) ** 2)
         work_scr[slot] = phi_scr[slot]
 
-    phi = work_scr[slot]
+    phi_n = work_scr[slot]
     f = f_scr[slot]
 
     _, s = window(i)
-    rows = jax.lax.broadcasted_iota(jnp.int32, phi.shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, phi.shape, 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 1)
     grow = rows + s
     red = ((grow + cols) % 2) == 0
 
-    g = (dt * eps / math.pi) / (eps * eps + phi * phi)
-    phi_r = jnp.where(red, _update_all(phi, g, f, mu, dt, eps, eta2), phi)
-    phi_n = jnp.where(red, phi_r,
-                      _update_all(phi_r, g, f, mu, dt, eps, eta2))
+    for _ in range(unroll):
+        phi = phi_n
+        g = (dt * eps / math.pi) / (eps * eps + phi * phi)
+        phi_r = jnp.where(red, _update_all(phi, g, f, mu, dt, eps, eta2),
+                          phi)
+        phi_n = jnp.where(red, phi_r,
+                          _update_all(phi_r, g, f, mu, dt, eps, eta2))
     work_scr[slot] = phi_n
 
-    @pl.when(j == k - 1)
+    @pl.when(j == nsteps - 1)
     def _():
         store_dma(i, slot).start()
 
@@ -193,17 +200,24 @@ def _banded_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
             store_dma(i - 1, (i - 1) % 2).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("p", "k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("p", "k", "unroll",
+                                             "interpret"))
 def banded_chunk(phi, u0, c1, c2, p: CVParams, k: int = 8,
+                 unroll: int = 1,
                  interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Run k red-black iterations with frozen means in one HBM pass.
 
     Returns (phi_new, partials (8,)) where the partials describe the
     LAST iteration's transition (layout of ops/pallas_sweep.py).
+    ``unroll`` runs that many iterations per grid step (k % unroll == 0)
+    to amortize Mosaic's per-step costs; values > 2 risk VMEM spill OOM.
     """
     H, W = phi.shape
     if not supports_banded(H, W, k):
         raise ValueError(f"banded path unsupported for {phi.shape}, k={k}")
+    if unroll < 1 or k % unroll:
+        raise ValueError(f"unroll must divide k (got k={k}, "
+                         f"unroll={unroll})")
     up, dn = _halos(k)
     b = band_rows_banded(H, W, k)
     nbands = pl.cdiv(H, b)
@@ -212,12 +226,13 @@ def banded_chunk(phi, u0, c1, c2, p: CVParams, k: int = 8,
 
     kernel = functools.partial(
         _banded_kernel, H=H, W=W, b=b, k=k, up=up, dn=dn, mu=p.mu, nu=p.nu,
-        l1=p.lambda1, l2=p.lambda2, dt=p.dt, eps=p.eps, eta2=p.eta2)
+        l1=p.lambda1, l2=p.lambda2, dt=p.dt, eps=p.eps, eta2=p.eta2,
+        unroll=unroll)
 
     T = b + up + dn
     phi_new, partials = pl.pallas_call(
         kernel,
-        grid=(nbands, k),
+        grid=(nbands, k // unroll),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),

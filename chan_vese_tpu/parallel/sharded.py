@@ -59,28 +59,31 @@ def _global_coords(shape, ix, iy, h, w, pad=_D):
     return ix * h + pi - pad, iy * w + pj - pad
 
 
-def _resync_replicas(pad, ix, iy, nx, ny, edges=(True, True, True, True)):
+def _resync_replicas(pad, ix, iy, nx, ny, edges=(True, True, True, True),
+                     depth=_D):
     """Refresh global-edge replica halos from the current edge cells.
 
     ``edges`` (static top/bottom/left/right booleans) restricts which
     sides are treated as potential canvas edges - strip slices of the
-    canvas (the halo-overlap path) only contain some of them."""
+    canvas (the halo-overlap path) only contain some of them. ``depth``
+    is the halo depth of the padded block (4 for the per-iteration
+    exchange; 4k for the communication-avoiding chunked path)."""
     et, eb, el, er = edges
     rows = jax.lax.broadcasted_iota(jnp.int32, pad.shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, pad.shape, 1)
     if et:
-        top = jnp.broadcast_to(pad[_D: _D + 1, :], pad.shape)
-        pad = jnp.where((ix == 0) & (rows < _D), top, pad)
+        top = jnp.broadcast_to(pad[depth: depth + 1, :], pad.shape)
+        pad = jnp.where((ix == 0) & (rows < depth), top, pad)
     if eb:
-        bot = jnp.broadcast_to(pad[-_D - 1: -_D, :], pad.shape)
-        pad = jnp.where((ix == nx - 1) & (rows >= pad.shape[0] - _D), bot,
-                        pad)
+        bot = jnp.broadcast_to(pad[-depth - 1: -depth, :], pad.shape)
+        pad = jnp.where((ix == nx - 1) & (rows >= pad.shape[0] - depth),
+                        bot, pad)
     if el:
-        left = jnp.broadcast_to(pad[:, _D: _D + 1], pad.shape)
-        pad = jnp.where((iy == 0) & (cols < _D), left, pad)
+        left = jnp.broadcast_to(pad[:, depth: depth + 1], pad.shape)
+        pad = jnp.where((iy == 0) & (cols < depth), left, pad)
     if er:
-        right = jnp.broadcast_to(pad[:, -_D - 1: -_D], pad.shape)
-        pad = jnp.where((iy == ny - 1) & (cols >= pad.shape[1] - _D),
+        right = jnp.broadcast_to(pad[:, -depth - 1: -depth], pad.shape)
+        pad = jnp.where((iy == ny - 1) & (cols >= pad.shape[1] - depth),
                         right, pad)
     return pad
 
@@ -346,11 +349,11 @@ def _sharded_reinit(phi_local, n, p: CVParams, always=False):
 
 
 def _sweep_local(pad, f, p, red, black, ix, iy, nx, ny,
-                 resync_edges=(True, True, True, True)):
+                 resync_edges=(True, True, True, True), depth=_D):
     """Red+black half-sweeps on a padded block with replica resync."""
     upd = _update_all(pad, f, p.mu, p.dt, p.eps, p.eta2)
     pad = jnp.where(red, upd, pad)
-    pad = _resync_replicas(pad, ix, iy, nx, ny, resync_edges)
+    pad = _resync_replicas(pad, ix, iy, nx, ny, resync_edges, depth)
     upd = _update_all(pad, f, p.mu, p.dt, p.eps, p.eta2)
     return jnp.where(black, upd, pad)
 
@@ -436,9 +439,74 @@ def _sharded_multiphase_iteration(phis, u0_pad, p: CVParams, ix, iy, nx, ny,
     return new, flips / n_pix
 
 
+
+def _sharded_chunk_jnp(phi, u0_padk, c1, c2, p: CVParams, k, ix, iy,
+                       nx, ny, h, w, n_pix, sum_u, halo="ppermute",
+                       interpret=False):
+    """Communication-avoiding chunk: ONE depth-4k halo exchange, then k
+    frozen-means red-black iterations on the padded block (SURVEY.md
+    §2.9 scale-out; the sharded twin of ops/pallas_banded.py).
+
+    Per iteration the exact-trajectory region of the pad shrinks by the
+    composite stencil reach (4 up/left, 2 down/right), so a 4k-deep halo
+    keeps the owned block exact through all k iterations - the same
+    overlapped-tiling invariant as the banded kernel, with the halo
+    playing the role of the deep band rim. Communication VOLUME per
+    iteration is ~2x the depth-4-every-iteration path (4k-deep halos
+    every k iterations, both directions), but the collective LATENCY -
+    ppermute rounds and the means psum - drops k-fold, which is the
+    regime that matters on big meshes. c1/c2 are frozen across the
+    chunk (refreshed from the chunk's final partials): the
+    frozen-means-per-chunk trajectory class of models/banded.py, k = 1
+    degenerating to the standard per-iteration path.
+
+    The halo depth comes from ``u0_padk`` (4 * comm_k), not from ``k``:
+    the static remainder chunk runs fewer iterations against the same
+    loop-invariant padded image.
+    """
+    D = (u0_padk.shape[0] - h) // 2
+    if halo == "rdma":
+        from .halo_rdma import exchange_halo2d_rdma
+        pad = exchange_halo2d_rdma(phi, D, interpret=interpret)
+    else:
+        pad = exchange_halo2d(phi, D)
+    gi, gj = _global_coords(pad.shape, ix, iy, h, w, pad=D)
+    valid = ((gi >= 0) & (gi < nx * h) & (gj >= 0) & (gj < ny * w))
+    red = ((gi + gj) % 2 == 0) & valid
+    black = ((gi + gj) % 2 == 1) & valid
+    f = (-p.nu - p.lambda1 * (u0_padk - c1) ** 2
+         + p.lambda2 * (u0_padk - c2) ** 2)
+
+    prev = pad
+    for _ in range(k):
+        prev = pad
+        # refresh the global-edge Neumann replicas from the CURRENT edge
+        # cells: the sweeps never touch invalid (out-of-globe) halo
+        # cells, and the per-iteration-exchange path rebuilds them from
+        # the post-iteration state every exchange (no-op at j = 0, where
+        # exchange_halo2d just installed them)
+        pad = _resync_replicas(pad, ix, iy, nx, ny, depth=D)
+        pad = _sweep_local(pad, f, p, red, black, ix, iy, nx, ny, depth=D)
+
+    new = pad[D: D + h, D: D + w]
+    prev_loc = prev[D: D + h, D: D + w]
+    u0_loc = u0_padk[D: D + h, D: D + w]
+    h_eps = heaviside(new, p.eps)
+    dphi = new - prev_loc
+    flips = ((new >= 0) != (prev_loc >= 0)).astype(new.dtype)
+    parts = jnp.stack([
+        jnp.sum(u0_loc * h_eps), jnp.sum(h_eps),
+        jnp.sum(dphi * dphi), jnp.sum(flips), jnp.sum(jnp.abs(dphi)),
+    ])
+    parts = lax.psum(parts, ("x", "y"))
+    c1n, c2n = means_from_sums(parts[0], parts[1], sum_u, n_pix)
+    delta = _delta_from_partials(parts, n_pix, p)
+    return new, c1n, c2n, delta
+
+
 def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed,
                  use_pallas=False, interpret=False, lambdas=None,
-                 halo="ppermute"):
+                 halo="ppermute", comm_k=1):
     """shard_map body: the full solver on a local (h, w[, C]) block."""
     ix = lax.axis_index("x")
     iy = lax.axis_index("y")
@@ -464,6 +532,46 @@ def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed,
     s_h = lax.psum(jnp.sum(h0), ("x", "y"))
     c1 = s_uh / jnp.maximum(s_h, 1e-30)
     c2 = (s_u - s_uh) / jnp.maximum(n_pix - s_h, 1e-30)
+
+    if comm_k > 1:
+        # communication-avoiding chunked loop (see _sharded_chunk_jnp)
+        u0_padk = exchange_halo2d(u0, 4 * comm_k)
+
+        def run_chunk(state, size):
+            phi, a, b, n, _, streak = state
+            phi, a, b, delta = _sharded_chunk_jnp(
+                phi, u0_padk, a, b, p, size, ix, iy, nx, ny, h, w,
+                n_pix, s_u, halo=halo, interpret=interpret)
+            streak = jnp.where(delta < p.tol, streak + 1, 0)
+            return (phi, a, b, n + size, delta, streak)
+
+        def not_stopped(state):
+            _, _, _, n, delta, streak = state
+            done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
+            diverged = jnp.logical_and(
+                n > 0, jnp.logical_not(jnp.isfinite(delta)))
+            return jnp.logical_not(jnp.logical_or(done, diverged))
+
+        full = (max_iter // comm_k) * comm_k
+        rem = max_iter - full
+
+        def chunk_cond(state):
+            if fixed:
+                return state[3] < full
+            return jnp.logical_and(state[3] < full, not_stopped(state))
+
+        init = (phi0, c1, c2, jnp.int32(0),
+                jnp.asarray(jnp.inf, u0.dtype), jnp.int32(0))
+        state = lax.while_loop(chunk_cond,
+                               lambda st: run_chunk(st, comm_k), init)
+        if rem:
+            pred = state[3] < max_iter
+            if not fixed:
+                pred = jnp.logical_and(pred, not_stopped(state))
+            state = lax.cond(pred, lambda st: run_chunk(st, rem),
+                             lambda st: st, state)
+        phi, c1, c2, iters, delta, _ = state
+        return phi, c1, c2, iters, delta
 
     # loop-invariant pallas-path setup: lane-aligned u0 canvas, parity,
     # edge flags (would otherwise be rebuilt every while_loop iteration)
@@ -530,7 +638,8 @@ def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
                     use_pallas: Optional[bool] = None,
                     lambda1=None, lambda2=None,
                     interpret: bool = False,
-                    halo: str = "ppermute") -> SegResult:
+                    halo: str = "ppermute",
+                    comm_k: int = 1) -> SegResult:
     """Segment one large image sharded over a 2D ('x', 'y') device mesh.
 
     u0: (H, W) grayscale or (H, W, C) vector-valued (channels replicated,
@@ -538,6 +647,12 @@ def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
     W % ny == 0. phi is returned with the input's spatial sharding.
     Tolerance mode by default; fixed=True runs exactly max_iter iterations
     (eval config 4 benchmarking).
+
+    comm_k: communication-avoiding chunking - exchange a 4k-deep halo
+    once per comm_k iterations and run them locally with frozen means
+    (the models/banded.py trajectory class; grayscale jnp path only).
+    Collective latency per iteration drops comm_k-fold; convergence is
+    checked per chunk.
 
     halo: per-iteration phi halo exchange mechanism - 'ppermute' (XLA
     collective, default and the multi-device-validated path) or 'rdma'
@@ -567,6 +682,19 @@ def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
         raise ValueError(
             "halo='overlap' needs use_pallas=False (the per-shard kernel "
             "consumes the whole canvas) and shards of at least 16x16")
+    if comm_k < 1:
+        raise ValueError("comm_k must be >= 1")
+    if comm_k > 1:
+        if (u0.ndim == 3 or halo == "overlap" or p.reinit_every
+                or use_pallas not in (None, False)):
+            raise ValueError(
+                "comm_k > 1 runs the grayscale jnp path without reinit "
+                "(use_pallas=False, halo in {'ppermute', 'rdma'})")
+        if 4 * comm_k > min(H // nx, W // ny):
+            raise ValueError(
+                f"comm_k={comm_k} needs 4*comm_k-deep halos, larger than "
+                f"the shard ({H // nx}, {W // ny})")
+        use_pallas = False
     vec = u0.ndim == 3
     if vec:
         if halo != "ppermute":
@@ -605,7 +733,7 @@ def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
                              fixed=fixed, max_iter=cap)
 
     run = _build_program(p, mesh, nx, ny, cap, fixed, use_pallas,
-                         interpret, vec, lambdas, halo)
+                         interpret, vec, lambdas, halo, comm_k)
 
     spec = NamedSharding(mesh, P("x", "y", None) if vec else P("x", "y"))
     u0 = jax.device_put(u0, spec)
@@ -700,14 +828,14 @@ def _build_mp_program(p, mesh, nx, ny, cap, fixed, m_sets, vec=False):
 
 @functools.lru_cache(maxsize=64)
 def _build_program(p, mesh, nx, ny, cap, fixed, use_pallas, interpret,
-                   vec=False, lambdas=None, halo="ppermute"):
+                   vec=False, lambdas=None, halo="ppermute", comm_k=1):
     """Cache the jitted shard_map program (a fresh closure per call would
     retrace on every segment_sharded invocation - ~2s per call at 4K)."""
 
     def local_fn(u0_loc, phi0_loc):
         return _run_sharded(u0_loc, phi0_loc, p, nx, ny, cap, fixed,
                             use_pallas=use_pallas, interpret=interpret,
-                            lambdas=lambdas, halo=halo)
+                            lambdas=lambdas, halo=halo, comm_k=comm_k)
 
     u_spec = P("x", "y", None) if vec else P("x", "y")
     mapped = shard_map(

@@ -184,3 +184,41 @@ def test_halos_alignment():
         up, dn = pallas_banded._halos(k)
         assert up >= 4 * k and dn >= 2 * k
         assert up % 8 == 0 and dn % 8 == 0
+
+
+@pytest.mark.tpu
+def test_banded_chunk_compiled_tpu():
+    """Compiled-on-chip equivalence (run with RUN_TPU_TESTS=1)."""
+    rng = np.random.default_rng(10)
+    shape = (256, 256)
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), F32)
+    phi = jnp.asarray(rng.standard_normal(shape), F32)
+    p = CVParams()
+    c1, c2 = region_means(u0, phi, p.eps)
+    got_phi, got_parts = pallas_banded.banded_chunk(phi, u0, c1, c2, p, 4)
+    want_phi, want_parts = _ref_chunk(phi, u0, c1, c2, p, 4)
+    np.testing.assert_allclose(np.asarray(got_phi), np.asarray(want_phi),
+                               rtol=2e-5, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_parts)[:2],
+                               np.asarray(want_parts)[:2], rtol=1e-4)
+
+
+def test_banded_unroll_equals_unrolled():
+    """unroll=2 runs the same math per chunk as unroll=1."""
+    rng = np.random.default_rng(5)
+    shape = (64, 128)
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), F32)
+    phi = jnp.asarray(rng.standard_normal(shape), F32)
+    p = CVParams()
+    c1, c2 = region_means(u0, phi, p.eps)
+    a, pa = pallas_banded.banded_chunk(phi, u0, c1, c2, p, 4, unroll=1,
+                                       interpret=True)
+    b, pb = pallas_banded.banded_chunk(phi, u0, c1, c2, p, 4, unroll=2,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                               rtol=1e-5, atol=0.5)
+    with pytest.raises(ValueError, match="unroll"):
+        pallas_banded.banded_chunk(phi, u0, c1, c2, p, 4, unroll=3,
+                                   interpret=True)

@@ -191,3 +191,18 @@ def test_mp2_route_policy():
     # reinit cadence excludes the resident route
     p_r = CVParams(reinit_every=10)
     assert mp._mp2_route(u_small, p_r, 2, True) == "banded"
+
+
+@pytest.mark.tpu
+def test_mp2_kernels_compiled_tpu():
+    """Compiled-on-chip 4-phase kernels (run with RUN_TPU_TESTS=1)."""
+    u0, phis = _mk((256, 256), seed=11)
+    p = CVParams(mu=0.003 * 255 ** 2)
+    cs = jnp.stack(mp.phase_means(u0, phis, p.eps))
+    got, parts = pmp.mp2_iteration(phis, u0, cs, p)
+    want, _ = mp.multiphase_step(phis, u0, p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-2)
+    got_r, parts_r = pmp.mp2_resident_iterations(phis, u0, p, 1)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want),
+                               rtol=2e-4, atol=2e-2)

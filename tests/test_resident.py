@@ -239,3 +239,21 @@ def test_resident_fixed_routes_rgb():
     u0o = jnp.asarray(rng.uniform(0, 255, (32, 100, 3)), jnp.float32)
     phi2, _ = segment_resident_fixed(u0o, p, iters=4, interpret=True)
     assert phi2.shape == (32, 100)
+
+
+@pytest.mark.tpu
+def test_resident_mc_compiled_tpu():
+    """Compiled-on-chip multichannel resident kernel (RUN_TPU_TESTS=1)."""
+    from chan_vese_tpu.ops import pallas_resident
+    from chan_vese_tpu.models.vector import segment_vector_fixed
+
+    rng = np.random.default_rng(12)
+    u0 = jnp.asarray(rng.uniform(0, 255, (256, 256, 3)), jnp.float32)
+    p = CVParams()
+    from chan_vese_tpu.utils.init_phi import init_phi
+    phi0 = init_phi((256, 256), p.init, jnp.float32)
+    ucf = jnp.transpose(u0, (2, 0, 1))
+    got, _ = pallas_resident.resident_iterations_mc(phi0, ucf, p, 5)
+    ref = segment_vector_fixed(u0, p, iters=5, phi0=phi0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref.phi),
+                               rtol=2e-4, atol=2e-2)

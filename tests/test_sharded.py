@@ -73,11 +73,50 @@ def test_sharded_equals_unsharded_fixed_iters(grid_mesh):
     iters = 25
     res = segment_sharded(u, p, grid_mesh, max_iter=iters, fixed=True)
     ref = segment_fixed(u, p, iters=iters)
-    # single-iteration agreement is exact (tests below); over 25 iterations
-    # f32 divergence may flip a handful of borderline pixels
+    # Why not bitwise in f32: the FIRST ulp divergence enters at the very
+    # first region-means reduction - psum of 8 per-shard partial sums is a
+    # different f32 reduction tree than XLA's whole-array jnp.sum (measured
+    # 3 ulps of s_uH on this fixture; see
+    # test_f32_divergence_enters_at_means_reduction). Given IDENTICAL
+    # means, one sharded iteration is bitwise-exact (test below), so over
+    # 25 iterations the ulp means difference is amplified through the
+    # (u0 - c)^2 data term and may flip a handful of borderline pixels.
     mask_diff = (np.asarray(res.mask) != np.asarray(ref.mask)).sum()
     assert mask_diff <= 3, mask_diff
     assert iou(np.asarray(res.mask), np.asarray(ref.mask)) >= 0.995
+
+
+def test_f32_divergence_enters_at_means_reduction(grid_mesh):
+    """Documents (and pins) WHERE sharded-vs-unsharded f32 divergence
+    comes from: the reduction TREE of the region means. The psum of
+    per-shard partials and the whole-array jnp.sum are both correctly
+    rounded per step but associate differently; re-associating the same
+    f32 sums by 2x4 blocks reproduces a last-ulp difference class. This
+    is the only entry point: with identical means injected, one sharded
+    iteration is bitwise-identical (test_sharded_single_iteration_
+    elementwise runs tight; f64 runs agree to 1e-11)."""
+    from chan_vese_tpu.ops.numerics import heaviside
+    from chan_vese_tpu.params import CVParams as _P
+
+    img, _ = two_disks(32, 64, noise=6.0)
+    u = np.asarray(img, np.float32)
+    phi = np.asarray(init_phi((32, 64), "checkerboard", F32), np.float32)
+    h = np.asarray(heaviside(jnp.asarray(phi), _P().eps), np.float32)
+
+    whole = np.float32(jnp.sum(jnp.asarray(u * h)))
+    parts = []
+    for i in range(2):
+        for j in range(4):
+            parts.append(np.float32(jnp.sum(jnp.asarray(
+                (u * h)[i * 16:(i + 1) * 16, j * 16:(j + 1) * 16]))))
+    blockwise = np.float32(sum(parts))
+    # the two trees agree to a few ulps but NOT bitwise on this fixture -
+    # that last-ulp gap is the sharded trajectory's divergence seed
+    rel = abs(float(whole) - float(blockwise)) / abs(float(whole))
+    assert rel < 1e-6, rel
+    assert whole != blockwise, (
+        "reduction trees coincided on this fixture; pick a fixture where "
+        "they differ so the documented divergence mechanism stays pinned")
 
 
 def test_sharded_single_iteration_elementwise(grid_mesh):
