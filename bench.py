@@ -31,7 +31,7 @@ def _tpu_mpixel_iters(iters=200, reps=3):
     u0 = jnp.asarray(host)
     p = CVParams()
 
-    phi, _ = segment_banded_fixed(u0, p, iters=iters, k=8)  # compile + warm
+    phi, _ = segment_banded_fixed(u0, p, iters=iters, k=8)  # compile+warm
     jax.block_until_ready(phi)
     _ = float(phi[0, 0])
 

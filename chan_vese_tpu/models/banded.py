@@ -40,16 +40,19 @@ def _supported(u0, p: CVParams, k: int) -> bool:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("p", "iters", "k", "lambda1", "lambda2",
-                                    "interpret"))
+                   static_argnames=("p", "iters", "k", "unroll", "lambda1",
+                                    "lambda2", "interpret"))
 def segment_banded_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
                          k: int = 8, phi0: Optional[jax.Array] = None,
-                         lambda1=None, lambda2=None,
+                         lambda1=None, lambda2=None, unroll: int = 4,
                          interpret: bool = False):
     """Fixed-iteration banded run. Returns (phi, mask).
 
     Runs ceil-free: iters = full k-chunks + one static remainder chunk.
-    Falls back to the fused driver off the supported envelope.
+    Falls back to the fused driver off the supported envelope. Defaults
+    k=8, unroll=4: measured best at 4K on v5e (13.7 Gpix-it/s, 1.44x the
+    per-iteration fused kernel; docs/BENCHMARKS.md). ``unroll`` drops to
+    1 automatically for chunk sizes it does not divide.
     """
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
     if not _supported(u0, p, k) or iters < 1:
@@ -63,7 +66,9 @@ def segment_banded_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
 
     def chunk(carry, size):
         phi, c1, c2 = carry
+        un = unroll if size % unroll == 0 else 1
         phi, parts = pallas_banded.banded_chunk(phi, u0, c1, c2, p, size,
+                                                unroll=un,
                                                 interpret=interpret)
         c1, c2 = means_from_sums(parts[0], parts[1], sum_u, n_pix)
         return (phi, c1, c2)
@@ -80,11 +85,11 @@ def segment_banded_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("p", "k", "lambda1", "lambda2",
-                                    "interpret"))
+                   static_argnames=("p", "k", "unroll", "lambda1",
+                                    "lambda2", "interpret"))
 def segment_banded(u0, p: CVParams = CVParams(),
                    phi0: Optional[jax.Array] = None, k: int = 8,
-                   lambda1=None, lambda2=None,
+                   lambda1=None, lambda2=None, unroll: int = 4,
                    interpret: bool = False) -> SegResult:
     """Tolerance-mode banded segmentation (chunk-granular convergence).
 
@@ -113,7 +118,9 @@ def segment_banded(u0, p: CVParams = CVParams(),
 
     def run_chunk(state, size):
         phi, c1, c2, n, _, streak = state
+        un = unroll if size % unroll == 0 else 1
         phi, parts = pallas_banded.banded_chunk(phi, u0, c1, c2, p, size,
+                                                unroll=un,
                                                 interpret=interpret)
         c1, c2 = means_from_sums(parts[0], parts[1], sum_u, n_pix)
         delta = _delta_from_partials(parts, n_pix, p)

@@ -269,8 +269,10 @@ def mp2_iteration(phis, u0, cs, p: CVParams,
 
 def _mp2_resident_kernel(phis_hbm, u0_hbm, out_hbm, part_ref,
                          p0_scr, p1_scr, u0_scr, sems,
-                         *, iters, mu, nu, dt, eps, eta2):
-    """Resident 4-phase iterations; means recomputed in-kernel each step."""
+                         *, steps, unroll, mu, nu, dt, eps, eta2):
+    """Resident 4-phase iterations; means recomputed in-kernel every
+    iteration (``unroll`` per grid step - identical trajectory, fewer
+    fixed per-step costs)."""
     k = pl.program_id(0)
 
     @pl.when(k == 0)
@@ -282,25 +284,27 @@ def _mp2_resident_kernel(phis_hbm, u0_hbm, out_hbm, part_ref,
         pltpu.make_async_copy(phis_hbm.at[1], p1_scr, sems.at[1]).wait()
         pltpu.make_async_copy(u0_hbm, u0_scr, sems.at[2]).wait()
 
-    phi0 = p0_scr[:]
-    phi1 = p1_scr[:]
+    new0 = p0_scr[:]
+    new1 = p1_scr[:]
     u0 = u0_scr[:]
-
-    # phase means of the RESIDENT state (current iteration's, no lag)
-    h0 = _heaviside(phi0, eps)
-    h1 = _heaviside(phi1, eps)
     tiny = jnp.asarray(1e-30, u0.dtype)
-    c = []
-    for s, w in enumerate(((1.0 - h0) * (1.0 - h1), h0 * (1.0 - h1),
-                           (1.0 - h0) * h1, h0 * h1)):
-        c.append(jnp.sum(u0 * w) / jnp.maximum(jnp.sum(w), tiny))
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, phi0.shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, phi0.shape, 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, new0.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, new0.shape, 1)
     red = ((rows + cols) % 2) == 0
 
-    new0, new1 = _coupled_iteration(phi0, phi1, u0, c, red, mu, nu, dt,
-                                    eps, eta2)
+    for _ in range(unroll):
+        phi0, phi1 = new0, new1
+        # phase means of the RESIDENT state (current iteration's, no lag)
+        h0 = _heaviside(phi0, eps)
+        h1 = _heaviside(phi1, eps)
+        c = []
+        for s, w in enumerate(((1.0 - h0) * (1.0 - h1), h0 * (1.0 - h1),
+                               (1.0 - h0) * h1, h0 * h1)):
+            c.append(jnp.sum(u0 * w) / jnp.maximum(jnp.sum(w), tiny))
+
+        new0, new1 = _coupled_iteration(phi0, phi1, u0, c, red, mu, nu,
+                                        dt, eps, eta2)
+
     p0_scr[:] = new0
     p1_scr[:] = new1
 
@@ -316,7 +320,7 @@ def _mp2_resident_kernel(phis_hbm, u0_hbm, out_hbm, part_ref,
     for t in range(2, 8):
         part_ref[k, t] = 0.0
 
-    @pl.when(k == iters - 1)
+    @pl.when(k == steps - 1)
     def _():
         pltpu.make_async_copy(p0_scr, out_hbm.at[0], sems.at[0]).start()
         pltpu.make_async_copy(p1_scr, out_hbm.at[1], sems.at[1]).start()
@@ -324,16 +328,19 @@ def _mp2_resident_kernel(phis_hbm, u0_hbm, out_hbm, part_ref,
         pltpu.make_async_copy(p1_scr, out_hbm.at[1], sems.at[1]).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("p", "iters", "interpret"))
+@functools.partial(jax.jit, static_argnames=("p", "iters", "unroll",
+                                             "interpret"))
 def mp2_resident_iterations(phis, u0, p: CVParams, iters: int,
+                            unroll: int = 1,
                             interpret: bool = False
                             ) -> Tuple[jax.Array, jax.Array]:
     """Run ``iters`` 4-phase iterations entirely in VMEM.
 
-    Returns (phis_new (2, H, W), partials (iters, 8)) with rows
-    [label_flips, s_dphi2, 0...] per iteration. Means are exact per
-    iteration (recomputed from the resident state), the same schedule as
-    the jnp multiphase_step.
+    Returns (phis_new (2, H, W), partials (iters // unroll, 8)) with
+    rows [label_flips, s_dphi2, 0...] per grid step (the step's LAST
+    iteration). Means are exact per iteration (recomputed from the
+    resident state) for any unroll, the same schedule as the jnp
+    multiphase_step.
     """
     M, H, W = phis.shape
     if M != 2:
@@ -344,14 +351,18 @@ def mp2_resident_iterations(phis, u0, p: CVParams, iters: int,
         raise ValueError(f"mp2 resident unsupported for {(H, W)}")
     if iters < 1:
         raise ValueError("iters must be >= 1")
+    if unroll < 1 or iters % unroll:
+        raise ValueError(f"unroll must divide iters (got iters={iters}, "
+                         f"unroll={unroll})")
+    steps = iters // unroll
 
     kernel = functools.partial(
-        _mp2_resident_kernel, iters=iters, mu=p.mu, nu=p.nu, dt=p.dt,
-        eps=p.eps, eta2=p.eta2)
+        _mp2_resident_kernel, steps=steps, unroll=unroll, mu=p.mu, nu=p.nu,
+        dt=p.dt, eps=p.eps, eta2=p.eta2)
 
     phis_new, partials = pl.pallas_call(
         kernel,
-        grid=(iters,),
+        grid=(steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -362,7 +373,7 @@ def mp2_resident_iterations(phis, u0, p: CVParams, iters: int,
         ],
         out_shape=[
             jax.ShapeDtypeStruct(phis.shape, phis.dtype),
-            jax.ShapeDtypeStruct((iters, 8), phis.dtype),
+            jax.ShapeDtypeStruct((steps, 8), phis.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((H, W), phis.dtype),

@@ -56,7 +56,12 @@ def supports_resident_mc(h: int, w: int, c: int) -> bool:
 
 
 def _kernel(phi_hbm, u0_hbm, out_hbm, part_ref, phi_scr, u0_scr, sems,
-            *, iters, mu, nu, l1, l2, dt, eps, eta2, n_pix):
+            *, steps, unroll, mu, nu, l1, l2, dt, eps, eta2, n_pix):
+    """One grid step = ``unroll`` exact Chan-Vese iterations (means
+    recomputed from the resident phi every iteration - identical
+    trajectory for any unroll; unroll amortizes the ~20 us fixed
+    per-grid-step cost that dominates small images). Partials row k
+    describes grid step k's LAST iteration."""
     k = pl.program_id(0)
 
     @pl.when(k == 0)
@@ -66,26 +71,31 @@ def _kernel(phi_hbm, u0_hbm, out_hbm, part_ref, phi_scr, u0_scr, sems,
         pltpu.make_async_copy(phi_hbm, phi_scr, sems.at[0]).wait()
         pltpu.make_async_copy(u0_hbm, u0_scr, sems.at[1]).wait()
 
-    phi = phi_scr[:]
+    phi_n = phi_scr[:]
     u0 = u0_scr[:]
-
-    # region means of the resident phi (SURVEY.md C3) - current iteration's
-    h_eps = _heaviside(phi, eps)
-    s_uh = jnp.sum(u0 * h_eps)
-    s_h = jnp.sum(h_eps)
-    tiny = jnp.asarray(1e-30, phi.dtype)
-    c1 = s_uh / jnp.maximum(s_h, tiny)
-    c2 = (jnp.sum(u0) - s_uh) / jnp.maximum(n_pix - s_h, tiny)
-
-    f = -nu - l1 * (u0 - c1) ** 2 + l2 * (u0 - c2) ** 2
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, phi.shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, phi.shape, 1)
+    sum_u = jnp.sum(u0)
+    tiny = jnp.asarray(1e-30, phi_n.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 1)
     red = ((rows + cols) % 2) == 0
 
-    g = (dt * eps / math.pi) / (eps * eps + phi * phi)
-    phi_r = jnp.where(red, _update_all(phi, g, f, mu, dt, eps, eta2), phi)
-    phi_n = jnp.where(red, phi_r, _update_all(phi_r, g, f, mu, dt, eps, eta2))
+    for _ in range(unroll):
+        phi = phi_n
+        # region means of the resident phi (SURVEY.md C3) - current
+        # iteration's, no lag
+        h_eps = _heaviside(phi, eps)
+        s_uh = jnp.sum(u0 * h_eps)
+        s_h = jnp.sum(h_eps)
+        c1 = s_uh / jnp.maximum(s_h, tiny)
+        c2 = (sum_u - s_uh) / jnp.maximum(n_pix - s_h, tiny)
+
+        f = -nu - l1 * (u0 - c1) ** 2 + l2 * (u0 - c2) ** 2
+
+        g = (dt * eps / math.pi) / (eps * eps + phi * phi)
+        phi_r = jnp.where(red, _update_all(phi, g, f, mu, dt, eps, eta2),
+                          phi)
+        phi_n = jnp.where(red, phi_r,
+                          _update_all(phi_r, g, f, mu, dt, eps, eta2))
 
     phi_scr[:] = phi_n
 
@@ -100,18 +110,18 @@ def _kernel(phi_hbm, u0_hbm, out_hbm, part_ref, phi_scr, u0_scr, sems,
     part_ref[k, 6] = 0.0
     part_ref[k, 7] = 0.0
 
-    @pl.when(k == iters - 1)
+    @pl.when(k == steps - 1)
     def _():
         pltpu.make_async_copy(phi_scr, out_hbm, sems.at[2]).start()
         pltpu.make_async_copy(phi_scr, out_hbm, sems.at[2]).wait()
 
 
 def _kernel_batch(phi_hbm, u0_hbm, out_hbm, part_ref, phi_scr, u0_scr, sems,
-                  *, iters, mu, nu, l1, l2, dt, eps, eta2, n_pix):
-    """Batched variant: grid (N, iters) - for each frame (outer, sequential
-    on TPU) run ``iters`` resident iterations; DMA in at k == 0 and out at
-    k == iters - 1. Partials keep only each frame's LAST iteration row
-    (SMEM budget: (N, 8) instead of (N * iters, 8))."""
+                  *, steps, unroll, mu, nu, l1, l2, dt, eps, eta2, n_pix):
+    """Batched variant: grid (N, steps) - for each frame (outer,
+    sequential on TPU) run steps * unroll resident iterations; DMA in at
+    step 0 and out at the last step. Partials keep only each frame's
+    LAST iteration row (SMEM budget: (N, 8))."""
     fr = pl.program_id(0)
     k = pl.program_id(1)
 
@@ -122,29 +132,33 @@ def _kernel_batch(phi_hbm, u0_hbm, out_hbm, part_ref, phi_scr, u0_scr, sems,
         pltpu.make_async_copy(phi_hbm.at[fr], phi_scr, sems.at[0]).wait()
         pltpu.make_async_copy(u0_hbm.at[fr], u0_scr, sems.at[1]).wait()
 
-    phi = phi_scr[:]
+    phi_n = phi_scr[:]
     u0 = u0_scr[:]
-
-    h_eps = _heaviside(phi, eps)
-    s_uh = jnp.sum(u0 * h_eps)
-    s_h = jnp.sum(h_eps)
-    tiny = jnp.asarray(1e-30, phi.dtype)
-    c1 = s_uh / jnp.maximum(s_h, tiny)
-    c2 = (jnp.sum(u0) - s_uh) / jnp.maximum(n_pix - s_h, tiny)
-
-    f = -nu - l1 * (u0 - c1) ** 2 + l2 * (u0 - c2) ** 2
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, phi.shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, phi.shape, 1)
+    sum_u = jnp.sum(u0)
+    tiny = jnp.asarray(1e-30, phi_n.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 1)
     red = ((rows + cols) % 2) == 0
 
-    g = (dt * eps / math.pi) / (eps * eps + phi * phi)
-    phi_r = jnp.where(red, _update_all(phi, g, f, mu, dt, eps, eta2), phi)
-    phi_n = jnp.where(red, phi_r, _update_all(phi_r, g, f, mu, dt, eps, eta2))
+    for _ in range(unroll):
+        phi = phi_n
+        h_eps = _heaviside(phi, eps)
+        s_uh = jnp.sum(u0 * h_eps)
+        s_h = jnp.sum(h_eps)
+        c1 = s_uh / jnp.maximum(s_h, tiny)
+        c2 = (sum_u - s_uh) / jnp.maximum(n_pix - s_h, tiny)
+
+        f = -nu - l1 * (u0 - c1) ** 2 + l2 * (u0 - c2) ** 2
+
+        g = (dt * eps / math.pi) / (eps * eps + phi * phi)
+        phi_r = jnp.where(red, _update_all(phi, g, f, mu, dt, eps, eta2),
+                          phi)
+        phi_n = jnp.where(red, phi_r,
+                          _update_all(phi_r, g, f, mu, dt, eps, eta2))
 
     phi_scr[:] = phi_n
 
-    @pl.when(k == iters - 1)
+    @pl.when(k == steps - 1)
     def _():
         dphi = phi_n - phi
         flips = ((phi_n >= 0) != (phi >= 0)).astype(phi.dtype)
@@ -161,11 +175,14 @@ def _kernel_batch(phi_hbm, u0_hbm, out_hbm, part_ref, phi_scr, u0_scr, sems,
 
 
 def _kernel_mc(phi_hbm, u0_hbm, out_hbm, part_ref, phi_scr, u0_scr,
-               sems, *, iters, C, mu, nu, l1, l2, dt, eps, eta2, n_pix):
+               sems, *, steps, unroll, C, mu, nu, l1, l2, dt, eps, eta2,
+               n_pix):
     """Multichannel resident step: per-channel means of the resident phi,
-    Chan-Sandberg-Vese data term, red-black sweep - all in VMEM.
+    Chan-Sandberg-Vese data term, red-black sweep - all in VMEM;
+    ``unroll`` exact iterations per grid step (see _kernel).
 
-    Partials row k: [s_uH_0..s_uH_{C-1}, s_H, s_dphi2, flips, s_absdphi].
+    Partials row k: [s_uH_0..s_uH_{C-1}, s_H, s_dphi2, flips, s_absdphi]
+    of grid step k's last iteration.
     """
     k = pl.program_id(0)
 
@@ -176,33 +193,36 @@ def _kernel_mc(phi_hbm, u0_hbm, out_hbm, part_ref, phi_scr, u0_scr,
         pltpu.make_async_copy(phi_hbm, phi_scr, sems.at[0]).wait()
         pltpu.make_async_copy(u0_hbm, u0_scr, sems.at[1]).wait()
 
-    phi = phi_scr[:]
-
-    h_eps = _heaviside(phi, eps)
-    s_h = jnp.sum(h_eps)
-    tiny = jnp.asarray(1e-30, phi.dtype)
-    inv_in = 1.0 / jnp.maximum(s_h, tiny)
-    inv_out = 1.0 / jnp.maximum(n_pix - s_h, tiny)
-
-    f = jnp.full(phi.shape, -nu, dtype=phi.dtype)
-    s_uhs = []
-    for ch in range(C):
-        u_ch = u0_scr[ch]
-        s_uh = jnp.sum(u_ch * h_eps)
-        s_uhs.append(s_uh)
-        c1 = s_uh * inv_in
-        c2 = (jnp.sum(u_ch) - s_uh) * inv_out
-        d1 = u_ch - c1
-        d2 = u_ch - c2
-        f = f + (l2[ch] / C) * (d2 * d2) - (l1[ch] / C) * (d1 * d1)
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, phi.shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, phi.shape, 1)
+    phi_n = phi_scr[:]
+    tiny = jnp.asarray(1e-30, phi_n.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 1)
     red = ((rows + cols) % 2) == 0
 
-    g = (dt * eps / math.pi) / (eps * eps + phi * phi)
-    phi_r = jnp.where(red, _update_all(phi, g, f, mu, dt, eps, eta2), phi)
-    phi_n = jnp.where(red, phi_r, _update_all(phi_r, g, f, mu, dt, eps, eta2))
+    for _ in range(unroll):
+        phi = phi_n
+        h_eps = _heaviside(phi, eps)
+        s_h = jnp.sum(h_eps)
+        inv_in = 1.0 / jnp.maximum(s_h, tiny)
+        inv_out = 1.0 / jnp.maximum(n_pix - s_h, tiny)
+
+        f = jnp.full(phi.shape, -nu, dtype=phi.dtype)
+        s_uhs = []
+        for ch in range(C):
+            u_ch = u0_scr[ch]
+            s_uh = jnp.sum(u_ch * h_eps)
+            s_uhs.append(s_uh)
+            c1 = s_uh * inv_in
+            c2 = (jnp.sum(u_ch) - s_uh) * inv_out
+            d1 = u_ch - c1
+            d2 = u_ch - c2
+            f = f + (l2[ch] / C) * (d2 * d2) - (l1[ch] / C) * (d1 * d1)
+
+        g = (dt * eps / math.pi) / (eps * eps + phi * phi)
+        phi_r = jnp.where(red, _update_all(phi, g, f, mu, dt, eps, eta2),
+                          phi)
+        phi_n = jnp.where(red, phi_r,
+                          _update_all(phi_r, g, f, mu, dt, eps, eta2))
 
     phi_scr[:] = phi_n
 
@@ -215,25 +235,26 @@ def _kernel_mc(phi_hbm, u0_hbm, out_hbm, part_ref, phi_scr, u0_scr,
     part_ref[k, C + 2] = jnp.sum(flips)
     part_ref[k, C + 3] = jnp.sum(jnp.abs(dphi))
 
-    @pl.when(k == iters - 1)
+    @pl.when(k == steps - 1)
     def _():
         pltpu.make_async_copy(phi_scr, out_hbm, sems.at[2]).start()
         pltpu.make_async_copy(phi_scr, out_hbm, sems.at[2]).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("p", "iters", "lambda1",
-                                             "lambda2", "interpret"))
+@functools.partial(jax.jit, static_argnames=("p", "iters", "unroll",
+                                             "lambda1", "lambda2",
+                                             "interpret"))
 def resident_iterations_mc(phi, u0_cfirst, p: CVParams, iters: int,
-                           lambda1=None, lambda2=None,
+                           lambda1=None, lambda2=None, unroll: int = 1,
                            interpret: bool = False
                            ) -> Tuple[jax.Array, jax.Array]:
     """Multichannel VMEM-resident run on a (C, H, W) channels-first image.
 
-    Returns (phi_new, partials (iters, C + 4)); row k holds the means
-    sums of the phi iteration k started from plus its update partials
-    (layout of ops/pallas_sweep_mc.py). Means are exact per iteration
-    (recomputed in-kernel from the resident phi), same as the scalar
-    resident kernel.
+    Returns (phi_new, partials (iters // unroll, C + 4)); row k holds
+    the means sums of the phi its last iteration started from plus that
+    iteration's update partials (layout of ops/pallas_sweep_mc.py).
+    Means are exact per iteration (recomputed in-kernel from the
+    resident phi) for ANY unroll, same as the scalar resident kernel.
     """
     C, H, W = u0_cfirst.shape
     if phi.shape != (H, W):
@@ -242,15 +263,19 @@ def resident_iterations_mc(phi, u0_cfirst, p: CVParams, iters: int,
         raise ValueError(f"resident mc path unsupported for {(H, W, C)}")
     if iters < 1:
         raise ValueError("iters must be >= 1")
+    if unroll < 1 or iters % unroll:
+        raise ValueError(f"unroll must divide iters (got iters={iters}, "
+                         f"unroll={unroll})")
+    steps = iters // unroll
     l1, l2 = p.channel_lambdas(C, lambda1, lambda2)
 
     kernel = functools.partial(
-        _kernel_mc, iters=iters, C=C, mu=p.mu, nu=p.nu, l1=l1, l2=l2,
-        dt=p.dt, eps=p.eps, eta2=p.eta2, n_pix=float(H * W))
+        _kernel_mc, steps=steps, unroll=unroll, C=C, mu=p.mu, nu=p.nu,
+        l1=l1, l2=l2, dt=p.dt, eps=p.eps, eta2=p.eta2, n_pix=float(H * W))
 
     phi_new, partials = pl.pallas_call(
         kernel,
-        grid=(iters,),
+        grid=(steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -261,7 +286,7 @@ def resident_iterations_mc(phi, u0_cfirst, p: CVParams, iters: int,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((H, W), phi.dtype),
-            jax.ShapeDtypeStruct((iters, C + 4), phi.dtype),
+            jax.ShapeDtypeStruct((steps, C + 4), phi.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((H, W), phi.dtype),
@@ -276,12 +301,15 @@ def resident_iterations_mc(phi, u0_cfirst, p: CVParams, iters: int,
     return phi_new, partials
 
 
-@functools.partial(jax.jit, static_argnames=("p", "iters", "interpret"))
+@functools.partial(jax.jit, static_argnames=("p", "iters", "unroll",
+                                             "interpret"))
 def resident_iterations_batch(phis, u0s, p: CVParams, iters: int,
+                              unroll: int = 1,
                               interpret: bool = False
                               ) -> Tuple[jax.Array, jax.Array]:
     """Run ``iters`` resident iterations on every frame of an (N, H, W)
-    stack in one pallas_call (frames are an outer sequential grid dim).
+    stack in one pallas_call (frames are an outer sequential grid dim;
+    ``unroll`` iterations per grid step, trajectory-identical).
 
     Returns (phis_new (N, H, W), partials (N, 8)) where each frame's row
     holds its LAST iteration's [s_uH, s_H, s_dphi2, flips, s_absdphi].
@@ -293,14 +321,19 @@ def resident_iterations_batch(phis, u0s, p: CVParams, iters: int,
         raise ValueError(f"resident path unsupported for {(H, W)}")
     if iters < 1:
         raise ValueError("iters must be >= 1")
+    if unroll < 1 or iters % unroll:
+        raise ValueError(f"unroll must divide iters (got iters={iters}, "
+                         f"unroll={unroll})")
+    steps = iters // unroll
 
     kernel = functools.partial(
-        _kernel_batch, iters=iters, mu=p.mu, nu=p.nu, l1=p.lambda1,
-        l2=p.lambda2, dt=p.dt, eps=p.eps, eta2=p.eta2, n_pix=float(H * W))
+        _kernel_batch, steps=steps, unroll=unroll, mu=p.mu, nu=p.nu,
+        l1=p.lambda1, l2=p.lambda2, dt=p.dt, eps=p.eps, eta2=p.eta2,
+        n_pix=float(H * W))
 
     phis_new, partials = pl.pallas_call(
         kernel,
-        grid=(N, iters),
+        grid=(N, steps),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -326,30 +359,40 @@ def resident_iterations_batch(phis, u0s, p: CVParams, iters: int,
     return phis_new, partials
 
 
-@functools.partial(jax.jit, static_argnames=("p", "iters", "interpret"))
-def resident_iterations(phi, u0, p: CVParams, iters: int,
+@functools.partial(jax.jit, static_argnames=("p", "iters", "unroll",
+                                             "interpret"))
+def resident_iterations(phi, u0, p: CVParams, iters: int, unroll: int = 1,
                         interpret: bool = False
                         ) -> Tuple[jax.Array, jax.Array]:
     """Run ``iters`` full Chan-Vese iterations in one VMEM-resident call.
 
-    Returns (phi_new, partials (iters, 8)): row k holds the masked-mean
-    sums of the phi BEFORE iteration k (s_uH, s_H - i.e. the means that
-    iteration actually used) plus that iteration's update partials
-    (s_dphi2, flips, s_absdphi).
+    Returns (phi_new, partials (iters // unroll, 8)): row k holds the
+    masked-mean sums of the phi its LAST iteration started from (s_uH,
+    s_H - the means that iteration actually used) plus that iteration's
+    update partials (s_dphi2, flips, s_absdphi). ``unroll`` runs that
+    many iterations per grid step (identical trajectory - the means are
+    recomputed in-VMEM every iteration regardless); it amortizes the
+    fixed per-grid-step cost that dominates small images, at the price
+    of unroll-granular partials rows.
     """
     H, W = phi.shape
     if not supports_resident(H, W):
         raise ValueError(f"resident path unsupported for shape {phi.shape}")
     if iters < 1:
         raise ValueError("iters must be >= 1")
+    if unroll < 1 or iters % unroll:
+        raise ValueError(f"unroll must divide iters (got iters={iters}, "
+                         f"unroll={unroll})")
+    steps = iters // unroll
 
     kernel = functools.partial(
-        _kernel, iters=iters, mu=p.mu, nu=p.nu, l1=p.lambda1, l2=p.lambda2,
-        dt=p.dt, eps=p.eps, eta2=p.eta2, n_pix=float(H * W))
+        _kernel, steps=steps, unroll=unroll, mu=p.mu, nu=p.nu,
+        l1=p.lambda1, l2=p.lambda2, dt=p.dt, eps=p.eps, eta2=p.eta2,
+        n_pix=float(H * W))
 
     phi_new, partials = pl.pallas_call(
         kernel,
-        grid=(iters,),
+        grid=(steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),

@@ -45,39 +45,14 @@ def main():
     base = H * W * iters / t / 1e6
     print(f"fused    baseline: {base:9.1f} Mpix-it/s  ({t:.3f}s)", flush=True)
 
-    from chan_vese_tpu.ops.pallas_banded import banded_chunk
-    from chan_vese_tpu.ops.reductions import region_means
-    from chan_vese_tpu.utils.init_phi import init_phi
-
-    for k, u in ((4, 1), (8, 1), (8, 2), (8, 4), (16, 2)):
+    for k, u in ((4, 1), (8, 1), (8, 2), (8, 4)):
         if not supports_banded(H, W, k) or iters % k:
             print(f"banded k={k:2d}: unsupported", flush=True)
             continue
         b = band_rows_banded(H, W, k)
-
-        def run(r, k=k, u=u):
-            import jax
-            phi = init_phi((H, W), p.init, jnp.float32)
-            uu = u0 + jnp.float32(r)
-            c1, c2 = region_means(uu, phi, p.eps)
-
-            @jax.jit
-            def loop(phi, uu, c1, c2):
-                def chunk(carry, _):
-                    ph, a, b2 = carry
-                    ph, parts = banded_chunk(ph, uu, a, b2, p, k, unroll=u)
-                    from chan_vese_tpu.ops.reductions import means_from_sums
-                    a, b2 = means_from_sums(parts[0], parts[1],
-                                            jnp.sum(uu),
-                                            jnp.float32(H * W))
-                    return (ph, a, b2), None
-                (ph, _, _), _ = jax.lax.scan(chunk, (phi, c1, c2), None,
-                                             length=iters // k)
-                return ph
-            return loop(phi, uu, c1, c2), None
-
         try:
-            t = timeit(run)
+            t = timeit(lambda r, k=k, u=u: segment_banded_fixed(
+                u0 + jnp.float32(r), p, iters, k=k, unroll=u))
         except Exception as e:
             print(f"banded k={k:2d} u={u}: FAILED "
                   f"{str(e).splitlines()[0][:90]}", flush=True)
