@@ -89,3 +89,86 @@ def test_c_baseline_matches_numpy_random(trial):
     got = baseline.sweep(phi, f, p.mu, p.dt, p.eps, p.eta2)
     want = sweep_np.raster_sweep(phi.copy(), f, p.mu, p.dt, p.eps, p.eta2)
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("trial", range(5))
+def test_banded_kernel_matches_frozen_means_random(trial):
+    """Random shapes x params x k x unroll: banded chunk (interpret) ==
+    jnp frozen-means reference."""
+    from chan_vese_tpu.ops import pallas_banded
+    from chan_vese_tpu.ops.reductions import data_term
+
+    rng = np.random.default_rng(300 + trial)
+    k = int(rng.integers(1, 6))
+    unroll = int(rng.choice([u for u in (1, 2, 3, 4) if k % u == 0]))
+    up, dn = pallas_banded._halos(k)
+    h = 8 * int(rng.integers((up + dn) // 8 + 1, 20))
+    w = 128 * int(rng.integers(1, 4))
+    p = _rand_params(rng)
+    u0 = jnp.asarray(rng.uniform(0, 255, (h, w)), jnp.float32)
+    phi = jnp.asarray(rng.standard_normal((h, w)) * rng.uniform(0.5, 20),
+                      jnp.float32)
+    c1, c2 = region_means(u0, phi, p.eps)
+    if not pallas_banded.supports_banded(h, w, k):
+        pytest.skip(f"unsupported ({h},{w}) k={k}")
+    got, parts = pallas_banded.banded_chunk(phi, u0, c1, c2, p, k,
+                                            unroll=unroll, interpret=True)
+    f = data_term(u0, c1, c2, p.nu, p.lambda1, p.lambda2)
+    want = phi
+    for _ in range(k):
+        want = sweep.redblack_step(want, f, p)
+    scale = float(jnp.max(jnp.abs(want))) + 1.0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4 * scale,
+                               err_msg=f"shape=({h},{w}) k={k} u={unroll}")
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_mp2_kernel_matches_multiphase_step_random(trial):
+    """Random shapes x params: fused 4-phase iteration (interpret) ==
+    multiphase_step."""
+    from chan_vese_tpu.models import multiphase as mp
+    from chan_vese_tpu.ops import pallas_multiphase as pmp
+
+    rng = np.random.default_rng(400 + trial)
+    h = 8 * int(rng.integers(4, 14))
+    w = 128 * int(rng.integers(1, 3))
+    p = _rand_params(rng)
+    u0 = jnp.asarray(rng.uniform(0, 255, (h, w)), jnp.float32)
+    phis = jnp.asarray(rng.standard_normal((2, h, w))
+                       * rng.uniform(0.5, 10), jnp.float32)
+    cs = jnp.stack(mp.phase_means(u0, phis, p.eps))
+    got, _ = pmp.mp2_iteration(phis, u0, cs, p, interpret=True)
+    want, _ = mp.multiphase_step(phis, u0, p)
+    scale = float(jnp.max(jnp.abs(want))) + 1.0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=2e-4 * scale,
+                               err_msg=f"shape=({h},{w}) p={p}")
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_resident_mc_matches_jnp_random(trial):
+    """Random RGB shapes/params: one mc resident iteration (interpret) ==
+    the jnp vector step."""
+    from chan_vese_tpu.ops import pallas_resident
+    from chan_vese_tpu.ops.reductions import data_term
+
+    rng = np.random.default_rng(500 + trial)
+    h = 8 * int(rng.integers(2, 8))
+    w = 128 * int(rng.integers(1, 3))
+    c = int(rng.integers(1, 4))
+    p = _rand_params(rng)
+    u0 = jnp.asarray(rng.uniform(0, 255, (h, w, c)), jnp.float32)
+    phi = jnp.asarray(rng.standard_normal((h, w)) * rng.uniform(0.5, 10),
+                      jnp.float32)
+    ucf = jnp.transpose(u0, (2, 0, 1))
+    got, _ = pallas_resident.resident_iterations_mc(phi, ucf, p, 1,
+                                                    interpret=True)
+    c1, c2 = region_means(u0, phi, p.eps)
+    l1, l2 = p.channel_lambdas(c)
+    f = data_term(u0, c1, c2, p.nu, jnp.asarray(l1), jnp.asarray(l2))
+    want = sweep.redblack_step(phi, f, p)
+    scale = float(jnp.max(jnp.abs(want))) + 1.0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=2e-4 * scale,
+                               err_msg=f"shape=({h},{w},{c}) p={p}")
