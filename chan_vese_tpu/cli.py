@@ -243,9 +243,12 @@ def main(argv=None) -> int:
                                   halo=args.halo, comm_k=args.comm_k)
             mask, iters, c1, c2 = res.mask, int(res.iters), res.c1, res.c2
         elif args.trace_energy:
-            if args.checkpoint_dir:
+            # the trace program has no comm_k variant (there is no
+            # frozen-means parity reference to trace against)
+            if args.checkpoint_dir or args.comm_k > 1:
                 warn_dropped("sharded traced",
-                             ("--checkpoint-dir", args.checkpoint_dir))
+                             ("--checkpoint-dir", args.checkpoint_dir),
+                             ("--comm-k", args.comm_k > 1))
             tr = segment_sharded_fixed_trace(
                 u0, p, mesh, iters=args.iters, lambda1=lam1, lambda2=lam2,
                 use_pallas=up, halo=args.halo)
@@ -269,7 +272,7 @@ def main(argv=None) -> int:
                     u0, p, mesh, iters=args.iters,
                     ckpt_dir=args.checkpoint_dir,
                     every=args.checkpoint_every, use_pallas=up,
-                    halo=args.halo)
+                    halo=args.halo, comm_k=args.comm_k)
                 log(f"sharded checkpointed run -> {args.checkpoint_dir}")
             mask, iters, c1, c2 = res.mask, args.iters, res.c1, res.c2
         else:
@@ -288,7 +291,8 @@ def main(argv=None) -> int:
                 chunk = min(args.gif_every, args.iters - n)
                 r = segment_sharded(u0, p, mesh, phi0=phi, max_iter=chunk,
                                     fixed=True, lambda1=lam1, lambda2=lam2,
-                                    use_pallas=up, halo=args.halo)
+                                    use_pallas=up, halo=args.halo,
+                                    comm_k=args.comm_k)
                 phi = r.phi
                 n += chunk
                 frames.append(np.asarray(phi))

@@ -34,6 +34,8 @@ from .scalar import SegResult
 
 
 def _supported(u0, p: CVParams, k: int) -> bool:
+    if u0.ndim != 2:  # (H, W, C) falls back to the fused mc driver
+        return False
     H, W = u0.shape
     return (pallas_banded.supports_banded(H, W, k)
             and p.order == "redblack" and not p.reinit_every)

@@ -321,6 +321,9 @@ def _mp2_resident_loop(u0, p: CVParams, phis0, interpret, fixed, cap,
         return (phis, n + size, deltas[-1], streak, diverged)
 
     if fixed:
+        if cap < 1:  # e.g. a checkpoint rerun resumed past its target
+            return (phis0, jnp.int32(0),
+                    jnp.asarray(jnp.inf, u0.dtype))
         phis, parts = mp2_resident_iterations(phis0, u0, p, cap,
                                               interpret=interpret)
         return phis, jnp.int32(cap), delta_rows(parts)[-1]

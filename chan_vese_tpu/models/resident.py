@@ -51,19 +51,15 @@ def _auto_unroll(iters: int, cap: int = 4) -> int:
     return u
 
 
-def _delta_rows(parts, n_pix, p: CVParams, offset: int = 0):
-    """Per-iteration convergence metric from the (iters, >=5) partials.
-
-    ``offset`` = C - 1 extra leading channel slots (0 for grayscale),
-    matching the multichannel partials layout of ops/pallas_sweep_mc.py.
-    """
+def _delta_rows(parts, n_pix, p: CVParams):
+    """Per-iteration convergence metric from the (iters, 8) partials."""
     if p.conv_norm == "flips":
         # 0 * s_dphi2 NaN-poisons the rows when phi went non-finite
-        return parts[:, offset + 3] / n_pix + 0.0 * parts[:, offset + 2]
+        return parts[:, 3] / n_pix + 0.0 * parts[:, 2]
     if p.conv_norm == "rms":
-        return jnp.sqrt(parts[:, offset + 2] / n_pix)
+        return jnp.sqrt(parts[:, 2] / n_pix)
     if p.conv_norm == "mean_abs":
-        return parts[:, offset + 4] / n_pix
+        return parts[:, 4] / n_pix
     raise ValueError(f"unknown conv_norm {p.conv_norm!r}")
 
 

@@ -51,12 +51,29 @@ _CID_ROWS = 7
 _CID_COLS = 8
 
 
-def _ring_kernel(idx_ref, lo_ref, hi_ref, from_lo_ref, from_hi_ref, sems):
+def _ring_kernel(idx_ref, lo_ref, hi_ref, from_lo_ref, from_hi_ref, sems,
+                 *, use_barrier):
     """Bidirectional ring shift: hi strip -> next device's from_lo,
     lo strip -> previous device's from_hi. idx_ref (SMEM (2,)):
-    [my linear device id of the previous neighbor, of the next]."""
+    [my linear device id of the previous neighbor, of the next].
+
+    ``use_barrier``: on hardware, neighbors must rendezvous BEFORE the
+    remote writes start - devices enter the kernel at skewed times and
+    an early sender would land data in a neighbor still executing the
+    previous program whose buffers alias these outputs. Signal both
+    neighbors on the collective_id-keyed barrier semaphore and wait for
+    both of their signals (the JAX distributed-Pallas discipline). The
+    interpret-mode emulation is lock-step (remote copies lower to a
+    collective all devices join), so the test path skips it."""
     prev_id = idx_ref[0]
     next_id = idx_ref[1]
+    if use_barrier:
+        barrier = pltpu.get_barrier_semaphore()
+        pltpu.semaphore_signal(barrier, inc=1, device_id=prev_id,
+                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_signal(barrier, inc=1, device_id=next_id,
+                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_wait(barrier, 2)
     send_next = pltpu.make_async_remote_copy(
         src_ref=hi_ref, dst_ref=from_lo_ref,
         send_sem=sems.at[0], recv_sem=sems.at[1],
@@ -76,8 +93,9 @@ def _ring_exchange(lo, hi, prev_id, next_id, collective_id: int,
                    interpret: bool = False):
     """Run the ring kernel; returns (from_lo, from_hi) strips."""
     idx = jnp.stack([prev_id, next_id]).astype(jnp.int32)
+    kernel = functools.partial(_ring_kernel, use_barrier=not interpret)
     return pl.pallas_call(
-        _ring_kernel,
+        kernel,
         out_shape=[jax.ShapeDtypeStruct(hi.shape, hi.dtype),
                    jax.ShapeDtypeStruct(lo.shape, lo.dtype)],
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -935,7 +935,28 @@ def _build_trace_program(p, mesh, nx, ny, iters, use_pallas, interpret,
                     s_u, use_pallas=use_pallas, interpret=interpret,
                     pallas_env=pallas_env, halo=halo)
             e = _sharded_energy(phi, u0l, c1n, c2n, p, lambdas)
-            phi = _sharded_reinit(phi, n, p)
+            if p.reinit_every:
+                # refresh the carried means from the redistanced level
+                # set (reinit rescales |phi|, moving H_eps everywhere) -
+                # same discipline as _run_sharded's reinit branch
+                def fire(args):
+                    ph, a, b = args
+                    ph = _sharded_reinit(ph, n, p, always=True)
+                    hr = heaviside(ph, p.eps)
+                    if vec:
+                        suh = lax.psum(
+                            jnp.sum(u0l * hr[..., None], axis=(0, 1)),
+                            ("x", "y"))
+                    else:
+                        suh = lax.psum(jnp.sum(u0l * hr), ("x", "y"))
+                    sh = lax.psum(jnp.sum(hr), ("x", "y"))
+                    a = suh / jnp.maximum(sh, 1e-30)
+                    b = (s_u - suh) / jnp.maximum(n_pix - sh, 1e-30)
+                    return ph, a, b
+
+                phi, c1n, c2n = lax.cond(
+                    (n + 1) % p.reinit_every == 0, fire,
+                    lambda args: args, (phi, c1n, c2n))
             return (phi, c1n, c2n, n + 1), (e, delta, c1, c2)
 
         (phi, _, _, _), (es, ds, c1s, c2s) = lax.scan(

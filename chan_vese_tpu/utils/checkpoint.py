@@ -102,7 +102,13 @@ def segment_multiphase_with_checkpoints(u0, p, iters: int, ckpt_dir,
                                         every: int = 50, m_sets: int = 2,
                                         phis0=None, resume: bool = True):
     """Multiphase counterpart: checkpoints the (M, H, W) level-set stack
-    every ``every`` iterations; resumes from the newest checkpoint."""
+    every ``every`` iterations; resumes from the newest checkpoint.
+
+    With a reinit cadence, ``every`` must be a multiple of
+    p.reinit_every: segment_multiphase's iteration counter restarts per
+    chunk, so only aligned chunk boundaries keep the redistancing
+    cadence identical to an unchunked run.
+    """
     import jax.numpy as jnp
 
     from ..models.multiphase import init_multiphase, segment_multiphase
@@ -110,6 +116,11 @@ def segment_multiphase_with_checkpoints(u0, p, iters: int, ckpt_dir,
     if every <= 0 or iters < 0:
         raise ValueError(f"need every > 0 and iters >= 0 "
                          f"(got every={every}, iters={iters})")
+    if p.reinit_every and every % p.reinit_every:
+        raise ValueError(
+            f"every={every} must be a multiple of reinit_every="
+            f"{p.reinit_every} to keep the redistancing cadence identical "
+            f"to an unchunked run")
     start = 0
     phis = phis0
     if resume:

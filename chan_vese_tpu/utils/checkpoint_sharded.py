@@ -73,7 +73,8 @@ def restore_sharded(path, mesh, shape, dtype):
 def segment_sharded_with_checkpoints(u0, p, mesh, iters: int, ckpt_dir,
                                      every: int = 50, phi0=None,
                                      resume: bool = True,
-                                     use_pallas=None, halo="ppermute"):
+                                     use_pallas=None, halo="ppermute",
+                                     comm_k: int = 1):
     """Fixed-iteration SHARDED segmentation, checkpointing every ``every``
     iterations with orbax array serialization; resumes from the newest
     checkpoint. Returns the final (sharded) SegResult.
@@ -99,11 +100,13 @@ def segment_sharded_with_checkpoints(u0, p, mesh, iters: int, ckpt_dir,
     while n < iters:
         chunk = min(every, iters - n)
         res = segment_sharded(u0, p, mesh, phi0=phi, max_iter=chunk,
-                              fixed=True, use_pallas=use_pallas, halo=halo)
+                              fixed=True, use_pallas=use_pallas, halo=halo,
+                              comm_k=comm_k)
         phi = res.phi
         n += chunk
         save_sharded(ckpt_dir, n, phi, res.c1, res.c2)
     if res is None:  # resumed past the requested iteration count
         res = segment_sharded(u0, p, mesh, phi0=phi, max_iter=0,
-                              fixed=True, use_pallas=use_pallas, halo=halo)
+                              fixed=True, use_pallas=use_pallas, halo=halo,
+                              comm_k=comm_k)
     return res

@@ -222,3 +222,14 @@ def test_banded_unroll_equals_unrolled():
     with pytest.raises(ValueError, match="unroll"):
         pallas_banded.banded_chunk(phi, u0, c1, c2, p, 4, unroll=3,
                                    interpret=True)
+
+
+def test_banded_rgb_falls_back_to_fused():
+    """(H, W, C) input routes to the fused mc driver, not an unpack crash."""
+    rng = np.random.default_rng(6)
+    u0 = jnp.asarray(rng.uniform(0, 255, (32, 128, 3)), F32)
+    p = CVParams(max_iter=4, tol=-1.0, min_iter=0)
+    phi, mask = segment_banded_fixed(u0, p, iters=4, interpret=True)
+    assert phi.shape == (32, 128)
+    res = segment_banded(u0, p, interpret=True)
+    assert res.phi.shape == (32, 128)

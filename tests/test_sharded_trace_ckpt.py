@@ -158,3 +158,55 @@ def test_cli_color_checkpoint(tmp_path):
     assert rc == 0
     from chan_vese_tpu.utils.checkpoint import latest
     assert latest(ck) is not None
+
+
+def test_multiphase_checkpoint_reinit_alignment(tmp_path):
+    """Misaligned chunking would silently shift the reinit cadence
+    (the chunk counter restarts at 0); it must be rejected."""
+    from chan_vese_tpu.utils.checkpoint import (
+        segment_multiphase_with_checkpoints)
+
+    u0 = jnp.zeros((32, 64), F32)
+    p = CVParams(reinit_every=30)
+    with pytest.raises(ValueError, match="multiple of reinit_every"):
+        segment_multiphase_with_checkpoints(u0, p, iters=100,
+                                            ckpt_dir=tmp_path / "x",
+                                            every=50)
+
+
+def test_multiphase_checkpoint_rerun_after_completion(tmp_path):
+    """Re-running a completed job returns the restored state (the
+    resident route used to raise on the cap=0 final call)."""
+    from chan_vese_tpu.models import multiphase as mp
+    from chan_vese_tpu.utils.checkpoint import (
+        segment_multiphase_with_checkpoints)
+    from fixtures import four_regions
+
+    img, _ = four_regions(32, 128, noise=4.0)
+    u0 = jnp.asarray(img, F32)
+    p = CVParams(mu=0.003 * 255 ** 2)
+    ckdir = tmp_path / "mp0"
+    res = segment_multiphase_with_checkpoints(u0, p, iters=6,
+                                              ckpt_dir=ckdir, every=6)
+    # resident-route rerun: explicitly exercise the cap=0 guard
+    res0 = mp.segment_multiphase(u0, p, phis0=res.phis, use_pallas=True,
+                                 interpret=True, fixed=True, max_iter=0)
+    np.testing.assert_array_equal(np.asarray(res0.phis),
+                                  np.asarray(res.phis))
+    assert int(res0.iters) == 0
+
+
+def test_sharded_trace_reinit_refreshes_means(grid_mesh):
+    """Traced sharded run with a reinit cadence matches the unsharded
+    trace (which recomputes means every iteration)."""
+    img, _ = two_disks(32, 64, noise=6.0)
+    u0 = jnp.asarray(img)
+    p = CVParams(reinit_every=5, reinit_steps=3)
+    tr_sh = segment_sharded_fixed_trace(u0, p, grid_mesh, iters=12)
+    tr_un = segment_fixed(u0, p, iters=12)
+    # the halo-aware blockwise redistance reassociates f64 sums, so the
+    # post-reinit rows agree to ~1e-7 instead of the reinit-free 1e-9
+    np.testing.assert_allclose(np.asarray(tr_sh.energy),
+                               np.asarray(tr_un.energy), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(tr_sh.mask),
+                                  np.asarray(tr_un.mask))
