@@ -34,10 +34,18 @@ from .scalar import SegResult
 
 
 def _supported(u0, p: CVParams, k: int) -> bool:
-    if u0.ndim != 2:  # (H, W, C) falls back to the fused mc driver
+    if u0.ndim != 2:
         return False
     H, W = u0.shape
     return (pallas_banded.supports_banded(H, W, k)
+            and p.order == "redblack" and not p.reinit_every)
+
+
+def _supported_mc(u0, p: CVParams, k: int) -> bool:
+    if u0.ndim != 3:
+        return False
+    H, W, C = u0.shape
+    return (pallas_banded.supports_banded_mc(H, W, k, C)
             and p.order == "redblack" and not p.reinit_every)
 
 
@@ -56,6 +64,9 @@ def segment_banded_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
     per-iteration fused kernel; docs/BENCHMARKS.md). ``unroll`` drops to
     1 automatically for chunk sizes it does not divide.
     """
+    if u0.ndim == 3:
+        return _segment_banded_mc_fixed(u0, p, iters, k, phi0, lambda1,
+                                        lambda2, unroll, interpret)
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
     if not _supported(u0, p, k) or iters < 1:
         from .fused import segment_fused_fixed
@@ -144,3 +155,38 @@ def segment_banded(u0, p: CVParams = CVParams(),
             lambda s: run_chunk(s, rem), lambda s: s, state)
     phi, c1, c2, iters, delta, _ = state
     return SegResult(phi, phi >= 0, iters, delta, c1, c2)
+
+
+def _segment_banded_mc_fixed(u0, p, iters, k, phi0, lambda1, lambda2,
+                             unroll, interpret):
+    """Vector-valued fixed-iteration banded run (channels-first kernel,
+    per-channel frozen means per chunk)."""
+    if not _supported_mc(u0, p, k) or iters < 1:
+        from .fused import segment_fused_fixed
+        return segment_fused_fixed(u0, p, iters, phi0, lambda1=lambda1,
+                                   lambda2=lambda2, interpret=interpret)
+    H, W, C = u0.shape
+    ucf = jnp.transpose(u0, (2, 0, 1))
+    phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
+    n_pix = jnp.asarray(H * W, u0.dtype)
+    sum_u = jnp.sum(ucf, axis=(1, 2))  # (C,)
+    c1, c2 = region_means(u0, phi0, p.eps)
+
+    def chunk(carry, size):
+        phi, c1, c2 = carry
+        un = unroll if size % unroll == 0 else 1
+        phi, parts = pallas_banded.banded_chunk_mc(
+            phi, ucf, c1, c2, p, size, unroll=un, lambda1=lambda1,
+            lambda2=lambda2, interpret=interpret)
+        c1, c2 = means_from_sums(parts[:C], parts[C], sum_u, n_pix)
+        return (phi, c1, c2)
+
+    full, rem = iters // k, iters % k
+    carry = (phi0, c1, c2)
+    if full:
+        carry = jax.lax.scan(lambda cr, _: (chunk(cr, k), None), carry,
+                             None, length=full)[0]
+    if rem:
+        carry = chunk(carry, rem)
+    phi = carry[0]
+    return phi, phi >= 0

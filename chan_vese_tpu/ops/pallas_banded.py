@@ -259,3 +259,193 @@ def banded_chunk(phi, u0, c1, c2, p: CVParams, k: int = 8,
         interpret=interpret,
     )(c, phi, u0)
     return phi_new, jnp.sum(partials, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Multichannel (vector-valued) banded variant: same k-iterations-per-HBM-pass
+# scheme with a C-channel image; the level set stays scalar, the frozen data
+# term averages per-channel weighted squared distances (Chan-Sandberg-Vese),
+# and the partials carry per-channel s_uH sums (ops/pallas_sweep_mc.py
+# layout).
+# ---------------------------------------------------------------------------
+
+def band_rows_banded_mc(h: int, w: int, k: int, c: int) -> int:
+    up, dn = _halos(k)
+    per_row = w * 4 * (_TILES + 2 * c)
+    b = max(8, (_VMEM_BUDGET // per_row) // 8 * 8)
+    return min(b, max(8, ((h - up - dn) // 8) * 8))
+
+
+def supports_banded_mc(h: int, w: int, k: int, c: int) -> bool:
+    up, dn = _halos(k)
+    return (w % 128 == 0 and h % 8 == 0 and 1 <= k <= 64 and 1 <= c <= 8
+            and band_rows_banded_mc(h, w, k, c) + up + dn <= h)
+
+
+def _banded_mc_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
+                      phi_scr, u0_scr, f_scr, work_scr, sems,
+                      *, H, W, C, b, k, up, dn, mu, nu, l1, l2, dt, eps,
+                      eta2, unroll=1):
+    """Grid (nbands, k // unroll); c_ref (SMEM (1, 2C)): [c1..., c2...]."""
+    T = b + up + dn
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nsteps = pl.num_programs(1)
+    nbands = pl.num_programs(0)
+
+    def window(ii):
+        g0 = pl.multiple_of(jnp.minimum(ii * b, H - b), 8)
+        s = pl.multiple_of(jnp.clip(g0 - up, 0, H - T), 8)
+        return g0, s
+
+    def load_dmas(ii, slot):
+        _, s = window(ii)
+        return (pltpu.make_async_copy(phi_hbm.at[pl.ds(s, T), :],
+                                      phi_scr.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(u0_hbm.at[:, pl.ds(s, T), :],
+                                      u0_scr.at[slot], sems.at[slot, 1]))
+
+    def store_dma(ii, slot):
+        g0, s = window(ii)
+        o = pl.multiple_of(g0 - s, 8)
+        return pltpu.make_async_copy(
+            work_scr.at[slot].at[pl.ds(o, b), :],
+            out_hbm.at[pl.ds(g0, b), :], sems.at[slot, 2])
+
+    slot = i % 2
+
+    @pl.when(j == 0)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            for dma in load_dmas(i, slot):
+                dma.start()
+
+        @pl.when(i + 1 < nbands)
+        def _():
+            for dma in load_dmas(i + 1, (i + 1) % 2):
+                dma.start()
+
+        for dma in load_dmas(i, slot):
+            dma.wait()
+
+        @pl.when(i >= 2)
+        def _():
+            store_dma(i - 2, slot).wait()
+
+        f = jnp.full((T, W), -nu, dtype=phi_scr.dtype)
+        for ch in range(C):
+            u_ch = u0_scr[slot, ch]
+            d1 = u_ch - c_ref[0, ch]
+            d2 = u_ch - c_ref[0, C + ch]
+            f = f + (l2[ch] / C) * (d2 * d2) - (l1[ch] / C) * (d1 * d1)
+        f_scr[slot] = f
+        work_scr[slot] = phi_scr[slot]
+
+    phi_n = work_scr[slot]
+    f = f_scr[slot]
+
+    _, s = window(i)
+    rows = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 1)
+    grow = rows + s
+    red = ((grow + cols) % 2) == 0
+
+    for _ in range(unroll):
+        phi = phi_n
+        g = (dt * eps / math.pi) / (eps * eps + phi * phi)
+        phi_r = jnp.where(red, _update_all(phi, g, f, mu, dt, eps, eta2),
+                          phi)
+        phi_n = jnp.where(red, phi_r,
+                          _update_all(phi_r, g, f, mu, dt, eps, eta2))
+    work_scr[slot] = phi_n
+
+    @pl.when(j == nsteps - 1)
+    def _():
+        store_dma(i, slot).start()
+
+        hi = jnp.minimum((i + 1) * b, H)
+        m = ((grow >= i * b) & (grow < hi)).astype(phi_n.dtype)
+        h_eps = _heaviside(phi_n, eps)
+        hm = h_eps * m
+        dphi = phi_n - phi
+        flips = ((phi_n >= 0) != (phi >= 0)).astype(phi_n.dtype)
+        for ch in range(C):
+            part_ref[i, ch] = jnp.sum(u0_scr[slot, ch] * hm)
+        part_ref[i, C] = jnp.sum(hm)
+        part_ref[i, C + 1] = jnp.sum(dphi * dphi * m)
+        part_ref[i, C + 2] = jnp.sum(flips * m)
+        part_ref[i, C + 3] = jnp.sum(jnp.abs(dphi) * m)
+        for t in range(C + 4, 16):
+            part_ref[i, t] = 0.0
+
+        @pl.when(i == nbands - 1)
+        def _():
+            store_dma(i, slot).wait()
+
+        @pl.when((i == nbands - 1) & (nbands >= 2))
+        def _():
+            store_dma(i - 1, (i - 1) % 2).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("p", "k", "unroll", "lambda1",
+                                             "lambda2", "interpret"))
+def banded_chunk_mc(phi, u0_cfirst, c1, c2, p: CVParams, k: int = 8,
+                    unroll: int = 1, lambda1=None, lambda2=None,
+                    interpret: bool = False
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """k frozen-means red-black iterations on a (C, H, W) channels-first
+    image in one HBM pass. c1, c2: (C,) means. Returns (phi_new,
+    partials (16,)): [s_uH per channel..., s_H, s_dphi2, flips,
+    s_absdphi, 0...] of the last iteration's transition.
+    """
+    C, H, W = u0_cfirst.shape
+    if phi.shape != (H, W):
+        raise ValueError(f"phi {phi.shape} vs image {(H, W)}")
+    if not supports_banded_mc(H, W, k, C):
+        raise ValueError(f"banded mc unsupported for {(H, W, C)}, k={k}")
+    if unroll < 1 or k % unroll:
+        raise ValueError(f"unroll must divide k (got k={k}, "
+                         f"unroll={unroll})")
+    l1, l2 = p.channel_lambdas(C, lambda1, lambda2)
+    up, dn = _halos(k)
+    b = band_rows_banded_mc(H, W, k, C)
+    nbands = pl.cdiv(H, b)
+    c = jnp.concatenate([jnp.atleast_1d(c1), jnp.atleast_1d(c2)]
+                        ).reshape(1, 2 * C).astype(phi.dtype)
+
+    kernel = functools.partial(
+        _banded_mc_kernel, H=H, W=W, C=C, b=b, k=k, up=up, dn=dn, mu=p.mu,
+        nu=p.nu, l1=l1, l2=l2, dt=p.dt, eps=p.eps, eta2=p.eta2,
+        unroll=unroll)
+
+    T = b + up + dn
+    phi_new, partials = pl.pallas_call(
+        kernel,
+        grid=(nbands, k // unroll),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(phi.shape, phi.dtype),
+            jax.ShapeDtypeStruct((nbands, 16), phi.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, T, W), phi.dtype),      # phi tiles
+            pltpu.VMEM((2, C, T, W), phi.dtype),   # u0 tiles
+            pltpu.VMEM((2, T, W), phi.dtype),      # frozen data term
+            pltpu.VMEM((2, T, W), phi.dtype),      # in-chunk iterate
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(c, phi, u0_cfirst)
+    return phi_new, jnp.sum(partials, axis=0)

@@ -34,8 +34,10 @@ _VMEM_BUDGET = _VMEM_LIMIT  # tests shrink this to force multi-band layouts
 
 
 def band_rows_mc(h: int, w: int, c: int) -> int:
-    # per band: double-buffered phi/new (2+2) + u0 (2C) + ~7 temporaries
-    per_row = w * 4 * (11 + 2 * c)
+    # per band: double-buffered phi/new (2+2) + u0 (2C) + ~16 tile-sized
+    # Mosaic temporaries (the register-allocator spill slots measured on
+    # v5e - a (11+2C) budget OOM'd VMEM at 4K RGB with 72M of spill)
+    per_row = w * 4 * (27 + 2 * c)
     b = max(8, (_VMEM_BUDGET // per_row) // 8 * 8)
     return min(b, max(8, ((h - _HALO) // 8) * 8))
 

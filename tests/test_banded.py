@@ -233,3 +233,68 @@ def test_banded_rgb_falls_back_to_fused():
     assert phi.shape == (32, 128)
     res = segment_banded(u0, p, interpret=True)
     assert res.phi.shape == (32, 128)
+
+
+def _ref_chunk_mc(phi, u0_hlc, c1, c2, l1, l2, p, kk):
+    """k frozen-means iterations, vector-valued jnp reference."""
+    f = data_term(u0_hlc, c1, c2, p.nu, jnp.asarray(l1), jnp.asarray(l2))
+    for _ in range(kk - 1):
+        phi = redblack_step(phi, f, p)
+    prev = phi
+    phi = redblack_step(phi, f, p)
+    from chan_vese_tpu.ops.numerics import heaviside
+    h = heaviside(phi, p.eps)
+    s_uh = jnp.sum(u0_hlc * h[..., None], axis=(0, 1))
+    return phi, prev, s_uh, jnp.sum(h)
+
+
+@pytest.mark.parametrize("k,unroll", [(3, 1), (4, 2)])
+def test_banded_mc_chunk_matches_reference(k, unroll):
+    rng = np.random.default_rng(20)
+    shape = (64, 128, 3)
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), F32)
+    phi = jnp.asarray(rng.standard_normal(shape[:2]), F32)
+    p = CVParams()
+    l1 = (1.0, 1.2, 0.8)
+    l1e, l2e = p.channel_lambdas(3, l1, None)
+    c1, c2 = region_means(u0, phi, p.eps)
+    ucf = jnp.transpose(u0, (2, 0, 1))
+    got, parts = pallas_banded.banded_chunk_mc(
+        phi, ucf, c1, c2, p, k, unroll=unroll, lambda1=l1, interpret=True)
+    want, _, want_suh, want_sh = _ref_chunk_mc(phi, u0, c1, c2, l1e, l2e,
+                                               p, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(parts[:3]), np.asarray(want_suh),
+                               rtol=2e-5)
+    assert float(parts[3]) == pytest.approx(float(want_sh), rel=2e-5)
+
+
+def test_banded_mc_driver_matches_chunked_reference():
+    rng = np.random.default_rng(21)
+    shape = (64, 128, 3)
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), F32)
+    p = CVParams()
+    k, iters = 4, 10  # 2 chunks + remainder 2
+    from chan_vese_tpu.utils.init_phi import init_phi
+    phi = init_phi(shape[:2], p.init, F32)
+    got_phi, got_mask = segment_banded_fixed(u0, p, iters=iters, k=k,
+                                             phi0=phi, interpret=True)
+
+    from chan_vese_tpu.ops.reductions import means_from_sums
+    l1e, l2e = p.channel_lambdas(3)
+    n_pix = float(np.prod(shape[:2]))
+    sum_u = jnp.sum(u0, axis=(0, 1))
+    c1, c2 = region_means(u0, phi, p.eps)
+    want = phi
+    done = 0
+    while done < iters:
+        size = min(k, iters - done)
+        want, _, suh, sh = _ref_chunk_mc(want, u0, c1, c2, l1e, l2e, p,
+                                         size)
+        c1, c2 = means_from_sums(suh, sh, sum_u, n_pix)
+        done += size
+    np.testing.assert_allclose(np.asarray(got_phi), np.asarray(want),
+                               rtol=3e-5, atol=3e-4)
+    np.testing.assert_array_equal(np.asarray(got_mask),
+                                  np.asarray(want) >= 0)
