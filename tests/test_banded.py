@@ -298,3 +298,23 @@ def test_banded_mc_driver_matches_chunked_reference():
                                rtol=3e-5, atol=3e-4)
     np.testing.assert_array_equal(np.asarray(got_mask),
                                   np.asarray(want) >= 0)
+
+
+@pytest.mark.tpu
+def test_banded_mc_compiled_tpu():
+    """Compiled-on-chip banded mc chunk (RUN_TPU_TESTS=1)."""
+    rng = np.random.default_rng(22)
+    shape = (256, 256, 3)
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), F32)
+    phi = jnp.asarray(rng.standard_normal(shape[:2]), F32)
+    p = CVParams()
+    l1e, l2e = p.channel_lambdas(3)
+    c1, c2 = region_means(u0, phi, p.eps)
+    ucf = jnp.transpose(u0, (2, 0, 1))
+    got, parts = pallas_banded.banded_chunk_mc(phi, ucf, c1, c2, p, 4,
+                                               unroll=2)
+    want, _, want_suh, _ = _ref_chunk_mc(phi, u0, c1, c2, l1e, l2e, p, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(parts[:3]),
+                               np.asarray(want_suh), rtol=1e-4)
