@@ -287,8 +287,16 @@ def main(argv=None) -> int:
             frames = []
             phi = _make_phi0(u0.shape[:2], p.init, dtype, mesh)
             n = 0
+            # snap frame boundaries to comm_k multiples: the chunked
+            # re-run restarts the frozen-means cadence at each phi0
+            # handoff, so only aligned boundaries reproduce the
+            # trajectory that produced the saved mask (the final
+            # remainder chunk matches the unchunked run's remainder)
+            step_iters = args.gif_every
+            if args.comm_k > 1:
+                step_iters = -(-step_iters // args.comm_k) * args.comm_k
             while n < args.iters:
-                chunk = min(args.gif_every, args.iters - n)
+                chunk = min(step_iters, args.iters - n)
                 r = segment_sharded(u0, p, mesh, phi0=phi, max_iter=chunk,
                                     fixed=True, lambda1=lam1, lambda2=lam2,
                                     use_pallas=up, halo=args.halo,

@@ -108,8 +108,12 @@ def segment_banded(u0, p: CVParams = CVParams(),
 
     Convergence/divergence logic is ops/reductions.loop_continue evaluated
     once per chunk on the final in-chunk iteration's partials; ``patience``
-    therefore counts chunks on this driver.
+    therefore counts chunks on this driver. (H, W, C) images run the
+    multichannel chunk kernel with per-channel lambda tuples.
     """
+    if u0.ndim == 3:
+        return _segment_banded_mc(u0, p, phi0, k, lambda1, lambda2,
+                                  unroll, interpret)
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
     if not _supported(u0, p, k):
         from .fused import segment_fused
@@ -190,3 +194,54 @@ def _segment_banded_mc_fixed(u0, p, iters, k, phi0, lambda1, lambda2,
         carry = chunk(carry, rem)
     phi = carry[0]
     return phi, phi >= 0
+
+
+def _segment_banded_mc(u0, p, phi0, k, lambda1, lambda2, unroll,
+                       interpret):
+    """Tolerance-mode banded segmentation for (H, W, C) images."""
+    if not _supported_mc(u0, p, k):
+        from .fused import segment_fused
+        return segment_fused(u0, p, phi0, lambda1=lambda1, lambda2=lambda2,
+                             interpret=interpret)
+    H, W, C = u0.shape
+    _delta_from_partials(jnp.zeros((C + 4,), u0.dtype), 1.0, p,
+                         offset=C - 1)
+    ucf = jnp.transpose(u0, (2, 0, 1))
+    phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
+    n_pix = jnp.asarray(H * W, u0.dtype)
+    sum_u = jnp.sum(ucf, axis=(1, 2))
+    c1_0, c2_0 = region_means(u0, phi0, p.eps)
+
+    def not_stopped(state):
+        _, _, _, n, delta, streak = state
+        done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
+        diverged = jnp.logical_and(n > 0,
+                                   jnp.logical_not(jnp.isfinite(delta)))
+        return jnp.logical_not(jnp.logical_or(done, diverged))
+
+    def run_chunk(state, size):
+        phi, c1, c2, n, _, streak = state
+        un = unroll if size % unroll == 0 else 1
+        phi, parts = pallas_banded.banded_chunk_mc(
+            phi, ucf, c1, c2, p, size, unroll=un, lambda1=lambda1,
+            lambda2=lambda2, interpret=interpret)
+        c1, c2 = means_from_sums(parts[:C], parts[C], sum_u, n_pix)
+        delta = _delta_from_partials(parts, n_pix, p, offset=C - 1)
+        streak = jnp.where(delta < p.tol, streak + 1, 0)
+        return (phi, c1, c2, n + size, delta, streak)
+
+    full = (p.max_iter // k) * k
+    rem = p.max_iter - full
+
+    def cond(state):
+        return jnp.logical_and(state[3] < full, not_stopped(state))
+
+    init = (phi0, c1_0, c2_0, jnp.int32(0),
+            jnp.asarray(jnp.inf, u0.dtype), jnp.int32(0))
+    state = jax.lax.while_loop(cond, lambda s: run_chunk(s, k), init)
+    if rem:
+        state = jax.lax.cond(
+            jnp.logical_and(state[3] < p.max_iter, not_stopped(state)),
+            lambda s: run_chunk(s, rem), lambda s: s, state)
+    phi, c1, c2, iters, delta, _ = state
+    return SegResult(phi, phi >= 0, iters, delta, c1, c2)

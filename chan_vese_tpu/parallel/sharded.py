@@ -504,6 +504,29 @@ def _sharded_chunk_jnp(phi, u0_padk, c1, c2, p: CVParams, k, ix, iy,
     return new, c1n, c2n, delta
 
 
+
+def _reinit_refresh_means(phi, c1, c2, n, u0_local, s_u, n_pix, p, vec):
+    """Cond-gated redistance + psum'd means refresh (reinit rescales
+    |phi|, moving H_eps everywhere, so carried means go stale). Shared
+    by the while_loop driver and the trace program."""
+    def fire(args):
+        ph, a, b = args
+        ph = _sharded_reinit(ph, n, p, always=True)
+        hr = heaviside(ph, p.eps)
+        if vec:
+            suh = lax.psum(jnp.sum(u0_local * hr[..., None], axis=(0, 1)),
+                           ("x", "y"))
+        else:
+            suh = lax.psum(jnp.sum(u0_local * hr), ("x", "y"))
+        sh = lax.psum(jnp.sum(hr), ("x", "y"))
+        a = suh / jnp.maximum(sh, 1e-30)
+        b = (s_u - suh) / jnp.maximum(n_pix - sh, 1e-30)
+        return ph, a, b
+
+    return lax.cond((n + 1) % p.reinit_every == 0, fire,
+                    lambda args: args, (phi, c1, c2))
+
+
 def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed,
                  use_pallas=False, interpret=False, lambdas=None,
                  halo="ppermute", comm_k=1):
@@ -597,26 +620,8 @@ def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed,
                 use_pallas=use_pallas, interpret=interpret,
                 pallas_env=pallas_env, halo=halo)
         if p.reinit_every:
-            # redistance on cadence, refreshing the carried means from the
-            # redistanced level set inside the SAME cond (reinit rescales
-            # |phi|, moving H_eps everywhere; the predicate is replicated
-            # so the psum branches uniformly)
-            def fire(args):
-                ph, a, b = args
-                ph = _sharded_reinit(ph, n, p, always=True)
-                hr = heaviside(ph, p.eps)
-                if vec:
-                    suh = lax.psum(jnp.sum(u0 * hr[..., None], axis=(0, 1)),
-                                   ("x", "y"))
-                else:
-                    suh = lax.psum(jnp.sum(u0 * hr), ("x", "y"))
-                sh = lax.psum(jnp.sum(hr), ("x", "y"))
-                a = suh / jnp.maximum(sh, 1e-30)
-                b = (s_u - suh) / jnp.maximum(n_pix - sh, 1e-30)
-                return ph, a, b
-
-            phi, c1, c2 = lax.cond((n + 1) % p.reinit_every == 0, fire,
-                                   lambda args: args, (phi, c1, c2))
+            phi, c1, c2 = _reinit_refresh_means(phi, c1, c2, n, u0, s_u,
+                                                n_pix, p, vec)
         streak = jnp.where(delta < p.tol, streak + 1, 0)
         return (phi, c1, c2, n + 1, delta, streak)
 
@@ -936,27 +941,8 @@ def _build_trace_program(p, mesh, nx, ny, iters, use_pallas, interpret,
                     pallas_env=pallas_env, halo=halo)
             e = _sharded_energy(phi, u0l, c1n, c2n, p, lambdas)
             if p.reinit_every:
-                # refresh the carried means from the redistanced level
-                # set (reinit rescales |phi|, moving H_eps everywhere) -
-                # same discipline as _run_sharded's reinit branch
-                def fire(args):
-                    ph, a, b = args
-                    ph = _sharded_reinit(ph, n, p, always=True)
-                    hr = heaviside(ph, p.eps)
-                    if vec:
-                        suh = lax.psum(
-                            jnp.sum(u0l * hr[..., None], axis=(0, 1)),
-                            ("x", "y"))
-                    else:
-                        suh = lax.psum(jnp.sum(u0l * hr), ("x", "y"))
-                    sh = lax.psum(jnp.sum(hr), ("x", "y"))
-                    a = suh / jnp.maximum(sh, 1e-30)
-                    b = (s_u - suh) / jnp.maximum(n_pix - sh, 1e-30)
-                    return ph, a, b
-
-                phi, c1n, c2n = lax.cond(
-                    (n + 1) % p.reinit_every == 0, fire,
-                    lambda args: args, (phi, c1n, c2n))
+                phi, c1n, c2n = _reinit_refresh_means(
+                    phi, c1n, c2n, n, u0l, s_u, n_pix, p, vec)
             return (phi, c1n, c2n, n + 1), (e, delta, c1, c2)
 
         (phi, _, _, _), (es, ds, c1s, c2s) = lax.scan(

@@ -86,6 +86,19 @@ def segment_sharded_with_checkpoints(u0, p, mesh, iters: int, ckpt_dir,
     if every <= 0 or iters < 0:
         raise ValueError(f"need every > 0 and iters >= 0 "
                          f"(got every={every}, iters={iters})")
+    # chunk boundaries restart the in-run iteration counter, so any
+    # cadence keyed on it (comm_k frozen-means chunks, reinit) must
+    # divide the checkpoint interval or the chunked trajectory diverges
+    # from an unchunked run
+    if comm_k > 1 and every % comm_k:
+        raise ValueError(f"every={every} must be a multiple of "
+                         f"comm_k={comm_k} to keep the frozen-means "
+                         f"chunk boundaries identical to an unchunked run")
+    if p.reinit_every and every % p.reinit_every:
+        raise ValueError(f"every={every} must be a multiple of "
+                         f"reinit_every={p.reinit_every} to keep the "
+                         f"redistancing cadence identical to an "
+                         f"unchunked run")
     start = 0
     phi = phi0
     if resume:

@@ -318,3 +318,22 @@ def test_banded_mc_compiled_tpu():
                                rtol=2e-5, atol=2e-3)
     np.testing.assert_allclose(np.asarray(parts[:3]),
                                np.asarray(want_suh), rtol=1e-4)
+
+
+def test_banded_tolerance_rgb_per_channel_lambdas():
+    """segment_banded handles (H, W, C) + per-channel lambdas on BOTH the
+    mc-kernel route and the fused fallback (regression: lambda folding
+    used to run before the ndim dispatch and raised)."""
+    rng = np.random.default_rng(23)
+    p = CVParams(max_iter=6, tol=-1.0, min_iter=0)
+    # mc kernel route (aligned, tall enough for the k=4 halos)
+    u0 = jnp.asarray(rng.uniform(0, 255, (72, 128, 3)), F32)
+    res = segment_banded(u0, p, k=4, lambda1=(1.0, 1.2, 0.8),
+                         interpret=True)
+    assert res.phi.shape == (72, 128)
+    assert int(res.iters) == 6
+    # fused fallback route (too short for banded halos)
+    u0s = jnp.asarray(rng.uniform(0, 255, (32, 128, 3)), F32)
+    res2 = segment_banded(u0s, p, k=8, lambda1=(1.0, 1.2, 0.8),
+                          interpret=True)
+    assert res2.phi.shape == (32, 128)

@@ -210,3 +210,18 @@ def test_sharded_trace_reinit_refreshes_means(grid_mesh):
                                np.asarray(tr_un.energy), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(tr_sh.mask),
                                   np.asarray(tr_un.mask))
+
+
+def test_sharded_checkpoint_commk_alignment(grid_mesh, tmp_path):
+    """Chunk boundaries restart the comm_k frozen-means cadence; the
+    checkpoint driver must reject misaligned intervals."""
+    u0 = jnp.zeros((32, 64), F32)
+    with pytest.raises(ValueError, match="multiple of"):
+        cks.segment_sharded_with_checkpoints(u0, CVParams(), grid_mesh,
+                                             iters=100,
+                                             ckpt_dir=tmp_path / "c",
+                                             every=50, comm_k=8)
+    with pytest.raises(ValueError, match="multiple of"):
+        cks.segment_sharded_with_checkpoints(
+            u0, CVParams(reinit_every=30), grid_mesh, iters=100,
+            ckpt_dir=tmp_path / "c", every=50)
