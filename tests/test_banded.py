@@ -337,3 +337,17 @@ def test_banded_tolerance_rgb_per_channel_lambdas():
     res2 = segment_banded(u0s, p, k=8, lambda1=(1.0, 1.2, 0.8),
                           interpret=True)
     assert res2.phi.shape == (32, 128)
+
+
+def test_banded_tolerance_rgb_converges():
+    """End-to-end quality on the tolerance-mode mc route."""
+    from fixtures import colored_squares
+
+    img, gt = colored_squares(72, 128, noise=4.0)
+    u0 = jnp.asarray(img, F32)
+    p = CVParams(tol=1e-4, max_iter=200, min_iter=8)
+    r = segment_banded(u0, p, k=4, interpret=True)
+    m = np.asarray(r.mask)
+    # mask polarity depends on which region phi settles positive on
+    assert max(iou(m, gt), iou(~m, gt)) > 0.95
+    assert int(r.iters) <= 200
