@@ -118,7 +118,15 @@ def segment_resident(u0, p: CVParams = CVParams(),
     per-iteration partials rows drive the same streak/patience/min_iter/
     divergence logic as every other driver (ops/reductions.loop_continue
     semantics, evaluated per row).
+
+    Vector-valued (H, W, C) images fall back to the fused tolerance
+    driver (the resident mc kernel has no per-iteration partials-row
+    convergence surface; fixed mode keeps the mc fast path).
     """
+    if u0.ndim == 3:
+        from .fused import segment_fused
+        return segment_fused(u0, p, phi0, lambda1=lambda1, lambda2=lambda2,
+                             interpret=interpret)
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
     H, W = u0.shape
     if (not pallas_resident.supports_resident(H, W)

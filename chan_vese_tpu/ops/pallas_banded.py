@@ -54,7 +54,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..params import CVParams
-from .pallas_sweep import _VMEM_LIMIT, _heaviside, _update_all
+from .pallas_sweep import (_VMEM_LIMIT, _east, _heaviside, _north, _south,
+                           _update_all, _west)
 
 # live tile-sized buffers: 8 double-buffered scratch tiles (phi/u0/f/work
 # x 2) + ~16 tile-sized Mosaic temporaries of the two half-sweeps
@@ -85,10 +86,48 @@ def supports_banded(h: int, w: int, k: int) -> bool:
             and band_rows_banded(h, w, k) + up + dn <= h)
 
 
+def _resync_rim(x, grow, cols, crop, flags):
+    """Refresh the global-edge Neumann replica rim of a shard canvas.
+
+    Sharded-canvas mode (parallel/sharded.py): the canvas embeds a
+    halo-padded shard block, and at GLOBAL image edges the halo holds
+    clamped-index replicas that must track the edge cells as the
+    half-sweeps update them (the kernel twin of
+    parallel/sharded._resync_replicas). Shift-based so every source
+    index is static regardless of band geometry: row r0-1 <- row r0 via
+    one south-shift, row r0-2 via two, and symmetrically for the other
+    sides. Depth 2 suffices because a single half-sweep reads at most 2
+    cells into the replica region and the rim is re-refreshed after
+    every half-sweep, so deeper stale replicas are never consumed (the
+    jnp path refreshes the full depth; the extra rows it touches are
+    write-only between refreshes). Row fixes happen before column fixes
+    so corner replicas match _resync_replicas' sequential order.
+    """
+    r0, r1, c0, c1x = crop
+    is_top, is_bot, is_left, is_right = flags
+    s1 = _south(x)
+    s2 = _south(s1)
+    x = jnp.where(is_top & (grow == r0 - 1), s1, x)
+    x = jnp.where(is_top & (grow == r0 - 2), s2, x)
+    n1 = _north(x)
+    n2 = _north(n1)
+    x = jnp.where(is_bot & (grow == r1), n1, x)
+    x = jnp.where(is_bot & (grow == r1 + 1), n2, x)
+    e1 = _east(x)
+    e2 = _east(e1)
+    x = jnp.where(is_left & (cols == c0 - 1), e1, x)
+    x = jnp.where(is_left & (cols == c0 - 2), e2, x)
+    w1 = _west(x)
+    w2 = _west(w1)
+    x = jnp.where(is_right & (cols == c1x), w1, x)
+    x = jnp.where(is_right & (cols == c1x + 1), w2, x)
+    return x
+
+
 def _banded_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
                    phi_scr, u0_scr, f_scr, work_scr, sems,
                    *, H, W, b, k, up, dn, mu, nu, l1, l2, dt, eps, eta2,
-                   unroll=1):
+                   unroll=1, crop=None):
     """Grid (nbands, k): step (i, j) runs iteration j of band i.
 
     The in-chunk iterate lives in ``work_scr`` (explicit scratch, not a
@@ -161,15 +200,21 @@ def _banded_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
     rows = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 1)
     grow = rows + s
-    red = ((grow + cols) % 2) == 0
+    parity = c_ref[0, 2].astype(jnp.int32)
+    red = ((grow + cols + parity) % 2) == 0
+    flags = tuple(c_ref[0, 3 + t] > 0.5 for t in range(4))
 
     for _ in range(unroll):
         phi = phi_n
         g = (dt * eps / math.pi) / (eps * eps + phi * phi)
         phi_r = jnp.where(red, _update_all(phi, g, f, mu, dt, eps, eta2),
                           phi)
+        if crop is not None:
+            phi_r = _resync_rim(phi_r, grow, cols, crop, flags)
         phi_n = jnp.where(red, phi_r,
                           _update_all(phi_r, g, f, mu, dt, eps, eta2))
+        if crop is not None:
+            phi_n = _resync_rim(phi_n, grow, cols, crop, flags)
     work_scr[slot] = phi_n
 
     @pl.when(j == nsteps - 1)
@@ -178,7 +223,12 @@ def _banded_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
 
         g0, _ = window(i)
         hi = jnp.minimum((i + 1) * b, H)
-        m = ((grow >= i * b) & (grow < hi)).astype(phi_n.dtype)
+        keep = (grow >= i * b) & (grow < hi)
+        if crop is not None:
+            r0, r1, c0, c1x = crop
+            keep = (keep & (grow >= r0) & (grow < r1)
+                    & (cols >= c0) & (cols < c1x))
+        m = keep.astype(phi_n.dtype)
         h_eps = _heaviside(phi_n, eps)
         dphi = phi_n - phi
         flips = ((phi_n >= 0) != (phi >= 0)).astype(phi_n.dtype)
@@ -200,6 +250,18 @@ def _banded_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
             store_dma(i - 1, (i - 1) % 2).wait()
 
 
+def _banded_smem_row(c1, c2, dtype, parity=None, edges=None):
+    """(1, 8) SMEM row: [c1, c2, parity, top, bot, left, right, 0]."""
+    par = jnp.asarray(0 if parity is None else parity)
+    if edges is None:
+        edges = jnp.zeros((4,), dtype)
+    return jnp.concatenate([
+        jnp.stack([jnp.asarray(c1, dtype), jnp.asarray(c2, dtype),
+                   par.astype(dtype)]),
+        jnp.asarray(edges, dtype), jnp.zeros((1,), dtype),
+    ]).reshape(1, 8)
+
+
 @functools.partial(jax.jit, static_argnames=("p", "k", "unroll",
                                              "interpret"))
 def banded_chunk(phi, u0, c1, c2, p: CVParams, k: int = 8,
@@ -212,22 +274,59 @@ def banded_chunk(phi, u0, c1, c2, p: CVParams, k: int = 8,
     ``unroll`` runs that many iterations per grid step (k % unroll == 0)
     to amortize Mosaic's per-step costs; values > 2 risk VMEM spill OOM.
     """
-    H, W = phi.shape
-    if not supports_banded(H, W, k):
+    if not supports_banded(*phi.shape, k):
         raise ValueError(f"banded path unsupported for {phi.shape}, k={k}")
+    c = _banded_smem_row(c1, c2, phi.dtype)
+    return _call_banded(phi, u0, c, p, k, unroll, None, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "k", "unroll", "crop",
+                                             "interpret"))
+def banded_chunk_sharded(canvas, u0_canvas, c1, c2, p: CVParams, k: int,
+                         parity, edges, crop, unroll: int = 1,
+                         interpret: bool = False
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """k frozen-means iterations on a halo-padded SHARD canvas.
+
+    The banded kernel run per shard inside a communication-avoiding
+    chunk (parallel/sharded._sharded_chunk_pallas): ``canvas`` embeds
+    the (h + 2D, w + 2D) deep-halo padded block (D = 4 * comm_k >= 4k
+    covers the composite stencil reach of the chunk) in a lane-aligned
+    width with edge-extended dead columns, exactly like the
+    single-iteration canvas of ops/pallas_sweep.fused_iteration.
+
+    parity (traced int): global red-black lattice offset of the canvas
+    origin. edges (traced (4,) floats): [top, bottom, left, right]
+    global-boundary flags; replica halos on those sides are resynced
+    after every half-sweep (see _resync_rim). crop (static (r0, r1, c0,
+    c1) = (D, D+h, D, D+w)): the shard's own window, to which the
+    returned partials are restricted.
+
+    Returns (canvas_new, partials (8,)); the caller crops the canvas
+    and psums the partials over the mesh.
+    """
+    if not supports_banded(*canvas.shape, k):
+        raise ValueError(f"banded sharded path unsupported for "
+                         f"{canvas.shape}, k={k}")
+    c = _banded_smem_row(c1, c2, canvas.dtype, parity, edges)
+    return _call_banded(canvas, u0_canvas, c, p, k, unroll, crop,
+                        interpret)
+
+
+def _call_banded(phi, u0, c, p: CVParams, k: int, unroll: int, crop,
+                 interpret: bool) -> Tuple[jax.Array, jax.Array]:
+    H, W = phi.shape
     if unroll < 1 or k % unroll:
         raise ValueError(f"unroll must divide k (got k={k}, "
                          f"unroll={unroll})")
     up, dn = _halos(k)
     b = band_rows_banded(H, W, k)
     nbands = pl.cdiv(H, b)
-    c = jnp.stack([jnp.asarray(c1, phi.dtype),
-                   jnp.asarray(c2, phi.dtype)]).reshape(1, 2)
 
     kernel = functools.partial(
         _banded_kernel, H=H, W=W, b=b, k=k, up=up, dn=dn, mu=p.mu, nu=p.nu,
         l1=p.lambda1, l2=p.lambda2, dt=p.dt, eps=p.eps, eta2=p.eta2,
-        unroll=unroll)
+        unroll=unroll, crop=crop)
 
     T = b + up + dn
     phi_new, partials = pl.pallas_call(
@@ -285,8 +384,9 @@ def supports_banded_mc(h: int, w: int, k: int, c: int) -> bool:
 def _banded_mc_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
                       phi_scr, u0_scr, f_scr, work_scr, sems,
                       *, H, W, C, b, k, up, dn, mu, nu, l1, l2, dt, eps,
-                      eta2, unroll=1):
-    """Grid (nbands, k // unroll); c_ref (SMEM (1, 2C)): [c1..., c2...]."""
+                      eta2, unroll=1, crop=None):
+    """Grid (nbands, k // unroll); c_ref (SMEM (1, 2C + 8)):
+    [c1..., c2..., parity, top, bot, left, right, 0, 0, 0]."""
     T = b + up + dn
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -349,15 +449,21 @@ def _banded_mc_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
     rows = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 1)
     grow = rows + s
-    red = ((grow + cols) % 2) == 0
+    parity = c_ref[0, 2 * C].astype(jnp.int32)
+    red = ((grow + cols + parity) % 2) == 0
+    flags = tuple(c_ref[0, 2 * C + 1 + t] > 0.5 for t in range(4))
 
     for _ in range(unroll):
         phi = phi_n
         g = (dt * eps / math.pi) / (eps * eps + phi * phi)
         phi_r = jnp.where(red, _update_all(phi, g, f, mu, dt, eps, eta2),
                           phi)
+        if crop is not None:
+            phi_r = _resync_rim(phi_r, grow, cols, crop, flags)
         phi_n = jnp.where(red, phi_r,
                           _update_all(phi_r, g, f, mu, dt, eps, eta2))
+        if crop is not None:
+            phi_n = _resync_rim(phi_n, grow, cols, crop, flags)
     work_scr[slot] = phi_n
 
     @pl.when(j == nsteps - 1)
@@ -365,7 +471,12 @@ def _banded_mc_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
         store_dma(i, slot).start()
 
         hi = jnp.minimum((i + 1) * b, H)
-        m = ((grow >= i * b) & (grow < hi)).astype(phi_n.dtype)
+        keep = (grow >= i * b) & (grow < hi)
+        if crop is not None:
+            r0, r1, cc0, cc1 = crop
+            keep = (keep & (grow >= r0) & (grow < r1)
+                    & (cols >= cc0) & (cols < cc1))
+        m = keep.astype(phi_n.dtype)
         h_eps = _heaviside(phi_n, eps)
         hm = h_eps * m
         dphi = phi_n - phi
@@ -388,6 +499,18 @@ def _banded_mc_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
             store_dma(i - 1, (i - 1) % 2).wait()
 
 
+def _banded_mc_smem_row(c1, c2, C, dtype, parity=None, edges=None):
+    """(1, 2C + 8) SMEM row: [c1..., c2..., parity, edge flags, 0s]."""
+    par = jnp.asarray(0 if parity is None else parity)
+    if edges is None:
+        edges = jnp.zeros((4,), dtype)
+    return jnp.concatenate([
+        jnp.atleast_1d(c1).astype(dtype), jnp.atleast_1d(c2).astype(dtype),
+        par.astype(dtype)[None], jnp.asarray(edges, dtype),
+        jnp.zeros((3,), dtype),
+    ]).reshape(1, 2 * C + 8)
+
+
 @functools.partial(jax.jit, static_argnames=("p", "k", "unroll", "lambda1",
                                              "lambda2", "interpret"))
 def banded_chunk_mc(phi, u0_cfirst, c1, c2, p: CVParams, k: int = 8,
@@ -404,6 +527,38 @@ def banded_chunk_mc(phi, u0_cfirst, c1, c2, p: CVParams, k: int = 8,
         raise ValueError(f"phi {phi.shape} vs image {(H, W)}")
     if not supports_banded_mc(H, W, k, C):
         raise ValueError(f"banded mc unsupported for {(H, W, C)}, k={k}")
+    c = _banded_mc_smem_row(c1, c2, C, phi.dtype)
+    return _call_banded_mc(phi, u0_cfirst, c, p, k, unroll, lambda1,
+                           lambda2, None, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "k", "unroll", "lambda1",
+                                             "lambda2", "crop", "interpret"))
+def banded_chunk_mc_sharded(canvas, u0_canvas_cfirst, c1, c2, p: CVParams,
+                            k: int, parity, edges, crop, unroll: int = 1,
+                            lambda1=None, lambda2=None,
+                            interpret: bool = False
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """Multichannel twin of banded_chunk_sharded: k frozen-means
+    iterations on a halo-padded shard canvas with a (C, Hc, Wc)
+    channels-first image canvas. Same parity/edges/crop contract;
+    returns (canvas_new, partials (16,)) restricted to the crop window.
+    """
+    C, H, W = u0_canvas_cfirst.shape
+    if canvas.shape != (H, W):
+        raise ValueError(f"canvas {canvas.shape} vs image {(H, W)}")
+    if not supports_banded_mc(H, W, k, C):
+        raise ValueError(f"banded mc sharded unsupported for "
+                         f"{(H, W, C)}, k={k}")
+    c = _banded_mc_smem_row(c1, c2, C, canvas.dtype, parity, edges)
+    return _call_banded_mc(canvas, u0_canvas_cfirst, c, p, k, unroll,
+                           lambda1, lambda2, crop, interpret)
+
+
+def _call_banded_mc(phi, u0_cfirst, c, p: CVParams, k: int, unroll: int,
+                    lambda1, lambda2, crop, interpret: bool
+                    ) -> Tuple[jax.Array, jax.Array]:
+    C, H, W = u0_cfirst.shape
     if unroll < 1 or k % unroll:
         raise ValueError(f"unroll must divide k (got k={k}, "
                          f"unroll={unroll})")
@@ -411,13 +566,11 @@ def banded_chunk_mc(phi, u0_cfirst, c1, c2, p: CVParams, k: int = 8,
     up, dn = _halos(k)
     b = band_rows_banded_mc(H, W, k, C)
     nbands = pl.cdiv(H, b)
-    c = jnp.concatenate([jnp.atleast_1d(c1), jnp.atleast_1d(c2)]
-                        ).reshape(1, 2 * C).astype(phi.dtype)
 
     kernel = functools.partial(
         _banded_mc_kernel, H=H, W=W, C=C, b=b, k=k, up=up, dn=dn, mu=p.mu,
         nu=p.nu, l1=l1, l2=l2, dt=p.dt, eps=p.eps, eta2=p.eta2,
-        unroll=unroll)
+        unroll=unroll, crop=crop)
 
     T = b + up + dn
     phi_new, partials = pl.pallas_call(

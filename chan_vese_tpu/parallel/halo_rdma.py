@@ -112,11 +112,19 @@ def _ring_exchange(lo, hi, prev_id, next_id, collective_id: int,
 
 def _single_axis_env() -> bool:
     """True when exactly one named mesh axis is in scope (the only case
-    interpret-mode remote DMA supports)."""
-    from jax._src import core as jax_core
+    interpret-mode remote DMA supports).
 
-    env = jax_core.get_axis_env()
-    return len([n for n in env.axis_sizes if n is not None]) == 1
+    Reaches into jax._src.core (no public axis-env query exists as of
+    JAX 0.9); if a JAX upgrade moves it, fall back conservatively to
+    False so the interpret path routes to the always-correct ppermute
+    stand-in instead of a kernel interpret mode cannot discharge."""
+    try:
+        from jax._src import core as jax_core
+
+        env = jax_core.get_axis_env()
+        return len([n for n in env.axis_sizes if n is not None]) == 1
+    except Exception:
+        return False
 
 
 def _ring_shift(lo, hi, axis, prev_id, next_id, collective_id: int,

@@ -29,17 +29,46 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+_C_SLOTS = 8  # fixed on-disk means slot count (supports up to 8 channels)
+
+
+def _pack_c(c):
+    """Pack scalar / (C,) / None means into a fixed (_C_SLOTS,) f64 slab
+    plus a length tag, so restore targets are shape-independent (a vector
+    run's (C,) means round-trip through the same checkpoint layout)."""
+    slab = np.full((_C_SLOTS,), np.nan, np.float64)
+    if c is None:
+        return slab, np.int32(0)
+    v = np.atleast_1d(np.asarray(c, np.float64)).ravel()
+    if v.size > _C_SLOTS:
+        raise ValueError(f"means with {v.size} channels exceed the "
+                         f"checkpoint slot count {_C_SLOTS}")
+    slab[:v.size] = v
+    return slab, np.int32(v.size)
+
+
+def _unpack_c(slab, n):
+    n = int(n)
+    if n == 0:
+        return None
+    if n == 1:
+        return np.float64(slab[0])
+    return np.asarray(slab[:n], np.float64)
+
+
 def save_sharded(path_dir, step: int, phi, c1=None, c2=None) -> Path:
     """Write a sharded checkpoint directory ckpt_<step>."""
     d = Path(path_dir).resolve()
     d.mkdir(parents=True, exist_ok=True)
     p = d / f"ckpt_{step:08d}"
     ckptr = _checkpointer()
+    c1s, n1 = _pack_c(c1)
+    c2s, n2 = _pack_c(c2)
     state = {
         "step": np.asarray(step, np.int32),
         "phi": phi,
-        "c1": np.asarray(np.nan if c1 is None else c1, np.float64),
-        "c2": np.asarray(np.nan if c2 is None else c2, np.float64),
+        "c1": c1s, "c1_len": n1,
+        "c2": c2s, "c2_len": n2,
     }
     ckptr.save(p, state, force=True)
     ckptr.wait_until_finished()
@@ -64,10 +93,18 @@ def restore_sharded(path, mesh, shape, dtype):
         "step": np.zeros((), np.int32),
         "phi": jax.ShapeDtypeStruct(
             shape, dtype, sharding=NamedSharding(mesh, P("x", "y"))),
-        "c1": np.zeros((), np.float64),
-        "c2": np.zeros((), np.float64),
+        "c1": np.zeros((_C_SLOTS,), np.float64),
+        "c1_len": np.zeros((), np.int32),
+        "c2": np.zeros((_C_SLOTS,), np.float64),
+        "c2_len": np.zeros((), np.int32),
     }
-    return ckptr.restore(Path(path).resolve(), tgt)
+    state = ckptr.restore(Path(path).resolve(), tgt)
+    return {
+        "step": state["step"],
+        "phi": state["phi"],
+        "c1": _unpack_c(state["c1"], state["c1_len"]),
+        "c2": _unpack_c(state["c2"], state["c2_len"]),
+    }
 
 
 def segment_sharded_with_checkpoints(u0, p, mesh, iters: int, ckpt_dir,

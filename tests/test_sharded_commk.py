@@ -43,6 +43,30 @@ def _frozen_means_reference(u0, phi, p, iters, k):
     return phi
 
 
+def _frozen_means_reference_vec(u0, phi, p, iters, k, l1, l2):
+    """Vector-valued frozen-means trajectory class, pure jnp, unsharded."""
+    from chan_vese_tpu.ops.numerics import heaviside
+
+    c1, c2 = region_means(u0, phi, p.eps)  # (C,)
+    sum_u = jnp.sum(u0, axis=(0, 1))
+    n_pix = float(u0.shape[0] * u0.shape[1])
+    l1 = jnp.asarray(l1, u0.dtype)
+    l2 = jnp.asarray(l2, u0.dtype)
+    done = 0
+    while done < iters:
+        size = min(k, iters - done)
+        f = (-p.nu - jnp.mean(l1 * (u0 - c1) ** 2, axis=-1)
+             + jnp.mean(l2 * (u0 - c2) ** 2, axis=-1))
+        for _ in range(size):
+            phi = redblack_step(phi, f, p)
+        h = heaviside(phi, p.eps)
+        c1, c2 = means_from_sums(
+            jnp.sum(u0 * h[..., None], axis=(0, 1)), jnp.sum(h),
+            sum_u, n_pix)
+        done += size
+    return phi
+
+
 @pytest.mark.parametrize("k,iters", [(2, 8), (3, 10)])
 def test_commk_matches_frozen_means_reference(grid_mesh, k, iters):
     img, _ = two_disks(48, 96, noise=6.0)
@@ -55,6 +79,146 @@ def test_commk_matches_frozen_means_reference(grid_mesh, k, iters):
     np.testing.assert_allclose(np.asarray(res.phi), np.asarray(want),
                                rtol=1e-9, atol=1e-9)
     assert int(res.iters) == iters
+
+
+@pytest.mark.parametrize("k,iters", [(2, 8), (3, 10)])
+def test_commk_pallas_matches_frozen_means_reference(grid_mesh, k, iters):
+    """The banded Pallas kernel per shard (VERDICT r2 item 1): same
+    frozen-means trajectory class as the exact-atan jnp reference.
+    Tolerance is set by the in-kernel Cephes atan (~1e-7 relative) that
+    feeds the means refresh, same as tests/test_banded.py."""
+    img, _ = two_disks(48, 96, noise=6.0)
+    u0 = jnp.asarray(img)  # f64
+    p = CVParams()
+    res = segment_sharded(u0, p, grid_mesh, fixed=True, max_iter=iters,
+                          comm_k=k, use_pallas=True, interpret=True)
+    want = _frozen_means_reference(u0, init_phi((48, 96), p.init,
+                                                u0.dtype), p, iters, k)
+    np.testing.assert_allclose(np.asarray(res.phi), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(res.mask),
+                                  np.asarray(want) >= 0)
+    assert int(res.iters) == iters
+
+
+@pytest.mark.parametrize("k,iters", [(2, 8), (4, 10)])
+def test_commk_pallas_sharded_equals_unsharded_banded(grid_mesh, k, iters):
+    """Sharding equivalence at 1e-9 f64: the per-shard banded kernel on
+    the 2x4 mesh vs the SAME kernel unsharded (models/banded.py driver,
+    identical Cephes atan + frozen-means schedule + auto-unroll policy).
+    Isolates halo/resync/parity/crop correctness from kernel-vs-jnp
+    transcendental differences. iters=10 with k=4 also covers the
+    remainder chunk (size 2, unroll drops to 1)."""
+    from chan_vese_tpu.models.banded import segment_banded_fixed
+
+    img, _ = two_disks(48, 256, noise=6.0)
+    u0 = jnp.asarray(img)  # f64
+    p = CVParams()
+    phi0 = init_phi((48, 256), p.init, u0.dtype)
+    res = segment_sharded(u0, p, grid_mesh, fixed=True, max_iter=iters,
+                          comm_k=k, phi0=phi0, use_pallas=True,
+                          interpret=True)
+    want_phi, want_mask = segment_banded_fixed(u0, p, iters=iters, k=k,
+                                               phi0=phi0, interpret=True)
+    np.testing.assert_allclose(np.asarray(res.phi), np.asarray(want_phi),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(res.mask),
+                                  np.asarray(want_mask))
+
+
+def test_commk_pallas_matches_jnp_commk(grid_mesh):
+    """use_pallas routes the same trajectory class as the jnp chunks:
+    masks equal, phi within the Cephes-atan envelope."""
+    img, _ = two_disks(48, 96, noise=6.0)
+    u0 = jnp.asarray(img)
+    p = CVParams()
+    a = segment_sharded(u0, p, grid_mesh, fixed=True, max_iter=12,
+                        comm_k=4, use_pallas=True, interpret=True)
+    b = segment_sharded(u0, p, grid_mesh, fixed=True, max_iter=12,
+                        comm_k=4, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+    np.testing.assert_allclose(np.asarray(a.phi), np.asarray(b.phi),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_commk_vec_matches_reference(grid_mesh, use_pallas):
+    """Vector-valued comm_k chunking (jnp and banded-mc kernel paths)."""
+    rng = np.random.default_rng(3)
+    img, _ = two_disks(48, 96, noise=6.0)
+    u0 = jnp.asarray(np.stack([img + rng.normal(0, 2.0, img.shape)
+                               for _ in range(3)], axis=-1))
+    lam1, lam2 = (1.0, 1.2, 0.8), (1.0, 0.9, 1.1)
+    p = CVParams()
+    res = segment_sharded(u0, p, grid_mesh, fixed=True, max_iter=8,
+                          comm_k=2, lambda1=lam1, lambda2=lam2,
+                          use_pallas=use_pallas, interpret=use_pallas)
+    want = _frozen_means_reference_vec(
+        u0, init_phi((48, 96), p.init, u0.dtype), p, 8, 2, lam1, lam2)
+    tol = dict(rtol=1e-5, atol=1e-5) if use_pallas \
+        else dict(rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(res.phi), np.asarray(want),
+                               **tol)
+    np.testing.assert_array_equal(np.asarray(res.mask),
+                                  np.asarray(want) >= 0)
+
+
+def test_commk_pallas_vec_sharded_equals_unsharded_banded(grid_mesh):
+    """Vector twin of the 1e-9 sharding-equivalence test (banded mc
+    kernel per shard vs the unsharded mc banded driver)."""
+    from chan_vese_tpu.models.banded import segment_banded_fixed
+
+    rng = np.random.default_rng(5)
+    img, _ = two_disks(48, 256, noise=6.0)
+    u0 = jnp.asarray(np.stack([img + rng.normal(0, 2.0, img.shape)
+                               for _ in range(3)], axis=-1))
+    lam1, lam2 = (1.0, 1.2, 0.8), (1.0, 0.9, 1.1)
+    p = CVParams()
+    phi0 = init_phi((48, 256), p.init, u0.dtype)
+    res = segment_sharded(u0, p, grid_mesh, fixed=True, max_iter=8,
+                          comm_k=2, phi0=phi0, lambda1=lam1, lambda2=lam2,
+                          use_pallas=True, interpret=True)
+    want_phi, want_mask = segment_banded_fixed(
+        u0, p, iters=8, k=2, phi0=phi0, lambda1=lam1, lambda2=lam2,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(res.phi), np.asarray(want_phi),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(res.mask),
+                                  np.asarray(want_mask))
+
+
+def test_vec_per_iteration_pallas_equals_unsharded(grid_mesh):
+    """comm_k == 1 vector sharding routes through the banded mc kernel
+    (a k=1 chunk is one standard iteration); must equal the unsharded
+    k=1 banded mc driver at 1e-9 f64, and stay in the same trajectory
+    class as the jnp vec path (masks equal)."""
+    from chan_vese_tpu.models.banded import segment_banded_fixed
+
+    rng = np.random.default_rng(7)
+    img, _ = two_disks(48, 256, noise=6.0)
+    u0 = jnp.asarray(np.stack([img + rng.normal(0, 2.0, img.shape)
+                               for _ in range(3)], axis=-1))
+    p = CVParams()
+    phi0 = init_phi((48, 256), p.init, u0.dtype)
+    res = segment_sharded(u0, p, grid_mesh, fixed=True, max_iter=6,
+                          phi0=phi0, use_pallas=True, interpret=True)
+    want_phi, want_mask = segment_banded_fixed(u0, p, iters=6, k=1,
+                                               phi0=phi0, interpret=True)
+    np.testing.assert_allclose(np.asarray(res.phi), np.asarray(want_phi),
+                               rtol=1e-9, atol=1e-9)
+    jnp_res = segment_sharded(u0, p, grid_mesh, fixed=True, max_iter=6,
+                              phi0=phi0, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(res.mask),
+                                  np.asarray(jnp_res.mask))
+
+
+def test_commk_pallas_geometry_validation(grid_mesh):
+    """Shards off the banded envelope must raise for explicit
+    use_pallas=True (30-row shards break the 8-row alignment)."""
+    u0 = jnp.zeros((60, 96), jnp.float32)
+    with pytest.raises(ValueError, match="banded pallas"):
+        segment_sharded(u0, CVParams(), grid_mesh, comm_k=2,
+                        use_pallas=True, interpret=True)
 
 
 def test_commk_tolerance_converges(grid_mesh):
@@ -82,11 +246,11 @@ def test_commk_validation(grid_mesh):
     u0 = jnp.zeros((48, 96), F32)
     with pytest.raises(ValueError, match="comm_k"):
         segment_sharded(u0, p, grid_mesh, comm_k=0)
-    with pytest.raises(ValueError, match="grayscale jnp path"):
-        segment_sharded(jnp.zeros((48, 96, 3), F32), p, grid_mesh,
-                        comm_k=2)
-    with pytest.raises(ValueError, match="grayscale jnp path"):
-        segment_sharded(u0, p, grid_mesh, comm_k=2, use_pallas=True)
+    with pytest.raises(ValueError, match="comm_k > 1 needs"):
+        segment_sharded(u0, p, grid_mesh, comm_k=2, halo="overlap",
+                        use_pallas=False)
+    with pytest.raises(ValueError, match="comm_k > 1 needs"):
+        segment_sharded(u0, CVParams(reinit_every=5), grid_mesh, comm_k=2)
     with pytest.raises(ValueError, match="deep halos"):
         segment_sharded(u0, p, grid_mesh, comm_k=8)  # 32 > 24-row shard
 
