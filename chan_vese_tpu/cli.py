@@ -164,26 +164,80 @@ def main(argv=None) -> int:
     if args.multiphase:
         if args.mesh is not None:
             from .parallel.mesh import make_grid_mesh
-            from .parallel.sharded import segment_multiphase_sharded
+            from .parallel.sharded import (
+                segment_multiphase_sharded,
+                segment_multiphase_sharded_fixed_trace)
 
-            warn_dropped("sharded multiphase",
-                         ("--trace-energy", args.trace_energy),
-                         ("--evolution-gif", args.evolution_gif),
-                         ("--checkpoint-dir", args.checkpoint_dir))
             mesh = make_grid_mesh(*args.mesh)
-            res = segment_multiphase_sharded(
-                u0, p, mesh, m_sets=args.multiphase,
-                max_iter=args.iters if fixed else None, fixed=fixed)
-            iters = args.iters if fixed else int(res.iters)
-            if diverged_exit(iters, res.cs):
+            up = False if args.no_fused else None
+            if args.comm_k > 1:
+                warn_dropped("sharded multiphase", ("--comm-k", True))
+            if not fixed:
+                warn_dropped("sharded multiphase tolerance-mode",
+                             ("--trace-energy", args.trace_energy),
+                             ("--evolution-gif", args.evolution_gif),
+                             ("--checkpoint-dir", args.checkpoint_dir))
+                res = segment_multiphase_sharded(
+                    u0, p, mesh, m_sets=args.multiphase, fixed=False,
+                    use_pallas=up, halo=args.halo)
+                labels, iters, sig = res.labels, int(res.iters), res.cs
+            elif args.trace_energy:
+                if args.checkpoint_dir:
+                    warn_dropped("sharded multiphase traced",
+                                 ("--checkpoint-dir", args.checkpoint_dir))
+                tr = segment_multiphase_sharded_fixed_trace(
+                    u0, p, mesh, iters=args.iters, m_sets=args.multiphase,
+                    use_pallas=up, halo=args.halo)
+                trace_util.write_energy_csv(args.trace_energy, tr.energy,
+                                            tr.delta)
+                labels, iters, sig = tr.labels, args.iters, tr.energy[-1]
+            elif args.checkpoint_dir:
+                from .utils.checkpoint_sharded import (
+                    segment_multiphase_sharded_with_checkpoints)
+
+                res = segment_multiphase_sharded_with_checkpoints(
+                    u0, p, mesh, iters=args.iters,
+                    ckpt_dir=args.checkpoint_dir,
+                    every=args.checkpoint_every, m_sets=args.multiphase,
+                    use_pallas=up, halo=args.halo)
+                labels, iters, sig = res.labels, args.iters, res.cs
+                log(f"multiphase sharded checkpointed run -> "
+                    f"{args.checkpoint_dir}")
+            else:
+                res = segment_multiphase_sharded(
+                    u0, p, mesh, m_sets=args.multiphase,
+                    max_iter=args.iters, fixed=True, use_pallas=up,
+                    halo=args.halo)
+                labels, iters, sig = res.labels, args.iters, res.cs
+            if fixed and args.evolution_gif:
+                # chunked re-run threading phis0; frames show phi_0's
+                # contour (bit 0 of the labels, the overlay convention)
+                from .models.multiphase import init_multiphase
+
+                frames = []
+                phis = init_multiphase(u0.shape[:2], args.multiphase,
+                                       dtype=dtype)
+                n = 0
+                while n < args.iters:
+                    chunk = min(args.gif_every, args.iters - n)
+                    r = segment_multiphase_sharded(
+                        u0, p, mesh, m_sets=args.multiphase, phis0=phis,
+                        max_iter=chunk, fixed=True, use_pallas=up,
+                        halo=args.halo)
+                    phis = r.phis
+                    n += chunk
+                    frames.append(np.asarray(phis[0]))
+                image_io.save_evolution_gif(args.evolution_gif, img,
+                                            frames)
+            if diverged_exit(iters, sig):
                 return 1
             log(f"multiphase sharded {args.mesh[0]}x{args.mesh[1]}: "
                 f"{2 ** args.multiphase} phases, {iters} iters")
             if args.output:
-                image_io.save_labels(args.output, np.asarray(res.labels))
+                image_io.save_labels(args.output, np.asarray(labels))
             if args.overlay:
                 image_io.save_overlay(args.overlay, img,
-                                      np.asarray(res.labels) % 2 == 1)
+                                      np.asarray(labels) % 2 == 1)
             return 0
         if fixed and args.checkpoint_dir:
             from .utils.checkpoint import segment_multiphase_with_checkpoints

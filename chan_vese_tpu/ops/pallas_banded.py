@@ -54,8 +54,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..params import CVParams
-from .pallas_sweep import (_VMEM_LIMIT, _east, _heaviside, _north, _south,
-                           _update_all, _west)
+from .pallas_sweep import (_VMEM_LIMIT, _heaviside, _resync_rim,
+                           _update_all)
 
 # live tile-sized buffers: 8 double-buffered scratch tiles (phi/u0/f/work
 # x 2) + ~16 tile-sized Mosaic temporaries of the two half-sweeps
@@ -84,44 +84,6 @@ def supports_banded(h: int, w: int, k: int) -> bool:
     up, dn = _halos(k)
     return (w % 128 == 0 and h % 8 == 0 and 1 <= k <= 64
             and band_rows_banded(h, w, k) + up + dn <= h)
-
-
-def _resync_rim(x, grow, cols, crop, flags):
-    """Refresh the global-edge Neumann replica rim of a shard canvas.
-
-    Sharded-canvas mode (parallel/sharded.py): the canvas embeds a
-    halo-padded shard block, and at GLOBAL image edges the halo holds
-    clamped-index replicas that must track the edge cells as the
-    half-sweeps update them (the kernel twin of
-    parallel/sharded._resync_replicas). Shift-based so every source
-    index is static regardless of band geometry: row r0-1 <- row r0 via
-    one south-shift, row r0-2 via two, and symmetrically for the other
-    sides. Depth 2 suffices because a single half-sweep reads at most 2
-    cells into the replica region and the rim is re-refreshed after
-    every half-sweep, so deeper stale replicas are never consumed (the
-    jnp path refreshes the full depth; the extra rows it touches are
-    write-only between refreshes). Row fixes happen before column fixes
-    so corner replicas match _resync_replicas' sequential order.
-    """
-    r0, r1, c0, c1x = crop
-    is_top, is_bot, is_left, is_right = flags
-    s1 = _south(x)
-    s2 = _south(s1)
-    x = jnp.where(is_top & (grow == r0 - 1), s1, x)
-    x = jnp.where(is_top & (grow == r0 - 2), s2, x)
-    n1 = _north(x)
-    n2 = _north(n1)
-    x = jnp.where(is_bot & (grow == r1), n1, x)
-    x = jnp.where(is_bot & (grow == r1 + 1), n2, x)
-    e1 = _east(x)
-    e2 = _east(e1)
-    x = jnp.where(is_left & (cols == c0 - 1), e1, x)
-    x = jnp.where(is_left & (cols == c0 - 2), e2, x)
-    w1 = _west(x)
-    w2 = _west(w1)
-    x = jnp.where(is_right & (cols == c1x), w1, x)
-    x = jnp.where(is_right & (cols == c1x + 1), w2, x)
-    return x
 
 
 def _banded_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,

@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..params import CVParams
 from .pallas_sweep import (_HALO, _HALO_UP, _VMEM_LIMIT, _heaviside,
-                           _update_all)
+                           _resync_rim, _update_all)
 
 # tile-sized live buffers: 10 double-buffered DMA tiles (phi0/phi1/u0/
 # new0/new1 x 2) + the half-sweep temporaries
@@ -74,11 +74,19 @@ def supports_mp2_resident(h: int, w: int) -> bool:
             and h * w * 4 * _ARRAYS_RESIDENT <= _VMEM_LIMIT)
 
 
-def _coupled_iteration(phi0, phi1, u0, c, red, mu, nu, dt, eps, eta2):
+def _coupled_iteration(phi0, phi1, u0, c, red, mu, nu, dt, eps, eta2,
+                       resync=None):
     """One full 4-phase iteration on tile values; returns (new0, new1).
 
     ``c``: the 4 phase means [c00, c10, c01, c11] indexed by the bitmask
     s = (phi0 inside) + 2 * (phi1 inside).
+
+    ``resync`` (sharded-canvas mode): applied to each level set's
+    red-half result before its black half reads the global-edge replica
+    rim through it. The pre-iteration replicas come from the caller's
+    halo exchange, the coupling term f1 reads new0 pointwise, and the
+    post-iteration halo state is re-exchanged before the next call, so
+    these two are the only refresh points the coupled iteration needs.
     """
     d0 = (u0 - c[0]) ** 2
     d1 = (u0 - c[1]) ** 2
@@ -89,6 +97,8 @@ def _coupled_iteration(phi0, phi1, u0, c, red, mu, nu, dt, eps, eta2):
     f0 = -nu + (1.0 - h1) * (d0 - d1) + h1 * (d2 - d3)
     g0 = (dt * eps / math.pi) / (eps * eps + phi0 * phi0)
     p0r = jnp.where(red, _update_all(phi0, g0, f0, mu, dt, eps, eta2), phi0)
+    if resync is not None:
+        p0r = resync(p0r)
     new0 = jnp.where(red, p0r,
                      _update_all(p0r, g0, f0, mu, dt, eps, eta2))
 
@@ -96,6 +106,8 @@ def _coupled_iteration(phi0, phi1, u0, c, red, mu, nu, dt, eps, eta2):
     f1 = -nu + (1.0 - h0n) * (d0 - d2) + h0n * (d1 - d3)
     g1 = (dt * eps / math.pi) / (eps * eps + phi1 * phi1)
     p1r = jnp.where(red, _update_all(phi1, g1, f1, mu, dt, eps, eta2), phi1)
+    if resync is not None:
+        p1r = resync(p1r)
     new1 = jnp.where(red, p1r,
                      _update_all(p1r, g1, f1, mu, dt, eps, eta2))
     return new0, new1
@@ -127,8 +139,13 @@ def _mp2_partials(part_ref, row, u0, new0, new1, old0, old1, m, eps):
 
 def _mp2_band_kernel(c_ref, phis_hbm, u0_hbm, out_hbm, part_ref,
                      p0_scr, p1_scr, u0_scr, n0_scr, n1_scr, sems,
-                     *, H, W, b, mu, nu, dt, eps, eta2):
-    """Banded fused 4-phase iteration, double-buffered DMA pipeline."""
+                     *, H, W, b, mu, nu, dt, eps, eta2, crop=None):
+    """Banded fused 4-phase iteration, double-buffered DMA pipeline.
+
+    c_ref (SMEM (1, 16)): [c00, c10, c01, c11, parity, top, bot, left,
+    right, 0...]. ``crop`` enables sharded-canvas mode exactly like the
+    scalar kernels (global parity, per-half-sweep replica-rim resync,
+    crop-windowed partials)."""
     i = pl.program_id(0)
     nbands = pl.num_programs(0)
 
@@ -179,11 +196,17 @@ def _mp2_band_kernel(c_ref, phis_hbm, u0_hbm, out_hbm, part_ref,
     rows = jax.lax.broadcasted_iota(jnp.int32, phi0.shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, phi0.shape, 1)
     grow = rows + s
-    red = ((grow + cols) % 2) == 0
+    parity = c_ref[0, 4].astype(jnp.int32)
+    red = ((grow + cols + parity) % 2) == 0
+
+    resync = None
+    if crop is not None:
+        flags = tuple(c_ref[0, 5 + t] > 0.5 for t in range(4))
+        resync = lambda x: _resync_rim(x, grow, cols, crop, flags)  # noqa: E731
 
     c = [c_ref[0, t] for t in range(4)]
     new0, new1 = _coupled_iteration(phi0, phi1, u0, c, red, mu, nu, dt,
-                                    eps, eta2)
+                                    eps, eta2, resync=resync)
 
     @pl.when(i >= 2)
     def _():
@@ -196,7 +219,12 @@ def _mp2_band_kernel(c_ref, phis_hbm, u0_hbm, out_hbm, part_ref,
         dma.start()
 
     hi = jnp.minimum((i + 1) * b, H)
-    m = ((grow >= i * b) & (grow < hi)).astype(u0.dtype)
+    keep = (grow >= i * b) & (grow < hi)
+    if crop is not None:
+        r0, r1, c0, c1x = crop
+        keep = (keep & (grow >= r0) & (grow < r1)
+                & (cols >= c0) & (cols < c1x))
+    m = keep.astype(u0.dtype)
     _mp2_partials(part_ref, i, u0, new0, new1, phi0, phi1, m, eps)
 
     @pl.when(i == nbands - 1)
@@ -208,6 +236,17 @@ def _mp2_band_kernel(c_ref, phis_hbm, u0_hbm, out_hbm, part_ref,
     def _():
         for dma in store_dmas(i - 1, (i - 1) % 2):
             dma.wait()
+
+
+def _mp2_smem_row(cs, dtype, parity=None, edges=None):
+    """(1, 16) SMEM row: [c00, c10, c01, c11, parity, edge flags, 0s]."""
+    par = jnp.asarray(0 if parity is None else parity)
+    if edges is None:
+        edges = jnp.zeros((4,), dtype)
+    return jnp.concatenate([
+        jnp.asarray(cs, dtype).reshape(4), par.astype(dtype)[None],
+        jnp.asarray(edges, dtype), jnp.zeros((7,), dtype),
+    ]).reshape(1, 16)
 
 
 @functools.partial(jax.jit, static_argnames=("p", "interpret"))
@@ -227,13 +266,45 @@ def mp2_iteration(phis, u0, cs, p: CVParams,
         raise ValueError(f"u0 {u0.shape} vs phis {(H, W)} (grayscale only)")
     if not supports_mp2(H, W):
         raise ValueError(f"mp2 fast path unsupported for {(H, W)}")
+    c = _mp2_smem_row(cs, u0.dtype)
+    return _call_mp2(phis, u0, c, p, None, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "crop", "interpret"))
+def mp2_iteration_sharded(phis_canvas, u0_canvas, cs, p: CVParams,
+                          parity, edges, crop, interpret: bool = False
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """One fused 4-phase iteration on halo-padded SHARD canvases.
+
+    The coupled kernel run per shard under shard_map
+    (parallel/sharded._sharded_multiphase_iteration_pallas):
+    ``phis_canvas`` (2, Hc, Wc) embeds both level sets' depth-4-padded
+    blocks in the lane-aligned canvas, ``u0_canvas`` the image. Depth-4
+    halos cover the coupled iteration's reach (phi_1's black half reads
+    new phi_0 through the data term: composite read depth 3 into the
+    halo; both level sets' own sweeps read depth 2). parity/edges/crop
+    as in pallas_sweep.fused_iteration. Returns (canvas_new (2, Hc, Wc),
+    partials (16,)) restricted to the crop window.
+    """
+    M, H, W = phis_canvas.shape
+    if M != 2:
+        raise ValueError("mp2 kernel is specialized to M = 2 level sets")
+    if u0_canvas.shape != (H, W):
+        raise ValueError(f"u0 {u0_canvas.shape} vs phis {(H, W)}")
+    if not supports_mp2(H, W):
+        raise ValueError(f"mp2 sharded path unsupported for {(H, W)}")
+    c = _mp2_smem_row(cs, u0_canvas.dtype, parity, edges)
+    return _call_mp2(phis_canvas, u0_canvas, c, p, crop, interpret)
+
+
+def _call_mp2(phis, u0, c, p: CVParams, crop, interpret: bool):
+    M, H, W = phis.shape
     b = band_rows_mp2(H, W)
     nbands = pl.cdiv(H, b)
-    c = jnp.asarray(cs, u0.dtype).reshape(1, 4)
 
     kernel = functools.partial(
         _mp2_band_kernel, H=H, W=W, b=b, mu=p.mu, nu=p.nu, dt=p.dt,
-        eps=p.eps, eta2=p.eta2)
+        eps=p.eps, eta2=p.eta2, crop=crop)
 
     phis_new, partials = pl.pallas_call(
         kernel,

@@ -134,6 +134,51 @@ def _south(x):
     return jnp.concatenate([x[1:], x[-1:]], axis=0)
 
 
+def _resync_rim(x, grow, cols, crop, flags):
+    """Refresh the global-edge Neumann replica rim of a shard canvas.
+
+    Sharded-canvas mode (parallel/sharded.py): the canvas embeds a
+    halo-padded shard block, and at GLOBAL image edges the halo holds
+    clamped-index replicas that must track the edge cells as the
+    half-sweeps update them (the kernel twin of
+    parallel/sharded._resync_replicas). Shift-based so every source
+    index is static regardless of band geometry: row r0-1 <- row r0 via
+    one south-shift, row r0-2 via two, and symmetrically for the other
+    sides. Depth 2 suffices because a single half-sweep reads at most 1
+    cell into the replica region (the update's read set is the 3x3
+    neighborhood - see _update_all) and the rim is re-refreshed after
+    every half-sweep, so deeper stale replicas are never consumed (the
+    jnp path refreshes the full depth; the extra cells it touches are
+    write-only between refreshes). Row fixes happen before column fixes
+    so corner replicas match _resync_replicas' sequential order.
+
+    ``crop`` = (r0, r1, c0, c1): the shard's own window in canvas
+    coordinates; ``flags`` = (is_top, is_bot, is_left, is_right) traced
+    scalar booleans. Used by the banded chunk kernels
+    (ops/pallas_banded.py) and the fused multiphase canvas kernel
+    (ops/pallas_multiphase.py).
+    """
+    r0, r1, c0, c1x = crop
+    is_top, is_bot, is_left, is_right = flags
+    s1 = _south(x)
+    s2 = _south(s1)
+    x = jnp.where(is_top & (grow == r0 - 1), s1, x)
+    x = jnp.where(is_top & (grow == r0 - 2), s2, x)
+    n1 = _north(x)
+    n2 = _north(n1)
+    x = jnp.where(is_bot & (grow == r1), n1, x)
+    x = jnp.where(is_bot & (grow == r1 + 1), n2, x)
+    e1 = _east(x)
+    e2 = _east(e1)
+    x = jnp.where(is_left & (cols == c0 - 1), e1, x)
+    x = jnp.where(is_left & (cols == c0 - 2), e2, x)
+    w1 = _west(x)
+    w2 = _west(w1)
+    x = jnp.where(is_right & (cols == c1x), w1, x)
+    x = jnp.where(is_right & (cols == c1x + 1), w2, x)
+    return x
+
+
 def _update_all(phi, g, f, mu, dt, eps, eta2):
     """Semi-implicit update at every cell (tile-local clamped shifts).
 

@@ -376,15 +376,77 @@ def _sweep_local(pad, f, p, red, black, ix, iy, nx, ny,
     return jnp.where(black, upd, pad)
 
 
+def _exchange(x, depth, halo="ppermute", interpret=False):
+    """Halo exchange by mechanism name ('ppermute' | 'rdma')."""
+    if halo == "rdma":
+        from .halo_rdma import exchange_halo2d_rdma
+        return exchange_halo2d_rdma(x, depth, interpret=interpret)
+    return exchange_halo2d(x, depth)
+
+
+def _sharded_phase_means(u0_loc, phis, p: CVParams):
+    """psum'd 2^M phase means of the local blocks (per-channel for RGB)."""
+    m_sets = phis.shape[0]
+    vec = u0_loc.ndim == 3
+    hs = [heaviside(phis[m], p.eps) for m in range(m_sets)]
+    cs = []
+    for sbit in range(2 ** m_sets):
+        wgt = None
+        for m in range(m_sets):
+            factor = hs[m] if (sbit >> m) & 1 else (1.0 - hs[m])
+            wgt = factor if wgt is None else wgt * factor
+        if vec:
+            num = lax.psum(jnp.sum(u0_loc * wgt[..., None], axis=(0, 1)),
+                           ("x", "y"))
+        else:
+            num = lax.psum(jnp.sum(u0_loc * wgt), ("x", "y"))
+        den = lax.psum(jnp.sum(wgt), ("x", "y"))
+        cs.append(num / jnp.maximum(den, 1e-30))
+    return cs
+
+
+def _sharded_multiphase_iteration_pallas(phis, mp_env, cs, p: CVParams,
+                                         h, w, n_pix, halo="ppermute",
+                                         interpret=False):
+    """One fused coupled 4-phase iteration per shard (M = 2 grayscale):
+    the canvas-mode mp2 kernel (ops/pallas_multiphase.py) replaces the
+    means/coupling/sweep pipeline of _sharded_multiphase_iteration.
+
+    Means are CARRIED through the loop (cs in, next-iteration cs from
+    the psum'd kernel partials) - the models/multiphase._mp2_banded_loop
+    schedule, which equals recomputing them at the next iteration's
+    start. Returns (phis_new, cs_new, flips).
+    """
+    from ..ops import pallas_multiphase
+
+    u0_canvas, parity, edges = mp_env
+    wc = u0_canvas.shape[1]
+    pads = [_exchange(phis[m], _D, halo, interpret) for m in range(2)]
+    canvas = jnp.stack([jnp.pad(pd, ((0, 0), (0, wc - pd.shape[1])),
+                                mode="edge") for pd in pads])
+    crop = (_D, _D + h, _D, _D + w)
+    canvas_new, parts = pallas_multiphase.mp2_iteration_sharded(
+        canvas, u0_canvas, cs, p, parity, edges, crop, interpret=interpret)
+    new = canvas_new[:, _D: _D + h, _D: _D + w]
+    parts = lax.psum(parts[:10], ("x", "y"))
+    tiny = jnp.asarray(1e-30, phis.dtype)
+    cs_new = parts[0:4] / jnp.maximum(parts[4:8], tiny)
+    # 0 * s_dphi2 NaN-poisons the flip metric on divergence
+    flips = parts[8] / n_pix + 0.0 * parts[9]
+    return new, cs_new, flips
+
+
 def _sharded_multiphase_iteration(phis, u0_pad, p: CVParams, ix, iy, nx, ny,
-                                  h, w, n_pix):
+                                  h, w, n_pix, halo="ppermute",
+                                  interpret=False):
     """One multiphase (M coupled level sets) iteration on a local block.
 
     Mirrors models/multiphase.py: 2^M psum'd phase means once per
     iteration, then M sequential padded red-black sweeps (each with its
     own halo exchange - phi_m's sweep sees phi_{m-1}'s update). Handles
     grayscale (h, w) and vector-valued (h, w, C) u0_pad (per-channel
-    phase means, channel-averaged squared distances).
+    phase means, channel-averaged squared distances). ``halo`` selects
+    the per-level-set exchange mechanism (ppermute or rdma).
     """
     m_sets = phis.shape[0]
     u0_loc = u0_pad[_D: _D + h, _D: _D + w]
@@ -399,24 +461,11 @@ def _sharded_multiphase_iteration(phis, u0_pad, p: CVParams, ix, iy, nx, ny,
         return (upad - c) ** 2
 
     # 2^M phase means (psum'd masked reductions; per-channel for RGB)
-    hs = [hside(phis[m]) for m in range(m_sets)]
-    cs = []
-    for sbit in range(2 ** m_sets):
-        wgt = None
-        for m in range(m_sets):
-            factor = hs[m] if (sbit >> m) & 1 else (1.0 - hs[m])
-            wgt = factor if wgt is None else wgt * factor
-        if vec:
-            num = lax.psum(jnp.sum(u0_loc * wgt[..., None], axis=(0, 1)),
-                           ("x", "y"))
-        else:
-            num = lax.psum(jnp.sum(u0_loc * wgt), ("x", "y"))
-        den = lax.psum(jnp.sum(wgt), ("x", "y"))
-        cs.append(num / jnp.maximum(den, 1e-30))
+    cs = _sharded_phase_means(u0_loc, phis, p)
 
     new = phis
     for m in range(m_sets):
-        pad = exchange_halo2d(new[m], _D)
+        pad = _exchange(new[m], _D, halo, interpret)
         gi, gj = _global_coords(pad.shape, ix, iy, h, w)
         valid = ((gi >= 0) & (gi < nx * h) & (gj >= 0) & (gj < ny * w))
         red = ((gi + gj) % 2 == 0) & valid
@@ -425,7 +474,8 @@ def _sharded_multiphase_iteration(phis, u0_pad, p: CVParams, ix, iy, nx, ny,
         # sweep's own exchange for level set m)
         f = jnp.zeros(pad.shape[:2], dtype=phis.dtype)
         hs_pad = [hside(pad) if k == m else
-                  hside(exchange_halo2d(new[k], _D)) for k in range(m_sets)]
+                  hside(_exchange(new[k], _D, halo, interpret))
+                  for k in range(m_sets)]
         u0p = u0_pad
         for sbit in range(2 ** m_sets):
             d = sqdist(u0p, cs[sbit])
@@ -920,16 +970,37 @@ def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
     return SegResult(phi, phi >= 0, iters, delta, c1, c2)
 
 
+def _mp_pallas_ok(p: CVParams, u0, nx, ny, m_sets) -> bool:
+    """Support envelope of the per-shard fused mp2 canvas kernel."""
+    from ..ops import pallas_multiphase
+    if u0.ndim != 2 or m_sets != 2 or p.order != "redblack" \
+            or p.reinit_every:
+        return False
+    h, w = u0.shape[0] // nx, u0.shape[1] // ny
+    return (h % 8 == 0
+            and pallas_multiphase.supports_mp2(h + 2 * _D, _canvas_cols(w)))
+
+
 def segment_multiphase_sharded(u0, p: CVParams = CVParams(),
                                mesh: Optional[Mesh] = None,
                                m_sets: int = 2,
                                phis0: Optional[jax.Array] = None,
                                max_iter: Optional[int] = None,
-                               fixed: bool = False):
+                               fixed: bool = False,
+                               use_pallas: Optional[bool] = None,
+                               halo: str = "ppermute",
+                               interpret: bool = False):
     """Multiphase Vese-Chan over the 2D device mesh (SURVEY.md C10 x SP).
 
     Returns a models.multiphase.MultiphaseResult with phis sharded
-    P(None, 'x', 'y'). u0 must be (H, W) divisible by the mesh.
+    P(None, 'x', 'y'). u0 must be (H, W[, C]) divisible by the mesh.
+
+    use_pallas (None = auto: on TPU when supported): for M = 2 grayscale
+    the ENTIRE coupled iteration runs per shard in the fused canvas
+    kernel (ops/pallas_multiphase.mp2_iteration_sharded) with carried
+    psum'd means - the sharded twin of models/multiphase's banded route.
+    halo: 'ppermute' (default) or 'rdma' for the per-iteration level-set
+    exchanges.
     """
     from ..models.multiphase import MultiphaseResult, labels_from_phis
 
@@ -939,10 +1010,21 @@ def segment_multiphase_sharded(u0, p: CVParams = CVParams(),
     H, W = u0.shape[:2]
     if H % nx or W % ny:
         raise ValueError(f"image {u0.shape} not divisible by mesh")
+    if halo not in ("ppermute", "rdma"):
+        raise ValueError(f"unknown halo mechanism {halo!r}")
     cap = max_iter if max_iter is not None else p.max_iter
     vec = u0.ndim == 3
+    ok = _mp_pallas_ok(p, u0, nx, ny, m_sets)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and ok
+    elif use_pallas and not ok:
+        raise ValueError(
+            f"fused multiphase pallas path unsupported for {u0.shape} "
+            f"on mesh ({nx}, {ny}) (needs M=2 grayscale, redblack order, "
+            f"no reinit, 8-row-aligned shards)")
 
-    run = _build_mp_program(p, mesh, nx, ny, cap, fixed, m_sets, vec)
+    run = _build_mp_program(p, mesh, nx, ny, cap, fixed, m_sets, vec,
+                            use_pallas, halo, interpret)
     u0 = jax.device_put(u0, NamedSharding(
         mesh, P("x", "y", None) if vec else P("x", "y")))
     if phis0 is None:
@@ -958,7 +1040,8 @@ def segment_multiphase_sharded(u0, p: CVParams = CVParams(),
 
 
 @functools.lru_cache(maxsize=64)
-def _build_mp_program(p, mesh, nx, ny, cap, fixed, m_sets, vec=False):
+def _build_mp_program(p, mesh, nx, ny, cap, fixed, m_sets, vec=False,
+                      use_pallas=False, halo="ppermute", interpret=False):
     def local_fn(u0_loc, phis_loc):
         ix = lax.axis_index("x")
         iy = lax.axis_index("y")
@@ -970,10 +1053,40 @@ def _build_mp_program(p, mesh, nx, ny, cap, fixed, m_sets, vec=False):
         else:
             u0_pad = exchange_halo2d(u0_loc, _D)
 
+        if use_pallas:
+            wc = _canvas_cols(w)
+            u0_canvas = jnp.pad(u0_pad, ((0, 0), (0, wc - u0_pad.shape[1])),
+                                mode="edge")
+            parity = (ix * h + iy * w) % 2
+            edges = jnp.stack([ix == 0, ix == nx - 1, iy == 0,
+                               iy == ny - 1]).astype(u0_loc.dtype)
+            mp_env = (u0_canvas, parity, edges)
+            cs0 = jnp.stack(_sharded_phase_means(u0_loc, phis_loc, p))
+
+            def body(state):
+                phis, cs, n, _, streak = state
+                phis, cs, delta = _sharded_multiphase_iteration_pallas(
+                    phis, mp_env, cs, p, h, w, n_pix, halo=halo,
+                    interpret=interpret)
+                streak = jnp.where(delta < p.tol, streak + 1, 0)
+                return (phis, cs, n + 1, delta, streak)
+
+            def cond(state):
+                _, _, n, delta, streak = state
+                if fixed:
+                    return n < cap
+                return loop_continue(n, delta, streak, p, cap)
+
+            init = (phis_loc, cs0, jnp.int32(0),
+                    jnp.asarray(jnp.inf, u0_loc.dtype), jnp.int32(0))
+            phis, _, iters, delta, _ = lax.while_loop(cond, body, init)
+            return phis, iters, delta
+
         def body(state):
             phis, n, _, streak = state
             phis, delta = _sharded_multiphase_iteration(
-                phis, u0_pad, p, ix, iy, nx, ny, h, w, n_pix)
+                phis, u0_pad, p, ix, iy, nx, ny, h, w, n_pix, halo=halo,
+                interpret=interpret)
             phis = jax.vmap(lambda ph: _sharded_reinit(ph, n, p))(phis) \
                 if p.reinit_every else phis
             streak = jnp.where(delta < p.tol, streak + 1, 0)
@@ -1176,3 +1289,141 @@ def segment_sharded_fixed_trace(u0, p: CVParams = CVParams(),
     with jax.set_mesh(mesh):
         phi, es, ds, c1s, c2s = run(u0, phi0)
     return ShardedTrace(phi, phi >= 0, es, ds, c1s, c2s)
+
+
+def _sharded_multiphase_energy(u0_loc, phis, p: CVParams):
+    """psum'd multiphase energy of local blocks, exactly matching
+    models/multiphase.multiphase_energy on the assembled image (forward
+    differences read neighbors through a 1-deep halo; global means)."""
+    from ..ops.numerics import dirac
+
+    cs = _sharded_phase_means(u0_loc, phis, p)
+    m_sets = phis.shape[0]
+    vec = u0_loc.ndim == 3
+    hs = [heaviside(phis[m], p.eps) for m in range(m_sets)]
+    fit = jnp.zeros((), u0_loc.dtype)
+    for sbit in range(2 ** m_sets):
+        wgt = None
+        for m in range(m_sets):
+            factor = hs[m] if (sbit >> m) & 1 else (1.0 - hs[m])
+            wgt = factor if wgt is None else wgt * factor
+        if vec:
+            d = jnp.mean((u0_loc - cs[sbit]) ** 2, axis=-1)
+        else:
+            d = (u0_loc - cs[sbit]) ** 2
+        fit = fit + jnp.sum(d * wgt)
+    reg = jnp.zeros((), u0_loc.dtype)
+    for m in range(m_sets):
+        pad1 = exchange_halo2d(phis[m], 1)
+        ph = pad1[1:-1, 1:-1]
+        gx = pad1[2:, 1:-1] - ph
+        gy = pad1[1:-1, 2:] - ph
+        reg = reg + p.mu * jnp.sum(dirac(phis[m], p.eps)
+                                   * jnp.sqrt(gx * gx + gy * gy))
+        reg = reg + p.nu * jnp.sum(hs[m])
+    return lax.psum(fit + reg, ("x", "y"))
+
+
+class MultiphaseShardedTrace(NamedTuple):
+    phis: jax.Array     # (M, H, W), sharded P(None, 'x', 'y')
+    labels: jax.Array   # (H, W) int32
+    energy: jax.Array   # (iters,)
+    delta: jax.Array    # (iters,) label-flip fractions
+
+
+@functools.lru_cache(maxsize=64)
+def _build_mp_trace_program(p, mesh, nx, ny, iters, m_sets, vec,
+                            use_pallas, halo, interpret):
+    def local_fn(u0_loc, phis_loc):
+        ix = lax.axis_index("x")
+        iy = lax.axis_index("y")
+        h, w = u0_loc.shape[:2]
+        n_pix = jnp.asarray(nx * h * ny * w, u0_loc.dtype)
+        if vec:
+            u0_pad = jax.vmap(lambda ch: exchange_halo2d(ch, _D),
+                              in_axes=2, out_axes=2)(u0_loc)
+        else:
+            u0_pad = exchange_halo2d(u0_loc, _D)
+
+        mp_env = None
+        cs0 = jnp.zeros((1,), u0_loc.dtype)
+        if use_pallas:
+            wc = _canvas_cols(w)
+            u0_canvas = jnp.pad(u0_pad, ((0, 0), (0, wc - u0_pad.shape[1])),
+                                mode="edge")
+            parity = (ix * h + iy * w) % 2
+            edges = jnp.stack([ix == 0, ix == nx - 1, iy == 0,
+                               iy == ny - 1]).astype(u0_loc.dtype)
+            mp_env = (u0_canvas, parity, edges)
+            cs0 = jnp.stack(_sharded_phase_means(u0_loc, phis_loc, p))
+
+        def body(carry, _):
+            phis, cs, n = carry
+            if use_pallas:
+                phis, cs, delta = _sharded_multiphase_iteration_pallas(
+                    phis, mp_env, cs, p, h, w, n_pix, halo=halo,
+                    interpret=interpret)
+            else:
+                phis, delta = _sharded_multiphase_iteration(
+                    phis, u0_pad, p, ix, iy, nx, ny, h, w, n_pix,
+                    halo=halo, interpret=interpret)
+            e = _sharded_multiphase_energy(u0_loc, phis, p)
+            if p.reinit_every:
+                phis = jax.vmap(lambda ph: _sharded_reinit(ph, n, p))(phis)
+            return (phis, cs, n + 1), (e, delta)
+
+        (phis, _, _), (es, ds) = lax.scan(
+            body, (phis_loc, cs0, jnp.int32(0)), None, length=iters)
+        return phis, es, ds
+
+    u_spec = P("x", "y", None) if vec else P("x", "y")
+    mapped = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(u_spec, P(None, "x", "y")),
+        out_specs=(P(None, "x", "y"), P(), P()),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+def segment_multiphase_sharded_fixed_trace(u0, p: CVParams = CVParams(),
+                                           mesh: Optional[Mesh] = None,
+                                           iters: int = 100,
+                                           m_sets: int = 2,
+                                           phis0: Optional[jax.Array] = None,
+                                           use_pallas: Optional[bool] = None,
+                                           halo: str = "ppermute",
+                                           interpret: bool = False
+                                           ) -> MultiphaseShardedTrace:
+    """Fixed-iteration SHARDED multiphase run with per-iteration psum'd
+    energy and label-flip traces (the observability surface VERDICT r2
+    missing #4 asked for; mirrors segment_multiphase_fixed's schedule:
+    energy after each coupled iteration, before any reinit)."""
+    from ..models.multiphase import labels_from_phis
+
+    if mesh is None:
+        raise ValueError("needs a mesh (parallel.mesh.make_grid_mesh)")
+    nx, ny = mesh.shape["x"], mesh.shape["y"]
+    H, W = u0.shape[:2]
+    if H % nx or W % ny:
+        raise ValueError(f"image {u0.shape} not divisible by mesh")
+    if halo not in ("ppermute", "rdma"):
+        raise ValueError(f"unknown halo mechanism {halo!r}")
+    vec = u0.ndim == 3
+    ok = _mp_pallas_ok(p, u0, nx, ny, m_sets)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and ok
+    elif use_pallas and not ok:
+        raise ValueError(f"fused multiphase pallas path unsupported for "
+                         f"{u0.shape} on mesh ({nx}, {ny})")
+
+    run = _build_mp_trace_program(p, mesh, nx, ny, iters, m_sets, vec,
+                                  use_pallas, halo, interpret)
+    u0 = jax.device_put(u0, NamedSharding(
+        mesh, P("x", "y", None) if vec else P("x", "y")))
+    if phis0 is None:
+        from ..models.multiphase import init_multiphase
+        phis0 = init_multiphase((H, W), m_sets, dtype=u0.dtype)
+    phis0 = jax.device_put(phis0, NamedSharding(mesh, P(None, "x", "y")))
+    with jax.set_mesh(mesh):
+        phis, es, ds = run(u0, phis0)
+    return MultiphaseShardedTrace(phis, labels_from_phis(phis), es, ds)

@@ -80,3 +80,162 @@ def test_sharded_multiphase_tol_converges(grid_mesh):
     best = max(float((np.asarray(perm)[pred] == gt).mean())
                for perm in itertools.permutations(range(4)))
     assert best >= 0.97, best
+
+
+def _mp2_kernel_reference(u0, phis, p, iters):
+    """Unsharded mp2-kernel loop with carried means (the banded route of
+    models/multiphase._mp2_banded_loop, run in interpret mode)."""
+    from chan_vese_tpu.models.multiphase import phase_means
+    from chan_vese_tpu.ops.pallas_multiphase import mp2_iteration
+
+    cs = jnp.stack(phase_means(u0, phis, p.eps))
+    tiny = jnp.asarray(1e-30, u0.dtype)
+    for _ in range(iters):
+        phis, parts = mp2_iteration(phis, u0, cs, p, interpret=True)
+        cs = parts[0:4] / jnp.maximum(parts[4:8], tiny)
+    return phis
+
+
+def test_sharded_multiphase_pallas_equals_unsharded_kernel(grid_mesh):
+    """The fused coupled canvas kernel per shard == the SAME kernel
+    unsharded at 1e-9 f64 (isolates halo/resync/parity/crop from
+    kernel-vs-jnp transcendental differences)."""
+    from chan_vese_tpu.models.multiphase import init_multiphase
+
+    img, _ = four_regions(64, 256, noise=4.0)
+    u = jnp.asarray(img, jnp.float64)
+    p = CVParams(mu=0.003 * 255 ** 2)
+    phis0 = init_multiphase((64, 256), 2, dtype=u.dtype)
+    res = segment_multiphase_sharded(u, p, grid_mesh, m_sets=2,
+                                     phis0=phis0, max_iter=8, fixed=True,
+                                     use_pallas=True, interpret=True)
+    want = _mp2_kernel_reference(u, phis0, p, 8)
+    # rtol 1e-8: the carried means differ at f64 summation-order level
+    # (psum of shard partials vs whole-image band sums) and the Dirac
+    # nonlinearity amplifies that over 8 iterations
+    np.testing.assert_allclose(np.asarray(res.phis), np.asarray(want),
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_sharded_multiphase_pallas_matches_jnp_class(grid_mesh):
+    """Pallas and jnp sharded multiphase live in the same trajectory
+    class: labels agree after a short run."""
+    img, _ = four_regions(64, 64, noise=4.0)
+    u = jnp.asarray(img, F32)
+    p = CVParams(mu=0.003 * 255 ** 2)
+    a = segment_multiphase_sharded(u, p, grid_mesh, m_sets=2, max_iter=20,
+                                   fixed=True, use_pallas=True,
+                                   interpret=True)
+    b = segment_multiphase_sharded(u, p, grid_mesh, m_sets=2, max_iter=20,
+                                   fixed=True, use_pallas=False)
+    lab_diff = (np.asarray(a.labels) != np.asarray(b.labels)).sum()
+    assert lab_diff <= 5, lab_diff
+
+
+def test_sharded_multiphase_trace_matches_unsharded(grid_mesh):
+    """psum'd sharded multiphase energy/flip trace == the unsharded
+    fixed-trace run at 1e-9 f64 (VERDICT r2 item 5 'Done' criterion)."""
+    from chan_vese_tpu.models.multiphase import segment_multiphase_fixed
+    from chan_vese_tpu.parallel.sharded import (
+        segment_multiphase_sharded_fixed_trace)
+
+    img, _ = four_regions(64, 64, noise=4.0)
+    u = jnp.asarray(img, jnp.float64)
+    p = CVParams(mu=0.003 * 255 ** 2)
+    tr = segment_multiphase_sharded_fixed_trace(u, p, grid_mesh, iters=6,
+                                                m_sets=2, use_pallas=False)
+    ref = segment_multiphase_fixed(u, p, iters=6, m_sets=2,
+                                   use_pallas=False)
+    np.testing.assert_allclose(np.asarray(tr.energy),
+                               np.asarray(ref.energy),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(tr.delta), np.asarray(ref.delta),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(tr.labels),
+                                  np.asarray(ref.labels))
+
+
+def test_sharded_multiphase_trace_pallas_energy_monotone(grid_mesh):
+    from chan_vese_tpu.parallel.sharded import (
+        segment_multiphase_sharded_fixed_trace)
+
+    img, _ = four_regions(64, 64, noise=4.0)
+    u = jnp.asarray(img, F32)
+    p = CVParams(mu=0.003 * 255 ** 2)
+    tr = segment_multiphase_sharded_fixed_trace(u, p, grid_mesh, iters=12,
+                                                m_sets=2, use_pallas=True,
+                                                interpret=True)
+    e = np.asarray(tr.energy)
+    assert np.all(np.diff(e) <= np.abs(e[:-1]) * 1e-5)
+
+
+def test_sharded_multiphase_checkpoint_roundtrip(grid_mesh, tmp_path):
+    """Chunked checkpointed run == straight run; resume picks up the
+    newest checkpoint."""
+    from chan_vese_tpu.utils.checkpoint_sharded import (
+        latest_sharded, segment_multiphase_sharded_with_checkpoints)
+
+    img, _ = four_regions(64, 64, noise=4.0)
+    u = jnp.asarray(img, jnp.float64)
+    p = CVParams(mu=0.003 * 255 ** 2)
+    res = segment_multiphase_sharded_with_checkpoints(
+        u, p, grid_mesh, iters=6, ckpt_dir=tmp_path, every=3,
+        use_pallas=False)
+    ref = segment_multiphase_sharded(u, p, grid_mesh, m_sets=2,
+                                     max_iter=6, fixed=True,
+                                     use_pallas=False)
+    np.testing.assert_allclose(np.asarray(res.phis), np.asarray(ref.phis),
+                               rtol=1e-10, atol=1e-10)
+    ck = latest_sharded(tmp_path)
+    assert ck is not None and ck.name == "ckpt_00000006"
+    # resume: a re-run with a higher target starts from iteration 6
+    res2 = segment_multiphase_sharded_with_checkpoints(
+        u, p, grid_mesh, iters=9, ckpt_dir=tmp_path, every=3,
+        use_pallas=False)
+    ref2 = segment_multiphase_sharded(u, p, grid_mesh, m_sets=2,
+                                      max_iter=9, fixed=True,
+                                      use_pallas=False)
+    np.testing.assert_allclose(np.asarray(res2.phis),
+                               np.asarray(ref2.phis),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_sharded_multiphase_rdma_halo(grid_mesh):
+    """halo='rdma' on the multiphase path == ppermute (fake mesh)."""
+    img, _ = four_regions(64, 64, noise=4.0)
+    u = jnp.asarray(img, F32)
+    p = CVParams(mu=0.003 * 255 ** 2)
+    a = segment_multiphase_sharded(u, p, grid_mesh, m_sets=2, max_iter=4,
+                                   fixed=True, use_pallas=False)
+    b = segment_multiphase_sharded(u, p, grid_mesh, m_sets=2, max_iter=4,
+                                   fixed=True, use_pallas=False,
+                                   halo="rdma", interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.phis), np.asarray(b.phis))
+
+
+def test_cli_multiphase_sharded_surfaces(grid_mesh, tmp_path):
+    """CLI: sharded multiphase with trace, checkpoint and gif (the
+    warn-drops of VERDICT r2 missing #4 lifted)."""
+    from chan_vese_tpu.cli import main
+    from chan_vese_tpu.utils import image_io
+
+    img, _ = four_regions(64, 64, noise=4.0)
+    pth = tmp_path / "in.png"
+    image_io._save_u8(pth, np.clip(img, 0, 255).astype(np.uint8))
+    out = tmp_path / "lab.png"
+    csv = tmp_path / "trace.csv"
+    rc = main([str(pth), "--mesh", "2", "4", "--multiphase", "2",
+               "--mu", "195", "--iters", "8", "--quiet",
+               "--trace-energy", str(csv), "-o", str(out)])
+    assert rc == 0 and out.exists() and csv.exists()
+    assert len(csv.read_text().strip().splitlines()) == 9  # header + 8
+
+    ck = tmp_path / "ck"
+    gif = tmp_path / "ev.gif"
+    rc = main([str(pth), "--mesh", "2", "4", "--multiphase", "2",
+               "--mu", "195", "--iters", "6", "--quiet",
+               "--checkpoint-dir", str(ck), "--checkpoint-every", "3",
+               "--evolution-gif", str(gif), "--gif-every", "3",
+               "-o", str(out)])
+    assert rc == 0 and gif.exists()
+    assert (ck / "ckpt_00000006").is_dir()
