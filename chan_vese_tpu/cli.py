@@ -82,7 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
                     default="ppermute",
                     help="sharded halo mechanism: XLA collective "
                          "(default), Pallas remote-DMA ring, or "
-                         "comm/compute overlap (jnp path only)")
+                         "comm/compute overlap (interior kernel compute "
+                         "concurrent with the exchange; composes with "
+                         "--comm-k)")
     ap.add_argument("--comm-k", type=int, default=1, metavar="K",
                     help="sharded communication-avoiding chunking: one "
                          "4K-deep halo exchange per K iterations "
@@ -283,8 +285,7 @@ def main(argv=None) -> int:
                                        segment_sharded_fixed_trace)
 
         mesh = make_grid_mesh(*args.mesh)
-        up = (False if (args.no_fused or args.halo == "overlap"
-                        or args.comm_k > 1) else None)
+        up = False if args.no_fused else None
         if not fixed:
             # the per-iteration trace/checkpoint/gif surfaces need a fixed
             # iteration count, exactly like the unsharded paths

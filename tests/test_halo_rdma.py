@@ -108,3 +108,36 @@ def test_rdma_flag_validation(grid_mesh):
     u_rgb = jnp.zeros((32, 64, 3), F32)
     with pytest.raises(ValueError, match="grayscale"):
         segment_sharded(u_rgb, CVParams(), grid_mesh, halo="rdma")
+
+
+@pytest.mark.tpu
+def test_rdma_self_ring_compiles_on_chip():
+    """VERDICT r2 item 6: lower make_async_remote_copy + the barrier
+    semaphore through REAL Mosaic on the chip via a degenerate 1-device
+    self-ring (device_id = self on both directions). Pins the compile
+    contract of the hardware path; multi-device behavior stays pending
+    pod access (module docstring of parallel/halo_rdma.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    from chan_vese_tpu.parallel import mesh as meshmod
+    from chan_vese_tpu.parallel.halo import exchange_halo2d
+    from chan_vese_tpu.parallel.halo_rdma import exchange_halo2d_rdma
+
+    mesh = meshmod.make_grid_mesh(1, 1)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((64, 128)), jnp.float32)
+
+    def rdma(v):
+        return exchange_halo2d_rdma(v, 4)
+
+    def ppermute(v):
+        return exchange_halo2d(v, 4)
+
+    mapped_r = jax.shard_map(rdma, mesh=mesh, in_specs=P("x", "y"),
+                             out_specs=P("x", "y"), check_vma=False)
+    mapped_p = jax.shard_map(ppermute, mesh=mesh, in_specs=P("x", "y"),
+                             out_specs=P("x", "y"), check_vma=False)
+    with jax.set_mesh(mesh):
+        got = jax.jit(mapped_r)(x)
+        want = jax.jit(mapped_p)(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

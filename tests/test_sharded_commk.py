@@ -246,11 +246,11 @@ def test_commk_validation(grid_mesh):
     u0 = jnp.zeros((48, 96), F32)
     with pytest.raises(ValueError, match="comm_k"):
         segment_sharded(u0, p, grid_mesh, comm_k=0)
-    with pytest.raises(ValueError, match="comm_k > 1 needs"):
-        segment_sharded(u0, p, grid_mesh, comm_k=2, halo="overlap",
-                        use_pallas=False)
-    with pytest.raises(ValueError, match="comm_k > 1 needs"):
+    with pytest.raises(ValueError, match="no reinit"):
         segment_sharded(u0, CVParams(reinit_every=5), grid_mesh, comm_k=2)
+    with pytest.raises(ValueError, match="grayscale only"):
+        segment_sharded(jnp.zeros((48, 96, 3), F32), p, grid_mesh,
+                        comm_k=2, halo="overlap")
     with pytest.raises(ValueError, match="deep halos"):
         segment_sharded(u0, p, grid_mesh, comm_k=8)  # 32 > 24-row shard
 
