@@ -54,10 +54,11 @@ def _supported_mc(u0, p: CVParams, k: int) -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("p", "iters", "k", "unroll", "lambda1",
-                                    "lambda2", "interpret"))
+                                    "lambda2", "packed", "interpret"))
 def segment_banded_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
                          k: int = 8, phi0: Optional[jax.Array] = None,
                          lambda1=None, lambda2=None, unroll: int = 4,
+                         packed: bool = False,
                          interpret: bool = False):
     """Fixed-iteration banded run. Returns (phi, mask).
 
@@ -66,6 +67,12 @@ def segment_banded_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
     k=8, unroll=4: measured best at 4K on v5e (13.7 Gpix-it/s, 1.44x the
     per-iteration fused kernel; docs/BENCHMARKS.md). ``unroll`` drops to
     1 automatically for chunk sizes it does not divide.
+
+    packed=True runs the parity-plane-deinterleaved kernel
+    (ops/pallas_packed.packed_banded_chunk): phi/u0 packed once up
+    front, every chunk on (2, 2, H/2, W/2) planes - same frozen-means
+    trajectory to FMA-contraction level; needs H % 16 == 0,
+    W % 256 == 0 (falls back to the flat kernel otherwise).
     """
     if u0.ndim == 3:
         return _segment_banded_mc_fixed(u0, p, iters, k, phi0, lambda1,
@@ -80,23 +87,39 @@ def segment_banded_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
     sum_u = jnp.sum(u0)
     c1, c2 = region_means(u0, phi0, p.eps)
 
+    from ..ops import pallas_packed
+    use_packed = (packed
+                  and pallas_packed.supports_packed_banded(H, W, k))
+    if use_packed:
+        phi_st = pallas_packed._pack(phi0)
+        u0_st = pallas_packed._pack(u0)
+    else:
+        phi_st, u0_st = phi0, u0
+
     def chunk(carry, size):
         phi, c1, c2 = carry
         un = unroll if size % unroll == 0 else 1
-        phi, parts = pallas_banded.banded_chunk(phi, u0, c1, c2, p, size,
-                                                unroll=un,
-                                                interpret=interpret)
+        if use_packed:
+            phi, parts = pallas_packed.packed_banded_chunk(
+                phi, u0_st, c1, c2, p, size, unroll=un,
+                interpret=interpret)
+        else:
+            phi, parts = pallas_banded.banded_chunk(
+                phi, u0_st, c1, c2, p, size, unroll=un,
+                interpret=interpret)
         c1, c2 = means_from_sums(parts[0], parts[1], sum_u, n_pix)
         return (phi, c1, c2)
 
     full, rem = iters // k, iters % k
-    carry = (phi0, c1, c2)
+    carry = (phi_st, c1, c2)
     if full:
         carry = jax.lax.scan(lambda cr, _: (chunk(cr, k), None), carry,
                              None, length=full)[0]
     if rem:
         carry = chunk(carry, rem)
     phi = carry[0]
+    if use_packed:
+        phi = pallas_packed._unpack(phi)
     return phi, phi >= 0
 
 

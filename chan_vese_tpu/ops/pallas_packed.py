@@ -322,3 +322,204 @@ def packed_chunk(phi, u0, c1, c2, p: CVParams, k: int = 8,
     if packed:
         out = _unpack(out)
     return out, partials[0]
+
+
+# ---------------------------------------------------------------------------
+# Packed BANDED kernel: the plane layout on the k-iterations-per-HBM-pass
+# streaming scheme of ops/pallas_banded.py, for images beyond VMEM (the 4K
+# headline). phi/u0 stay packed in HBM across the whole driver run; halos
+# halve in packed rows (real reach 4k up / 2k down -> 2k / k packed).
+# ---------------------------------------------------------------------------
+
+_TILES_BANDED = 34  # measured flat-banded budget, counted in real-image bytes
+
+
+def band_rows_packed(h: int, w: int, k: int):
+    """(bp, upp, dnp) packed-row band geometry for k in-tile iterations."""
+    upp = -(-2 * k // 8) * 8
+    dnp = -(-k // 8) * 8
+    per_real_row = w * 4 * _TILES_BANDED
+    b_real = max(16, (_VMEM_LIMIT // per_real_row) // 16 * 16)
+    bp = b_real // 2
+    hp = h // 2
+    bp = min(bp, max(8, ((hp - upp - dnp) // 8) * 8))
+    return bp, upp, dnp
+
+
+def supports_packed_banded(h: int, w: int, k: int) -> bool:
+    if h % 16 or w % 256 or not (1 <= k <= 64):
+        return False
+    bp, upp, dnp = band_rows_packed(h, w, k)
+    return bp + upp + dnp <= h // 2
+
+
+def _packed_banded_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
+                          phi_scr, u0_scr, f_scr, work_scr, sems,
+                          *, Hp, Wp, bp, k, upp, dnp, mu, nu, l1, l2, dt,
+                          eps, eta2, unroll=1):
+    """Grid (nbands, k // unroll) over packed (2, 2, Hp, Wp) arrays;
+    the DMA pipeline of ops/pallas_banded._banded_kernel on plane tiles."""
+    Tp = bp + upp + dnp
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nsteps = pl.num_programs(1)
+    nbands = pl.num_programs(0)
+
+    def window(ii):
+        g0 = pl.multiple_of(jnp.minimum(ii * bp, Hp - bp), 8)
+        s = pl.multiple_of(jnp.clip(g0 - upp, 0, Hp - Tp), 8)
+        return g0, s
+
+    def load_dmas(ii, slot):
+        _, s = window(ii)
+        return (pltpu.make_async_copy(
+                    phi_hbm.at[:, :, pl.ds(s, Tp), :],
+                    phi_scr.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    u0_hbm.at[:, :, pl.ds(s, Tp), :],
+                    u0_scr.at[slot], sems.at[slot, 1]))
+
+    def store_dma(ii, slot):
+        g0, s = window(ii)
+        o = pl.multiple_of(g0 - s, 8)
+        return pltpu.make_async_copy(
+            work_scr.at[slot].at[:, :, pl.ds(o, bp), :],
+            out_hbm.at[:, :, pl.ds(g0, bp), :], sems.at[slot, 2])
+
+    slot = i % 2
+
+    @pl.when(j == 0)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            for dma in load_dmas(i, slot):
+                dma.start()
+
+        @pl.when(i + 1 < nbands)
+        def _():
+            for dma in load_dmas(i + 1, (i + 1) % 2):
+                dma.start()
+
+        for dma in load_dmas(i, slot):
+            dma.wait()
+
+        @pl.when(i >= 2)
+        def _():
+            store_dma(i - 2, slot).wait()
+
+        for a in (0, 1):
+            for b in (0, 1):
+                u = u0_scr[slot, a, b]
+                f_scr[slot, a, b] = (-nu - l1 * (u - c_ref[0, 0]) ** 2
+                                     + l2 * (u - c_ref[0, 1]) ** 2)
+        work_scr[slot] = phi_scr[slot]
+
+    p = [[work_scr[slot, 0, 0], work_scr[slot, 0, 1]],
+         [work_scr[slot, 1, 0], work_scr[slot, 1, 1]]]
+    f = [[f_scr[slot, 0, 0], f_scr[slot, 0, 1]],
+         [f_scr[slot, 1, 0], f_scr[slot, 1, 1]]]
+    prev = p
+    for _ in range(unroll):
+        prev = p
+        p = _packed_iteration(p, f, mu, dt, eps, eta2)
+    for a in (0, 1):
+        for b in (0, 1):
+            work_scr[slot, a, b] = p[a][b]
+
+    @pl.when(j == nsteps - 1)
+    def _():
+        store_dma(i, slot).start()
+
+        _, s = window(i)
+        g0, _ = window(i)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (Tp, Wp), 0)
+        grow = rows + s
+        hi = jnp.minimum((i + 1) * bp, Hp)
+        m = ((grow >= i * bp) & (grow < hi)).astype(f_scr.dtype)
+        suh = 0.0
+        sh = 0.0
+        sd2 = 0.0
+        fl = 0.0
+        sad = 0.0
+        for a in (0, 1):
+            for b in (0, 1):
+                h_eps = _heaviside(p[a][b], eps)
+                d = p[a][b] - prev[a][b]
+                suh += jnp.sum(u0_scr[slot, a, b] * h_eps * m)
+                sh += jnp.sum(h_eps * m)
+                sd2 += jnp.sum(d * d * m)
+                fl += jnp.sum(((p[a][b] >= 0) != (prev[a][b] >= 0))
+                              .astype(d.dtype) * m)
+                sad += jnp.sum(jnp.abs(d) * m)
+        part_ref[i, 0] = suh
+        part_ref[i, 1] = sh
+        part_ref[i, 2] = sd2
+        part_ref[i, 3] = fl
+        part_ref[i, 4] = sad
+        for t in range(5, 8):
+            part_ref[i, t] = 0.0
+
+        @pl.when(i == nbands - 1)
+        def _():
+            store_dma(i, slot).wait()
+
+        @pl.when((i == nbands - 1) & (nbands >= 2))
+        def _():
+            store_dma(i - 1, (i - 1) % 2).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("p", "k", "unroll",
+                                             "interpret"))
+def packed_banded_chunk(phi_planes, u0_planes, c1, c2, p: CVParams,
+                        k: int = 8, unroll: int = 1,
+                        interpret: bool = False
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """k frozen-means iterations on PRE-PACKED (2, 2, H/2, W/2) planes in
+    one HBM pass (banded_chunk's contract on the packed layout; pack
+    once per run with _pack/_unpack in the driver)."""
+    _, _, Hp, Wp = phi_planes.shape
+    H, W = 2 * Hp, 2 * Wp
+    if not supports_packed_banded(H, W, k):
+        raise ValueError(f"packed banded unsupported for {(H, W)}, k={k}")
+    if unroll < 1 or k % unroll:
+        raise ValueError(f"unroll must divide k ({k=}, {unroll=})")
+    bp, upp, dnp = band_rows_packed(H, W, k)
+    nbands = pl.cdiv(Hp, bp)
+    c = jnp.stack([jnp.asarray(c1, phi_planes.dtype),
+                   jnp.asarray(c2, phi_planes.dtype)]).reshape(1, 2)
+
+    kernel = functools.partial(
+        _packed_banded_kernel, Hp=Hp, Wp=Wp, bp=bp, k=k, upp=upp, dnp=dnp,
+        mu=p.mu, nu=p.nu, l1=p.lambda1, l2=p.lambda2, dt=p.dt, eps=p.eps,
+        eta2=p.eta2, unroll=unroll)
+
+    Tp = bp + upp + dnp
+    out, partials = pl.pallas_call(
+        kernel,
+        grid=(nbands, k // unroll),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(phi_planes.shape, phi_planes.dtype),
+            jax.ShapeDtypeStruct((nbands, 8), phi_planes.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 2, Tp, Wp), phi_planes.dtype),  # phi tiles
+            pltpu.VMEM((2, 2, 2, Tp, Wp), phi_planes.dtype),  # u0 tiles
+            pltpu.VMEM((2, 2, 2, Tp, Wp), phi_planes.dtype),  # data term
+            pltpu.VMEM((2, 2, 2, Tp, Wp), phi_planes.dtype),  # iterate
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(c, phi_planes, u0_planes)
+    return out, jnp.sum(partials, axis=0)

@@ -45,21 +45,29 @@ def main():
     base = H * W * iters / t / 1e6
     print(f"fused    baseline: {base:9.1f} Mpix-it/s  ({t:.3f}s)", flush=True)
 
-    for k, u in ((4, 1), (8, 1), (8, 2), (8, 4)):
-        if not supports_banded(H, W, k) or iters % k:
-            print(f"banded k={k:2d}: unsupported", flush=True)
-            continue
-        b = band_rows_banded(H, W, k)
-        try:
-            t = timeit(lambda r, k=k, u=u: segment_banded_fixed(
-                u0 + jnp.float32(r), p, iters, k=k, unroll=u))
-        except Exception as e:
-            print(f"banded k={k:2d} u={u}: FAILED "
-                  f"{str(e).splitlines()[0][:90]}", flush=True)
-            continue
-        v = H * W * iters / t / 1e6
-        print(f"banded k={k:2d} u={u} (band {b:3d}): {v:9.1f} Mpix-it/s "
-              f"({t:.3f}s, {v / base:.2f}x)", flush=True)
+    from chan_vese_tpu.ops.pallas_packed import supports_packed_banded
+
+    for packed in (False, True):
+        for k, u in ((4, 1), (8, 1), (8, 2), (8, 4), (16, 1), (16, 4)):
+            tag = "packed" if packed else "banded"
+            ok = (supports_packed_banded(H, W, k) if packed
+                  else supports_banded(H, W, k))
+            if not ok or iters % k:
+                print(f"{tag} k={k:2d}: unsupported", flush=True)
+                continue
+            b = band_rows_banded(H, W, k)
+            try:
+                t = timeit(lambda r, k=k, u=u, pk=packed:
+                           segment_banded_fixed(u0 + jnp.float32(r), p,
+                                                iters, k=k, unroll=u,
+                                                packed=pk))
+            except Exception as e:
+                print(f"{tag} k={k:2d} u={u}: FAILED "
+                      f"{str(e).splitlines()[0][:90]}", flush=True)
+                continue
+            v = H * W * iters / t / 1e6
+            print(f"{tag} k={k:2d} u={u} (band {b:3d}): {v:9.1f} "
+                  f"Mpix-it/s ({t:.3f}s, {v / base:.2f}x)", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,147 @@
+"""Packed-color (parity-plane) kernel tests (ops/pallas_packed.py).
+
+The packed layout is a pure layout change: per-cell arithmetic is
+ops/pallas_sweep._update_all's expression on the same values, so packed
+trajectories match the flat banded kernel's frozen-means trajectory to
+FMA-contraction level (XLA may fuse a*b+c differently across program
+shapes; interpret-mode diffs are ~2e-6 relative in f32 and vanish in
+f64).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chan_vese_tpu.models.banded import segment_banded_fixed
+from chan_vese_tpu.ops import pallas_banded, pallas_packed as pp
+from chan_vese_tpu.ops.reductions import region_means
+from chan_vese_tpu.params import CVParams
+from fixtures import two_disks
+
+F32 = jnp.float32
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((32, 256)), F32)
+    planes = pp._pack(x)
+    assert planes.shape == (2, 2, 16, 128)
+    np.testing.assert_array_equal(np.asarray(pp._unpack(planes)),
+                                  np.asarray(x))
+    # plane (a, b) holds phi[2r+a, 2c+b]
+    xn = np.asarray(x)
+    for a in (0, 1):
+        for b in (0, 1):
+            np.testing.assert_array_equal(np.asarray(planes[a, b]),
+                                          xn[a::2, b::2])
+
+
+@pytest.mark.parametrize("k", [1, 3, 8])
+def test_packed_resident_matches_banded(k):
+    rng = np.random.default_rng(0)
+    shape = (64, 256)
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), F32)
+    phi = jnp.asarray(rng.standard_normal(shape) * 5, F32)
+    p = CVParams()
+    c1, c2 = region_means(u0, phi, p.eps)
+    want, wparts = pallas_banded.banded_chunk(phi, u0, c1, c2, p, k,
+                                              interpret=True)
+    got, gparts = pp.packed_chunk(phi, u0, c1, c2, p, k, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gparts)[:5],
+                               np.asarray(wparts)[:5], rtol=2e-5, atol=0.5)
+    # the flat control variant shares the same contract
+    flat, fparts = pp.packed_chunk(phi, u0, c1, c2, p, k, packed=False,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(flat), np.asarray(want),
+                               rtol=2e-6, atol=2e-5)
+
+
+@pytest.mark.parametrize("k,unroll", [(1, 1), (3, 1), (8, 4)])
+def test_packed_banded_matches_banded(k, unroll):
+    rng = np.random.default_rng(1)
+    shape = (96, 256)
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), F32)
+    phi = jnp.asarray(rng.standard_normal(shape) * 5, F32)
+    p = CVParams()
+    c1, c2 = region_means(u0, phi, p.eps)
+    want, wparts = pallas_banded.banded_chunk(phi, u0, c1, c2, p, k,
+                                              unroll=unroll,
+                                              interpret=True)
+    out, gparts = pp.packed_banded_chunk(pp._pack(phi), pp._pack(u0),
+                                         c1, c2, p, k, unroll=unroll,
+                                         interpret=True)
+    got = pp._unpack(out)
+    # FMA-contraction differences compound over in-chunk iterations:
+    # ~2e-6/iteration relative, a handful of cells reach ~4e-5 at k=8
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gparts)[:5],
+                               np.asarray(wparts)[:5], rtol=2e-5, atol=0.5)
+
+
+def test_packed_banded_f64_exactness():
+    """In f64 (no FMA-contraction headroom at this tolerance) the packed
+    trajectory is the banded trajectory to 1e-12."""
+    rng = np.random.default_rng(2)
+    shape = (64, 256)
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), jnp.float64)
+    phi = jnp.asarray(rng.standard_normal(shape) * 5, jnp.float64)
+    p = CVParams()
+    c1, c2 = region_means(u0, phi, p.eps)
+    want, _ = pallas_banded.banded_chunk(phi, u0, c1, c2, p, 4,
+                                         interpret=True)
+    out, _ = pp.packed_banded_chunk(pp._pack(phi), pp._pack(u0), c1, c2,
+                                    p, 4, interpret=True)
+    np.testing.assert_allclose(np.asarray(pp._unpack(out)),
+                               np.asarray(want), rtol=1e-12, atol=1e-12)
+
+
+def test_packed_driver_two_disks():
+    """segment_banded_fixed(packed=True) end-to-end: masks equal the
+    flat driver's on a real segmentation."""
+    img, gt = two_disks(64, 256, noise=6.0)
+    u0 = jnp.asarray(img, F32)
+    p = CVParams()  # checkerboard init: contours everywhere, converges
+    phi_f, mask_f = segment_banded_fixed(u0, p, iters=120, k=8,
+                                         interpret=True)
+    phi_p, mask_p = segment_banded_fixed(u0, p, iters=120, k=8,
+                                         packed=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(mask_p), np.asarray(mask_f))
+    # sanity only - this wide fixture plateaus around IoU ~0.78 at the
+    # default mu (small noise islands survive); the load-bearing check
+    # is the mask equality above
+    from fixtures import iou
+    assert iou(np.asarray(mask_p), gt) >= 0.7
+
+
+def test_packed_multiband_equals_single_band():
+    """Band layout must not change packed values (the overlapped-tiling
+    invariant on the plane layout)."""
+    rng = np.random.default_rng(3)
+    shape = (128, 256)
+    k = 3
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), F32)
+    phi = jnp.asarray(rng.standard_normal(shape) * 10, F32)
+    p = CVParams()
+    c1, c2 = region_means(u0, phi, p.eps)
+    big, pbig = pp.packed_banded_chunk(pp._pack(phi), pp._pack(u0),
+                                       c1, c2, p, k, interpret=True)
+    import chan_vese_tpu.ops.pallas_packed as mod
+    old = mod._TILES_BANDED
+    try:
+        # force tiny bands through the budget knob
+        mod._TILES_BANDED = (mod._VMEM_LIMIT // (shape[1] * 4 * 16))
+        mod.packed_banded_chunk.clear_cache()
+        bp, upp, dnp = mod.band_rows_packed(*shape, k)
+        assert bp == 8 and mod.supports_packed_banded(*shape, k)
+        small, psmall = pp.packed_banded_chunk(pp._pack(phi), pp._pack(u0),
+                                               c1, c2, p, k,
+                                               interpret=True)
+    finally:
+        mod._TILES_BANDED = old
+        mod.packed_banded_chunk.clear_cache()
+    np.testing.assert_allclose(np.asarray(big), np.asarray(small),
+                               rtol=2e-6, atol=2e-5)
