@@ -88,7 +88,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--comm-k", type=int, default=1, metavar="K",
                     help="sharded communication-avoiding chunking: one "
                          "4K-deep halo exchange per K iterations "
-                         "(frozen-means trajectory class; grayscale)")
+                         "(frozen-means trajectory class; grayscale and "
+                         "--color; banded kernel per shard on TPU)")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="write .npz checkpoints here every "
                          "--checkpoint-every iterations (fixed mode); "

@@ -47,8 +47,10 @@ def main():
 
     from chan_vese_tpu.ops.pallas_packed import supports_packed_banded
 
+    combos = {False: ((4, 1), (8, 1), (8, 4), (16, 4)),
+              True: ((8, 1),)}
     for packed in (False, True):
-        for k, u in ((4, 1), (8, 1), (8, 2), (8, 4), (16, 1), (16, 4)):
+        for k, u in combos[packed]:
             tag = "packed" if packed else "banded"
             ok = (supports_packed_banded(H, W, k) if packed
                   else supports_banded(H, W, k))
