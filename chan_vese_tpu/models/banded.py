@@ -52,31 +52,64 @@ def _supported_mc(u0, p: CVParams, k: int) -> bool:
             and p.order == "redblack" and not p.reinit_every)
 
 
+def auto_config(H, W, k=None, unroll=None, packed=None):
+    """Resolve (k, unroll, packed) from the measured size sweep
+    (docs/BENCHMARKS.md round-3 table: 1080p/4K/8K on v5e).
+
+    k=8 wins at every size; unroll=4 wins for the flat kernel at every
+    size and for the packed kernel beyond 4K (at exactly 4K the packed
+    kernel prefers unroll=1 but auto never selects packed there); the
+    packed parity-plane kernel leads beyond 4K area (13.8 vs 13.4 G at
+    8K same-session; flat bands are VMEM-squeezed there) and ties at
+    4K, so auto turns it on only above 4K area where its layout
+    constraints (H % 16, W % 256) allow.
+    """
+    from ..ops import pallas_packed
+
+    if k is None:
+        k = 8
+    if packed is None:
+        packed = (H * W > 2160 * 3840
+                  and pallas_packed.supports_packed_banded(H, W, k))
+    if unroll is None:
+        unroll = 4
+    return k, unroll, packed
+
+
 @functools.partial(jax.jit,
                    static_argnames=("p", "iters", "k", "unroll", "lambda1",
                                     "lambda2", "packed", "interpret"))
 def segment_banded_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
-                         k: int = 8, phi0: Optional[jax.Array] = None,
-                         lambda1=None, lambda2=None, unroll: int = 4,
-                         packed: bool = False,
+                         k: Optional[int] = None,
+                         phi0: Optional[jax.Array] = None,
+                         lambda1=None, lambda2=None,
+                         unroll: Optional[int] = None,
+                         packed: Optional[bool] = None,
                          interpret: bool = False):
     """Fixed-iteration banded run. Returns (phi, mask).
 
     Runs ceil-free: iters = full k-chunks + one static remainder chunk.
-    Falls back to the fused driver off the supported envelope. Defaults
-    k=8, unroll=4: measured best at 4K on v5e (13.7 Gpix-it/s, 1.44x the
-    per-iteration fused kernel; docs/BENCHMARKS.md). ``unroll`` drops to
-    1 automatically for chunk sizes it does not divide.
+    Falls back to the fused driver off the supported envelope.
+    k/unroll/packed default to None = the measured size-aware selection
+    (auto_config: k=8 everywhere; flat kernel + unroll=4 up to 4K;
+    parity-plane packed kernel + unroll=1 beyond 4K area where its
+    H % 16 / W % 256 constraints allow - docs/BENCHMARKS.md round-3
+    sweep). ``unroll`` drops to 1 automatically for chunk sizes it does
+    not divide.
 
-    packed=True runs the parity-plane-deinterleaved kernel
+    packed=True forces the parity-plane kernel
     (ops/pallas_packed.packed_banded_chunk): phi/u0 packed once up
     front, every chunk on (2, 2, H/2, W/2) planes - same frozen-means
-    trajectory to FMA-contraction level; needs H % 16 == 0,
-    W % 256 == 0 (falls back to the flat kernel otherwise).
+    trajectory to FMA-contraction level (falls back to the flat kernel
+    off its envelope).
     """
     if u0.ndim == 3:
-        return _segment_banded_mc_fixed(u0, p, iters, k, phi0, lambda1,
-                                        lambda2, unroll, interpret)
+        return _segment_banded_mc_fixed(u0, p, iters,
+                                        8 if k is None else k, phi0,
+                                        lambda1, lambda2,
+                                        4 if unroll is None else unroll,
+                                        interpret)
+    k, unroll, packed = auto_config(*u0.shape, k, unroll, packed)
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
     if not _supported(u0, p, k) or iters < 1:
         from .fused import segment_fused_fixed
@@ -125,10 +158,13 @@ def segment_banded_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
 
 @functools.partial(jax.jit,
                    static_argnames=("p", "k", "unroll", "lambda1",
-                                    "lambda2", "interpret"))
+                                    "lambda2", "packed", "interpret"))
 def segment_banded(u0, p: CVParams = CVParams(),
-                   phi0: Optional[jax.Array] = None, k: int = 8,
-                   lambda1=None, lambda2=None, unroll: int = 4,
+                   phi0: Optional[jax.Array] = None,
+                   k: Optional[int] = None,
+                   lambda1=None, lambda2=None,
+                   unroll: Optional[int] = None,
+                   packed: Optional[bool] = None,
                    interpret: bool = False) -> SegResult:
     """Tolerance-mode banded segmentation (chunk-granular convergence).
 
@@ -136,11 +172,15 @@ def segment_banded(u0, p: CVParams = CVParams(),
     once per chunk on the final in-chunk iteration's partials; ``patience``
     is iteration-denominated (a good chunk credits k iterations - module
     docstring). (H, W, C) images run the multichannel chunk kernel with
-    per-channel lambda tuples.
+    per-channel lambda tuples. k/unroll/packed default to the measured
+    size-aware selection (auto_config).
     """
     if u0.ndim == 3:
-        return _segment_banded_mc(u0, p, phi0, k, lambda1, lambda2,
-                                  unroll, interpret)
+        return _segment_banded_mc(u0, p, phi0, 8 if k is None else k,
+                                  lambda1, lambda2,
+                                  4 if unroll is None else unroll,
+                                  interpret)
+    k, unroll, packed = auto_config(*u0.shape, k, unroll, packed)
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
     if not _supported(u0, p, k):
         from .fused import segment_fused
@@ -153,6 +193,12 @@ def segment_banded(u0, p: CVParams = CVParams(),
     sum_u = jnp.sum(u0)
     c1_0, c2_0 = region_means(u0, phi0, p.eps)
 
+    from ..ops import pallas_packed
+    use_packed = (packed
+                  and pallas_packed.supports_packed_banded(H, W, k))
+    phi_st = pallas_packed._pack(phi0) if use_packed else phi0
+    u0_st = pallas_packed._pack(u0) if use_packed else u0
+
     def not_stopped(state):
         _, _, _, n, delta, streak = state
         done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
@@ -163,9 +209,14 @@ def segment_banded(u0, p: CVParams = CVParams(),
     def run_chunk(state, size):
         phi, c1, c2, n, _, streak = state
         un = unroll if size % unroll == 0 else 1
-        phi, parts = pallas_banded.banded_chunk(phi, u0, c1, c2, p, size,
-                                                unroll=un,
-                                                interpret=interpret)
+        if use_packed:
+            phi, parts = pallas_packed.packed_banded_chunk(
+                phi, u0_st, c1, c2, p, size, unroll=un,
+                interpret=interpret)
+        else:
+            phi, parts = pallas_banded.banded_chunk(
+                phi, u0_st, c1, c2, p, size, unroll=un,
+                interpret=interpret)
         c1, c2 = means_from_sums(parts[0], parts[1], sum_u, n_pix)
         delta = _delta_from_partials(parts, n_pix, p)
         # a below-tol chunk check credits its full SIZE iterations, so
@@ -181,7 +232,7 @@ def segment_banded(u0, p: CVParams = CVParams(),
     def cond(state):
         return jnp.logical_and(state[3] < full, not_stopped(state))
 
-    init = (phi0, c1_0, c2_0, jnp.int32(0),
+    init = (phi_st, c1_0, c2_0, jnp.int32(0),
             jnp.asarray(jnp.inf, u0.dtype), jnp.int32(0))
     state = jax.lax.while_loop(cond, lambda s: run_chunk(s, k), init)
     if rem:
@@ -189,6 +240,8 @@ def segment_banded(u0, p: CVParams = CVParams(),
             jnp.logical_and(state[3] < p.max_iter, not_stopped(state)),
             lambda s: run_chunk(s, rem), lambda s: s, state)
     phi, c1, c2, iters, delta, _ = state
+    if use_packed:
+        phi = pallas_packed._unpack(phi)
     return SegResult(phi, phi >= 0, iters, delta, c1, c2)
 
 

@@ -72,11 +72,26 @@ def _halos(k: int) -> Tuple[int, int]:
     return up, dn
 
 
+def _tile_height_cap(w: int, up: int, dn: int, extra: int = 0) -> int:
+    """Band cap from the TILE height T = b + up + dn: the live VMEM is
+    (8 declared double-buffered scratch tiles + ~16 Mosaic spill tiles
+    + channel extras) x T rows, so deep halos must shrink b. The
+    b-proportional _TILES proxy alone underestimates when up+dn is a
+    large fraction of b - Mosaic's stack OOM'd at compile at 8K, k=8
+    (round 3); this cap keeps the 4K-tuned geometry unchanged (the
+    proxy binds there) while making 8K compile. The factor 27 brackets
+    the measured spill behavior: 4K compiles at T=240 (=> 8+spills <=
+    27.3 tiles) while 8K failed at T=136 (=> > 24.1)."""
+    t_cap = _VMEM_BUDGET // (w * 4 * (27 + extra))
+    return max(8, (t_cap - up - dn) // 8 * 8)
+
+
 def band_rows_banded(h: int, w: int, k: int) -> int:
     """Largest multiple-of-8 band height fitting VMEM with k-deep halos."""
     up, dn = _halos(k)
     per_row = w * 4 * _TILES
     b = max(8, (_VMEM_BUDGET // per_row) // 8 * 8)
+    b = min(b, _tile_height_cap(w, up, dn))
     return min(b, max(8, ((h - up - dn) // 8) * 8))
 
 
@@ -334,6 +349,11 @@ def band_rows_banded_mc(h: int, w: int, k: int, c: int) -> int:
     up, dn = _halos(k)
     per_row = w * 4 * (_TILES + 2 * c)
     b = max(8, (_VMEM_BUDGET // per_row) // 8 * 8)
+    # extra declared tiles vs the scalar kernel: the u0 scratch holds C
+    # planes per buffer instead of 1 (spill behavior is the same scalar
+    # sweep body); 2*(c-1) keeps the cap non-binding at the proven 4K
+    # RGB geometry while still capping 8K
+    b = min(b, _tile_height_cap(w, up, dn, extra=2 * (c - 1)))
     return min(b, max(8, ((h - up - dn) // 8) * 8))
 
 
