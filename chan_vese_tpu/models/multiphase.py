@@ -292,8 +292,27 @@ def _mp2_resident_loop(u0, p: CVParams, phis0, interpret, fixed, cap,
     per in-chunk iteration from the partials rows (col 0 = label flips,
     col 1 = s_dphi2 for NaN poisoning), so max_iter is exact and a
     converged run overshoots by at most chunk-1 iterations.
+
+    The parity-plane packed variant runs when the shape allows
+    (H % 16, W % 256): measured +21% at 512^2 on v5e (5101 vs 4223
+    Mpix-it/s; mask-free half-sweeps x4 per coupled iteration,
+    unroll=2), same label trajectory class as the flat kernel.
     """
+    from ..ops import pallas_packed
     from ..ops.pallas_multiphase import mp2_resident_iterations
+
+    use_packed = pallas_packed.supports_packed_mp2_resident(*u0.shape)
+
+    def run_kernel(phis, size, unroll=1):
+        # unroll > 1 halves the partials rows (one per grid step), so
+        # the tolerance loop keeps unroll=1 for exact per-iteration
+        # streak semantics; the fixed path takes the +6% of unroll=2
+        if use_packed:
+            un = unroll if size % unroll == 0 else 1
+            return pallas_packed.packed_mp2_resident_iterations(
+                phis, u0, p, size, unroll=un, interpret=interpret)
+        return mp2_resident_iterations(phis, u0, p, size,
+                                       interpret=interpret)
 
     n_pix = jnp.asarray(u0.size, u0.dtype)
 
@@ -313,8 +332,7 @@ def _mp2_resident_loop(u0, p: CVParams, phis0, interpret, fixed, cap,
 
     def run_chunk(state, size):
         phis, n, _, streak, _ = state
-        phis, parts = mp2_resident_iterations(phis, u0, p, size,
-                                              interpret=interpret)
+        phis, parts = run_kernel(phis, size)
         deltas = delta_rows(parts)
         streak, _ = scan_rows(deltas, streak)
         diverged = jnp.any(jnp.logical_not(jnp.isfinite(deltas)))
@@ -324,8 +342,7 @@ def _mp2_resident_loop(u0, p: CVParams, phis0, interpret, fixed, cap,
         if cap < 1:  # e.g. a checkpoint rerun resumed past its target
             return (phis0, jnp.int32(0),
                     jnp.asarray(jnp.inf, u0.dtype))
-        phis, parts = mp2_resident_iterations(phis0, u0, p, cap,
-                                              interpret=interpret)
+        phis, parts = run_kernel(phis0, cap, unroll=2)
         return phis, jnp.int32(cap), delta_rows(parts)[-1]
 
     full = (cap // chunk) * chunk

@@ -523,3 +523,179 @@ def packed_banded_chunk(phi_planes, u0_planes, c1, c2, p: CVParams,
         interpret=interpret,
     )(c, phi_planes, u0_planes)
     return out, jnp.sum(partials, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Packed 4-phase (mp2) VMEM-resident kernel: the parity-plane layout on the
+# fully fused coupled iteration of ops/pallas_multiphase.py. Two level sets
+# -> four half-sweeps per iteration, so the mask-free/half-area-num-den win
+# applies twice; means/weights/data terms are full-area either way.
+# ---------------------------------------------------------------------------
+
+_ARRAYS_MP2_RESIDENT = 26
+
+
+def supports_packed_mp2_resident(h: int, w: int) -> bool:
+    return (h % 16 == 0 and w % 256 == 0
+            and h * w * 4 * _ARRAYS_MP2_RESIDENT <= _VMEM_LIMIT)
+
+
+def _plane_map(fn, *plane_grids):
+    return [[fn(*(g[a][b] for g in plane_grids)) for b in (0, 1)]
+            for a in (0, 1)]
+
+
+def _packed_mp2_iteration(p0, p1, u, c, mu, nu, dt, eps, eta2):
+    """One coupled 4-phase iteration on parity planes; returns
+    (new0, new1). Mirrors pallas_multiphase._coupled_iteration: phi_1's
+    data term reads phi_0's NEW Heaviside (pointwise per plane)."""
+    d = [_plane_map(lambda uu, s=s: (uu - c[s]) ** 2, u) for s in range(4)]
+
+    h1 = _plane_map(lambda x: _heaviside(x, eps), p1)
+    f0 = _plane_map(
+        lambda hh, d0, d1, d2, d3:
+            -nu + (1.0 - hh) * (d0 - d1) + hh * (d2 - d3),
+        h1, d[0], d[1], d[2], d[3])
+    p0 = _packed_half_sweep(p0, f0, ((0, 0), (1, 1)), mu, dt, eps, eta2)
+    new0 = _packed_half_sweep(p0, f0, ((0, 1), (1, 0)), mu, dt, eps, eta2)
+
+    h0n = _plane_map(lambda x: _heaviside(x, eps), new0)
+    f1 = _plane_map(
+        lambda hh, d0, d1, d2, d3:
+            -nu + (1.0 - hh) * (d0 - d2) + hh * (d1 - d3),
+        h0n, d[0], d[1], d[2], d[3])
+    p1 = _packed_half_sweep(p1, f1, ((0, 0), (1, 1)), mu, dt, eps, eta2)
+    new1 = _packed_half_sweep(p1, f1, ((0, 1), (1, 0)), mu, dt, eps, eta2)
+    return new0, new1
+
+
+def _packed_mp2_resident_kernel(phis_hbm, u0_hbm, out_hbm, part_ref,
+                                p0_scr, p1_scr, u0_scr, sems,
+                                *, steps, unroll, mu, nu, dt, eps, eta2):
+    """Resident packed 4-phase iterations; in-kernel exact per-iteration
+    phase means (the mp2_resident_iterations contract on planes)."""
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        pltpu.make_async_copy(phis_hbm.at[0], p0_scr, sems.at[0]).start()
+        pltpu.make_async_copy(phis_hbm.at[1], p1_scr, sems.at[1]).start()
+        pltpu.make_async_copy(u0_hbm, u0_scr, sems.at[2]).start()
+        pltpu.make_async_copy(phis_hbm.at[0], p0_scr, sems.at[0]).wait()
+        pltpu.make_async_copy(phis_hbm.at[1], p1_scr, sems.at[1]).wait()
+        pltpu.make_async_copy(u0_hbm, u0_scr, sems.at[2]).wait()
+
+    new0 = _planes(p0_scr)
+    new1 = _planes(p1_scr)
+    u = _planes(u0_scr)
+    tiny = jnp.asarray(1e-30, u0_scr.dtype)
+
+    for _ in range(unroll):
+        phi0, phi1 = new0, new1
+        # exact per-iteration phase means of the resident planes
+        h0 = _plane_map(lambda x: _heaviside(x, eps), phi0)
+        h1 = _plane_map(lambda x: _heaviside(x, eps), phi1)
+        c = []
+        for s in range(4):
+            num = 0.0
+            den = 0.0
+            for a in (0, 1):
+                for b in (0, 1):
+                    w0 = h0[a][b] if s & 1 else (1.0 - h0[a][b])
+                    w1 = h1[a][b] if s & 2 else (1.0 - h1[a][b])
+                    w = w0 * w1
+                    num += jnp.sum(u[a][b] * w)
+                    den += jnp.sum(w)
+            c.append(num / jnp.maximum(den, tiny))
+
+        new0, new1 = _packed_mp2_iteration(phi0, phi1, u, c, mu, nu, dt,
+                                           eps, eta2)
+
+    for a in (0, 1):
+        for b in (0, 1):
+            p0_scr[a, b] = new0[a][b]
+            p1_scr[a, b] = new1[a][b]
+
+    fl = 0.0
+    sd2 = 0.0
+    for a in (0, 1):
+        for b in (0, 1):
+            ln = ((new0[a][b] >= 0).astype(jnp.int32)
+                  + 2 * (new1[a][b] >= 0).astype(jnp.int32))
+            lo = ((phi0[a][b] >= 0).astype(jnp.int32)
+                  + 2 * (phi1[a][b] >= 0).astype(jnp.int32))
+            fl += jnp.sum((ln != lo).astype(u0_scr.dtype))
+            d0 = new0[a][b] - phi0[a][b]
+            d1 = new1[a][b] - phi1[a][b]
+            sd2 += jnp.sum(d0 * d0 + d1 * d1)
+    part_ref[k, 0] = fl
+    part_ref[k, 1] = sd2
+    for t in range(2, 8):
+        part_ref[k, t] = 0.0
+
+    @pl.when(k == steps - 1)
+    def _():
+        pltpu.make_async_copy(p0_scr, out_hbm.at[0], sems.at[0]).start()
+        pltpu.make_async_copy(p1_scr, out_hbm.at[1], sems.at[1]).start()
+        pltpu.make_async_copy(p0_scr, out_hbm.at[0], sems.at[0]).wait()
+        pltpu.make_async_copy(p1_scr, out_hbm.at[1], sems.at[1]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("p", "iters", "unroll",
+                                             "interpret"))
+def packed_mp2_resident_iterations(phis, u0, p: CVParams, iters: int,
+                                   unroll: int = 1,
+                                   interpret: bool = False
+                                   ) -> Tuple[jax.Array, jax.Array]:
+    """Run ``iters`` 4-phase iterations VMEM-resident on parity planes.
+
+    Same contract as pallas_multiphase.mp2_resident_iterations:
+    phis (2, H, W) in/out (packing is internal), partials
+    (iters // unroll, 8) rows [label_flips, s_dphi2, 0...].
+    """
+    M, H, W = phis.shape
+    if M != 2:
+        raise ValueError("mp2 kernel is specialized to M = 2 level sets")
+    if u0.shape != (H, W):
+        raise ValueError(f"u0 {u0.shape} vs phis {(H, W)}")
+    if not supports_packed_mp2_resident(H, W):
+        raise ValueError(f"packed mp2 resident unsupported for {(H, W)}")
+    if iters < 1 or unroll < 1 or iters % unroll:
+        raise ValueError(f"unroll must divide iters ({iters=}, {unroll=})")
+    steps = iters // unroll
+
+    phis_in = jnp.stack([_pack(phis[0]), _pack(phis[1])])
+    u0_in = _pack(u0)
+
+    kernel = functools.partial(
+        _packed_mp2_resident_kernel, steps=steps, unroll=unroll, mu=p.mu,
+        nu=p.nu, dt=p.dt, eps=p.eps, eta2=p.eta2)
+
+    scr = (2, 2, H // 2, W // 2)
+    out, partials = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(phis_in.shape, phis.dtype),
+            jax.ShapeDtypeStruct((steps, 8), phis.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(scr, phis.dtype),
+            pltpu.VMEM(scr, phis.dtype),
+            pltpu.VMEM(scr, phis.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(phis_in, u0_in)
+    return jnp.stack([_unpack(out[0]), _unpack(out[1])]), partials

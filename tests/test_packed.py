@@ -145,3 +145,62 @@ def test_packed_multiband_equals_single_band():
         mod.packed_banded_chunk.clear_cache()
     np.testing.assert_allclose(np.asarray(big), np.asarray(small),
                                rtol=2e-6, atol=2e-5)
+
+
+def test_packed_mp2_resident_matches_flat_labels():
+    """Packed 4-phase resident kernel: one iteration matches the flat
+    kernel at FMA level; long runs settle on the same labels (the mp2
+    trajectory class - |phi| drifts decorrelate, labels agree)."""
+    from chan_vese_tpu.models.multiphase import (init_multiphase,
+                                                 labels_from_phis)
+    from chan_vese_tpu.ops import pallas_multiphase as pm
+
+    rng = np.random.default_rng(0)
+    H, W = 64, 256
+    lab = np.zeros((H, W), np.int32)
+    lab[:H // 2, W // 2:] = 1
+    lab[H // 2:, :W // 2] = 2
+    lab[H // 2:, W // 2:] = 3
+    vals = np.array([40.0, 110.0, 180.0, 240.0])
+    img = vals[lab] + 4.0 * rng.standard_normal((H, W))
+    u0 = jnp.asarray(img, F32)
+    phis = init_multiphase((H, W), 2, dtype=F32)
+    p = CVParams(mu=0.003 * 255 ** 2)
+
+    a1, pa = pm.mp2_resident_iterations(phis, u0, p, 1, interpret=True)
+    b1, pb = pp.packed_mp2_resident_iterations(phis, u0, p, 1,
+                                               interpret=True)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(a1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pb)[:, :2],
+                               np.asarray(pa)[:, :2], rtol=1e-3, atol=2.0)
+
+    a, _ = pm.mp2_resident_iterations(phis, u0, p, 24, interpret=True)
+    b, _ = pp.packed_mp2_resident_iterations(phis, u0, p, 24, unroll=2,
+                                             interpret=True)
+    lab_diff = (np.asarray(labels_from_phis(a))
+                != np.asarray(labels_from_phis(b))).sum()
+    assert lab_diff <= 5, lab_diff
+
+
+def test_segment_multiphase_routes_packed_resident():
+    """segment_multiphase auto-routes the packed resident kernel on
+    supported shapes and still matches the jnp path's labels."""
+    from chan_vese_tpu.models import multiphase as mp
+
+    rng = np.random.default_rng(1)
+    H, W = 64, 256
+    lab = np.zeros((H, W), np.int32)
+    lab[:H // 2, W // 2:] = 1
+    lab[H // 2:, :W // 2] = 2
+    lab[H // 2:, W // 2:] = 3
+    vals = np.array([40.0, 110.0, 180.0, 240.0])
+    img = vals[lab] + 4.0 * rng.standard_normal((H, W))
+    u0 = jnp.asarray(img, F32)
+    p = CVParams(mu=0.003 * 255 ** 2)
+    got = mp.segment_multiphase(u0, p, m_sets=2, use_pallas=True,
+                                interpret=True, fixed=True, max_iter=20)
+    want = mp.segment_multiphase(u0, p, m_sets=2, use_pallas=False,
+                                 fixed=True, max_iter=20)
+    lab_diff = (np.asarray(got.labels) != np.asarray(want.labels)).sum()
+    assert lab_diff <= 5, lab_diff
