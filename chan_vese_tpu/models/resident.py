@@ -79,7 +79,15 @@ def segment_resident_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
     Vector-valued (H, W, C) images route to the multichannel resident
     kernel (exact per-iteration per-channel means, zero HBM traffic per
     iteration), with the same fused-mc fallback off the envelope.
+
+    Where the shape allows (H % 16, W % 256) the parity-plane packed
+    variants run instead (ops/pallas_packed.py): same exact-means
+    schedule with mask-free half-sweeps - measured +6-13% across
+    256^2/512^2 scalar and 512^2 RGB on v5e; reduction-order trajectory
+    class (masks identical, docs/BENCHMARKS.md).
     """
+    from ..ops import pallas_packed
+
     if u0.ndim == 3:
         H, W, C = u0.shape
         if (not pallas_resident.supports_resident_mc(H, W, C)
@@ -89,8 +97,14 @@ def segment_resident_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
                                        lambda2=lambda2, interpret=interpret)
         phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
         ucf = jnp.transpose(u0, (2, 0, 1))
-        phi, _ = pallas_resident.resident_iterations_mc(
-            phi0, ucf, p, iters, lambda1, lambda2, interpret=interpret)
+        if pallas_packed.supports_packed_resident_mc(H, W, C):
+            un = 2 if iters % 2 == 0 else 1  # measured best (mc, 512^2)
+            phi, _ = pallas_packed.packed_resident_iterations_mc(
+                phi0, ucf, p, iters, lambda1, lambda2, unroll=un,
+                interpret=interpret)
+        else:
+            phi, _ = pallas_resident.resident_iterations_mc(
+                phi0, ucf, p, iters, lambda1, lambda2, interpret=interpret)
         return phi, phi >= 0
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
     H, W = u0.shape
@@ -99,9 +113,16 @@ def segment_resident_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
         from .fused import segment_fused_fixed
         return segment_fused_fixed(u0, p, iters, phi0, interpret=interpret)
     phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
-    phi, _ = pallas_resident.resident_iterations(
-        phi0, u0, p, iters, unroll=_auto_unroll(iters),
-        interpret=interpret)
+    if pallas_packed.supports_packed_resident(H, W):
+        # measured: per-grid-step cost dominates small images (unroll
+        # helps at <= 256^2); at 512^2 the un-unrolled packed body wins
+        un = _auto_unroll(iters) if H * W <= 256 * 256 else 1
+        phi, _ = pallas_packed.packed_resident_iterations(
+            phi0, u0, p, iters, unroll=un, interpret=interpret)
+    else:
+        phi, _ = pallas_resident.resident_iterations(
+            phi0, u0, p, iters, unroll=_auto_unroll(iters),
+            interpret=interpret)
     return phi, phi >= 0
 
 
@@ -153,10 +174,19 @@ def segment_resident(u0, p: CVParams = CVParams(),
         done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
         return jnp.logical_not(jnp.logical_or(done, diverged))
 
+    from ..ops import pallas_packed
+    use_packed = pallas_packed.supports_packed_resident(H, W)
+
     def run_chunk(state, size):
         phi, n, _, streak, _ = state
-        phi_new, parts = pallas_resident.resident_iterations(
-            phi, u0, p, size, interpret=interpret)
+        if use_packed:
+            # unroll stays 1: the partials rows ARE the per-iteration
+            # convergence surface this driver scans
+            phi_new, parts = pallas_packed.packed_resident_iterations(
+                phi, u0, p, size, interpret=interpret)
+        else:
+            phi_new, parts = pallas_resident.resident_iterations(
+                phi, u0, p, size, interpret=interpret)
         deltas = _delta_rows(parts, n_pix, p)
         streak, _ = scan_rows(deltas, streak)
         diverged = jnp.any(jnp.logical_not(jnp.isfinite(deltas)))
@@ -208,6 +238,12 @@ def segment_stack_resident_fixed(u0, p: CVParams = CVParams(),
     if phi0 is None:
         phi0 = jnp.broadcast_to(init_phi((H, W), p.init, u0.dtype),
                                 (N, H, W))
-    phis, _ = pallas_resident.resident_iterations_batch(
-        phi0, u0, p, iters, interpret=interpret)
+    from ..ops import pallas_packed
+    if pallas_packed.supports_packed_resident(H, W):
+        un = 2 if iters % 2 == 0 else 1  # measured best (batch, 512^2)
+        phis, _ = pallas_packed.packed_resident_iterations_batch(
+            phi0, u0, p, iters, unroll=un, interpret=interpret)
+    else:
+        phis, _ = pallas_resident.resident_iterations_batch(
+            phi0, u0, p, iters, interpret=interpret)
     return phis, phis >= 0

@@ -699,3 +699,327 @@ def packed_mp2_resident_iterations(phis, u0, p: CVParams, iters: int,
         interpret=interpret,
     )(phis_in, u0_in)
     return jnp.stack([_unpack(out[0]), _unpack(out[1])]), partials
+
+
+# ---------------------------------------------------------------------------
+# Packed EXACT-MEANS resident kernels: the parity-plane layout on
+# ops/pallas_resident.py's per-iteration-means scheme (scalar, multichannel,
+# frame stacks). Contracts mirror the flat kernels row-for-row so the
+# drivers can switch transparently.
+# ---------------------------------------------------------------------------
+
+def _plane_sum(planes):
+    return sum(jnp.sum(planes[a][b]) for a in (0, 1) for b in (0, 1))
+
+
+def _packed_exact_iteration(p, f, mu, dt, eps, eta2):
+    p = _packed_half_sweep(p, f, ((0, 0), (1, 1)), mu, dt, eps, eta2)
+    return _packed_half_sweep(p, f, ((0, 1), (1, 0)), mu, dt, eps, eta2)
+
+
+def _packed_resident_kernel(phi_hbm, u0_hbm, out_hbm, part_ref,
+                            phi_scr, u0_scr, sems,
+                            *, steps, unroll, mu, nu, l1, l2, dt, eps,
+                            eta2, n_pix):
+    """Scalar exact-means resident iterations on planes (grid (steps,);
+    the _kernel contract of ops/pallas_resident.py)."""
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        pltpu.make_async_copy(phi_hbm, phi_scr, sems.at[0]).start()
+        pltpu.make_async_copy(u0_hbm, u0_scr, sems.at[1]).start()
+        pltpu.make_async_copy(phi_hbm, phi_scr, sems.at[0]).wait()
+        pltpu.make_async_copy(u0_hbm, u0_scr, sems.at[1]).wait()
+
+    p = _planes(phi_scr)
+    u = _planes(u0_scr)
+    sum_u = _plane_sum(u)
+    tiny = jnp.asarray(1e-30, u0_scr.dtype)
+
+    for _ in range(unroll):
+        phi = p
+        h = _plane_map(lambda x: _heaviside(x, eps), phi)
+        s_uh = sum(jnp.sum(u[a][b] * h[a][b])
+                   for a in (0, 1) for b in (0, 1))
+        s_h = _plane_sum(h)
+        c1 = s_uh / jnp.maximum(s_h, tiny)
+        c2 = (sum_u - s_uh) / jnp.maximum(n_pix - s_h, tiny)
+        f = _plane_map(
+            lambda uu: -nu - l1 * (uu - c1) ** 2 + l2 * (uu - c2) ** 2, u)
+        p = _packed_exact_iteration(phi, f, mu, dt, eps, eta2)
+
+    for a in (0, 1):
+        for b in (0, 1):
+            phi_scr[a, b] = p[a][b]
+
+    sd2 = 0.0
+    fl = 0.0
+    sad = 0.0
+    for a in (0, 1):
+        for b in (0, 1):
+            d = p[a][b] - phi[a][b]
+            sd2 += jnp.sum(d * d)
+            fl += jnp.sum(((p[a][b] >= 0) != (phi[a][b] >= 0))
+                          .astype(d.dtype))
+            sad += jnp.sum(jnp.abs(d))
+    part_ref[k, 0] = s_uh
+    part_ref[k, 1] = s_h
+    part_ref[k, 2] = sd2
+    part_ref[k, 3] = fl
+    part_ref[k, 4] = sad
+    for t in range(5, 8):
+        part_ref[k, t] = 0.0
+
+    @pl.when(k == steps - 1)
+    def _():
+        pltpu.make_async_copy(phi_scr, out_hbm, sems.at[2]).start()
+        pltpu.make_async_copy(phi_scr, out_hbm, sems.at[2]).wait()
+
+
+def _packed_resident_batch_kernel(phi_hbm, u0_hbm, out_hbm, part_ref,
+                                  phi_scr, u0_scr, sems,
+                                  *, steps, unroll, mu, nu, l1, l2, dt,
+                                  eps, eta2, n_pix):
+    """Batched variant: grid (N, steps); per-frame planes; partials keep
+    each frame's LAST iteration row (the _kernel_batch contract)."""
+    fr = pl.program_id(0)
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        pltpu.make_async_copy(phi_hbm.at[fr], phi_scr, sems.at[0]).start()
+        pltpu.make_async_copy(u0_hbm.at[fr], u0_scr, sems.at[1]).start()
+        pltpu.make_async_copy(phi_hbm.at[fr], phi_scr, sems.at[0]).wait()
+        pltpu.make_async_copy(u0_hbm.at[fr], u0_scr, sems.at[1]).wait()
+
+    p = _planes(phi_scr)
+    u = _planes(u0_scr)
+    sum_u = _plane_sum(u)
+    tiny = jnp.asarray(1e-30, u0_scr.dtype)
+
+    for _ in range(unroll):
+        phi = p
+        h = _plane_map(lambda x: _heaviside(x, eps), phi)
+        s_uh = sum(jnp.sum(u[a][b] * h[a][b])
+                   for a in (0, 1) for b in (0, 1))
+        s_h = _plane_sum(h)
+        c1 = s_uh / jnp.maximum(s_h, tiny)
+        c2 = (sum_u - s_uh) / jnp.maximum(n_pix - s_h, tiny)
+        f = _plane_map(
+            lambda uu: -nu - l1 * (uu - c1) ** 2 + l2 * (uu - c2) ** 2, u)
+        p = _packed_exact_iteration(phi, f, mu, dt, eps, eta2)
+
+    for a in (0, 1):
+        for b in (0, 1):
+            phi_scr[a, b] = p[a][b]
+
+    @pl.when(k == steps - 1)
+    def _():
+        sd2 = 0.0
+        fl = 0.0
+        sad = 0.0
+        for a in (0, 1):
+            for b in (0, 1):
+                d = p[a][b] - phi[a][b]
+                sd2 += jnp.sum(d * d)
+                fl += jnp.sum(((p[a][b] >= 0) != (phi[a][b] >= 0))
+                              .astype(d.dtype))
+                sad += jnp.sum(jnp.abs(d))
+        part_ref[fr, 0] = s_uh
+        part_ref[fr, 1] = s_h
+        part_ref[fr, 2] = sd2
+        part_ref[fr, 3] = fl
+        part_ref[fr, 4] = sad
+        for t in range(5, 8):
+            part_ref[fr, t] = 0.0
+        pltpu.make_async_copy(phi_scr, out_hbm.at[fr], sems.at[2]).start()
+        pltpu.make_async_copy(phi_scr, out_hbm.at[fr], sems.at[2]).wait()
+
+
+def _packed_resident_mc_kernel(phi_hbm, u0_hbm, out_hbm, part_ref,
+                               phi_scr, u0_scr, sems,
+                               *, steps, unroll, C, mu, nu, l1, l2, dt,
+                               eps, eta2, n_pix):
+    """Multichannel exact-means resident iterations on planes (the
+    _kernel_mc contract: partials rows [s_uH per channel..., s_H,
+    s_dphi2, flips, s_absdphi])."""
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        pltpu.make_async_copy(phi_hbm, phi_scr, sems.at[0]).start()
+        pltpu.make_async_copy(u0_hbm, u0_scr, sems.at[1]).start()
+        pltpu.make_async_copy(phi_hbm, phi_scr, sems.at[0]).wait()
+        pltpu.make_async_copy(u0_hbm, u0_scr, sems.at[1]).wait()
+
+    p = _planes(phi_scr)
+    u = [[[u0_scr[ch, a, b] for b in (0, 1)] for a in (0, 1)]
+         for ch in range(C)]
+    tiny = jnp.asarray(1e-30, u0_scr.dtype)
+
+    for _ in range(unroll):
+        phi = p
+        h = _plane_map(lambda x: _heaviside(x, eps), phi)
+        s_h = _plane_sum(h)
+        inv_in = 1.0 / jnp.maximum(s_h, tiny)
+        inv_out = 1.0 / jnp.maximum(n_pix - s_h, tiny)
+        f = _plane_map(lambda hh: jnp.full(hh.shape, -nu, hh.dtype), h)
+        s_uhs = []
+        for ch in range(C):
+            s_uh = sum(jnp.sum(u[ch][a][b] * h[a][b])
+                       for a in (0, 1) for b in (0, 1))
+            s_uhs.append(s_uh)
+            c1 = s_uh * inv_in
+            c2 = (_plane_sum(u[ch]) - s_uh) * inv_out
+            for a in (0, 1):
+                for b in (0, 1):
+                    d1 = u[ch][a][b] - c1
+                    d2 = u[ch][a][b] - c2
+                    f[a][b] = (f[a][b] + (l2[ch] / C) * (d2 * d2)
+                               - (l1[ch] / C) * (d1 * d1))
+        p = _packed_exact_iteration(phi, f, mu, dt, eps, eta2)
+
+    for a in (0, 1):
+        for b in (0, 1):
+            phi_scr[a, b] = p[a][b]
+
+    sd2 = 0.0
+    fl = 0.0
+    sad = 0.0
+    for a in (0, 1):
+        for b in (0, 1):
+            d = p[a][b] - phi[a][b]
+            sd2 += jnp.sum(d * d)
+            fl += jnp.sum(((p[a][b] >= 0) != (phi[a][b] >= 0))
+                          .astype(d.dtype))
+            sad += jnp.sum(jnp.abs(d))
+    for ch in range(C):
+        part_ref[k, ch] = s_uhs[ch]
+    part_ref[k, C] = s_h
+    part_ref[k, C + 1] = sd2
+    part_ref[k, C + 2] = fl
+    part_ref[k, C + 3] = sad
+
+    @pl.when(k == steps - 1)
+    def _():
+        pltpu.make_async_copy(phi_scr, out_hbm, sems.at[2]).start()
+        pltpu.make_async_copy(phi_scr, out_hbm, sems.at[2]).wait()
+
+
+def supports_packed_resident(h: int, w: int) -> bool:
+    return (h % 16 == 0 and w % 256 == 0
+            and h * w * 4 * _ARRAYS_RESIDENT <= _VMEM_LIMIT)
+
+
+def supports_packed_resident_mc(h: int, w: int, c: int) -> bool:
+    return (h % 16 == 0 and w % 256 == 0 and 1 <= c <= 8
+            and h * w * 4 * (_ARRAYS_RESIDENT + 2 * c) <= _VMEM_LIMIT)
+
+
+def _resident_call(kernel, phi_in, u0_in, out_shape, parts_shape, grid,
+                   scratches, interpret):
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct(out_shape, phi_in.dtype),
+                   jax.ShapeDtypeStruct(parts_shape, phi_in.dtype)],
+        scratch_shapes=list(scratches) + [pltpu.SemaphoreType.DMA((3,))],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * len(grid),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(phi_in, u0_in)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "iters", "unroll",
+                                             "interpret"))
+def packed_resident_iterations(phi, u0, p: CVParams, iters: int,
+                               unroll: int = 1, interpret: bool = False
+                               ) -> Tuple[jax.Array, jax.Array]:
+    """Scalar exact-means resident run on parity planes; the
+    resident_iterations contract ((H, W) in/out, partials (steps, 8))."""
+    H, W = phi.shape
+    if not supports_packed_resident(H, W):
+        raise ValueError(f"packed resident unsupported for {(H, W)}")
+    if iters < 1 or unroll < 1 or iters % unroll:
+        raise ValueError(f"unroll must divide iters ({iters=}, {unroll=})")
+    steps = iters // unroll
+    kernel = functools.partial(
+        _packed_resident_kernel, steps=steps, unroll=unroll, mu=p.mu,
+        nu=p.nu, l1=p.lambda1, l2=p.lambda2, dt=p.dt, eps=p.eps,
+        eta2=p.eta2, n_pix=float(H * W))
+    scr = (2, 2, H // 2, W // 2)
+    out, partials = _resident_call(
+        kernel, _pack(phi), _pack(u0), scr, (steps, 8), (steps,),
+        [pltpu.VMEM(scr, phi.dtype), pltpu.VMEM(scr, phi.dtype)],
+        interpret)
+    return _unpack(out), partials
+
+
+@functools.partial(jax.jit, static_argnames=("p", "iters", "unroll",
+                                             "interpret"))
+def packed_resident_iterations_batch(phis, u0s, p: CVParams, iters: int,
+                                     unroll: int = 1,
+                                     interpret: bool = False
+                                     ) -> Tuple[jax.Array, jax.Array]:
+    """Batched exact-means resident run on parity planes; the
+    resident_iterations_batch contract ((N, H, W) in/out, partials
+    (N, 8) - each frame's last iteration)."""
+    N, H, W = phis.shape
+    if u0s.shape != phis.shape:
+        raise ValueError(f"u0s {u0s.shape} vs phis {phis.shape}")
+    if not supports_packed_resident(H, W):
+        raise ValueError(f"packed resident unsupported for {(H, W)}")
+    if iters < 1 or unroll < 1 or iters % unroll:
+        raise ValueError(f"unroll must divide iters ({iters=}, {unroll=})")
+    steps = iters // unroll
+    kernel = functools.partial(
+        _packed_resident_batch_kernel, steps=steps, unroll=unroll,
+        mu=p.mu, nu=p.nu, l1=p.lambda1, l2=p.lambda2, dt=p.dt, eps=p.eps,
+        eta2=p.eta2, n_pix=float(H * W))
+    pack_n = jax.vmap(_pack)
+    scr = (2, 2, H // 2, W // 2)
+    out, partials = _resident_call(
+        kernel, pack_n(phis), pack_n(u0s), (N,) + scr, (N, 8),
+        (N, steps),
+        [pltpu.VMEM(scr, phis.dtype), pltpu.VMEM(scr, phis.dtype)],
+        interpret)
+    return jax.vmap(_unpack)(out), partials
+
+
+@functools.partial(jax.jit, static_argnames=("p", "iters", "unroll",
+                                             "lambda1", "lambda2",
+                                             "interpret"))
+def packed_resident_iterations_mc(phi, u0_cfirst, p: CVParams, iters: int,
+                                  lambda1=None, lambda2=None,
+                                  unroll: int = 1,
+                                  interpret: bool = False
+                                  ) -> Tuple[jax.Array, jax.Array]:
+    """Multichannel exact-means resident run on parity planes; the
+    resident_iterations_mc contract ((H, W) in/out, (C, H, W) image,
+    partials (steps, C + 4))."""
+    C, H, W = u0_cfirst.shape
+    if phi.shape != (H, W):
+        raise ValueError(f"phi {phi.shape} vs image {(H, W)}")
+    if not supports_packed_resident_mc(H, W, C):
+        raise ValueError(f"packed resident mc unsupported for {(H, W, C)}")
+    if iters < 1 or unroll < 1 or iters % unroll:
+        raise ValueError(f"unroll must divide iters ({iters=}, {unroll=})")
+    steps = iters // unroll
+    l1, l2 = p.channel_lambdas(C, lambda1, lambda2)
+    kernel = functools.partial(
+        _packed_resident_mc_kernel, steps=steps, unroll=unroll, C=C,
+        mu=p.mu, nu=p.nu, l1=l1, l2=l2, dt=p.dt, eps=p.eps, eta2=p.eta2,
+        n_pix=float(H * W))
+    scr = (2, 2, H // 2, W // 2)
+    out, partials = _resident_call(
+        kernel, _pack(phi), jax.vmap(_pack)(u0_cfirst), scr,
+        (steps, C + 4), (steps,),
+        [pltpu.VMEM(scr, phi.dtype), pltpu.VMEM((C,) + scr, phi.dtype)],
+        interpret)
+    return _unpack(out), partials

@@ -204,3 +204,44 @@ def test_segment_multiphase_routes_packed_resident():
                                  fixed=True, max_iter=20)
     lab_diff = (np.asarray(got.labels) != np.asarray(want.labels)).sum()
     assert lab_diff <= 5, lab_diff
+
+
+def test_packed_resident_exact_means_class():
+    """Exact-means packed resident kernels (scalar/mc/batch): per-
+    iteration means come from plane-sum order, so phi drifts at the
+    documented reduction-order class level while masks stay identical."""
+    from chan_vese_tpu.ops import pallas_resident as pr
+    from chan_vese_tpu.utils.init_phi import init_phi
+
+    img, _ = two_disks(64, 256, noise=6.0)
+    u0 = jnp.asarray(img, F32)
+    phi = init_phi((64, 256), "checkerboard", F32)
+    p = CVParams()
+
+    a, pa = pr.resident_iterations(phi, u0, p, 40, interpret=True)
+    b, pb = pp.packed_resident_iterations(phi, u0, p, 40, interpret=True)
+    np.testing.assert_array_equal(np.sign(np.asarray(a)),
+                                  np.sign(np.asarray(b)))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-2, atol=1e-2)
+    assert pb.shape == (40, 8)
+
+    ucf = jnp.stack([u0, 0.8 * u0 + 10, 255 - u0])
+    a, _ = pr.resident_iterations_mc(phi, ucf, p, 20,
+                                     lambda1=(1.0, 1.2, 0.8),
+                                     interpret=True)
+    b, pb = pp.packed_resident_iterations_mc(phi, ucf, p, 20,
+                                             lambda1=(1.0, 1.2, 0.8),
+                                             interpret=True)
+    np.testing.assert_array_equal(np.sign(np.asarray(a)),
+                                  np.sign(np.asarray(b)))
+    assert pb.shape == (20, 7)
+
+    phis = jnp.stack([phi, phi + 0.5])
+    u0s = jnp.stack([u0, u0 * 0.9])
+    a, _ = pr.resident_iterations_batch(phis, u0s, p, 20, interpret=True)
+    b, pb = pp.packed_resident_iterations_batch(phis, u0s, p, 20,
+                                                interpret=True)
+    np.testing.assert_array_equal(np.sign(np.asarray(a)),
+                                  np.sign(np.asarray(b)))
+    assert pb.shape == (2, 8)
