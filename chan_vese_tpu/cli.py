@@ -173,8 +173,6 @@ def main(argv=None) -> int:
 
             mesh = make_grid_mesh(*args.mesh)
             up = False if args.no_fused else None
-            if args.comm_k > 1:
-                warn_dropped("sharded multiphase", ("--comm-k", True))
             if not fixed:
                 warn_dropped("sharded multiphase tolerance-mode",
                              ("--trace-energy", args.trace_energy),
@@ -182,12 +180,13 @@ def main(argv=None) -> int:
                              ("--checkpoint-dir", args.checkpoint_dir))
                 res = segment_multiphase_sharded(
                     u0, p, mesh, m_sets=args.multiphase, fixed=False,
-                    use_pallas=up, halo=args.halo)
+                    use_pallas=up, halo=args.halo, comm_k=args.comm_k)
                 labels, iters, sig = res.labels, int(res.iters), res.cs
             elif args.trace_energy:
-                if args.checkpoint_dir:
+                if args.checkpoint_dir or args.comm_k > 1:
                     warn_dropped("sharded multiphase traced",
-                                 ("--checkpoint-dir", args.checkpoint_dir))
+                                 ("--checkpoint-dir", args.checkpoint_dir),
+                                 ("--comm-k", args.comm_k > 1))
                 tr = segment_multiphase_sharded_fixed_trace(
                     u0, p, mesh, iters=args.iters, m_sets=args.multiphase,
                     use_pallas=up, halo=args.halo)
@@ -198,6 +197,9 @@ def main(argv=None) -> int:
                 from .utils.checkpoint_sharded import (
                     segment_multiphase_sharded_with_checkpoints)
 
+                if args.comm_k > 1:
+                    warn_dropped("sharded multiphase checkpointed",
+                                 ("--comm-k", True))
                 res = segment_multiphase_sharded_with_checkpoints(
                     u0, p, mesh, iters=args.iters,
                     ckpt_dir=args.checkpoint_dir,
@@ -210,23 +212,29 @@ def main(argv=None) -> int:
                 res = segment_multiphase_sharded(
                     u0, p, mesh, m_sets=args.multiphase,
                     max_iter=args.iters, fixed=True, use_pallas=up,
-                    halo=args.halo)
+                    halo=args.halo, comm_k=args.comm_k)
                 labels, iters, sig = res.labels, args.iters, res.cs
             if fixed and args.evolution_gif:
                 # chunked re-run threading phis0; frames show phi_0's
-                # contour (bit 0 of the labels, the overlay convention)
+                # contour (bit 0 of the labels, the overlay convention).
+                # Frame boundaries snap to comm_k multiples so the
+                # frozen-means cadence reproduces the saved trajectory.
                 from .models.multiphase import init_multiphase
 
                 frames = []
                 phis = init_multiphase(u0.shape[:2], args.multiphase,
                                        dtype=dtype)
                 n = 0
+                step_iters = args.gif_every
+                if args.comm_k > 1:
+                    step_iters = -(-step_iters // args.comm_k) \
+                        * args.comm_k
                 while n < args.iters:
-                    chunk = min(args.gif_every, args.iters - n)
+                    chunk = min(step_iters, args.iters - n)
                     r = segment_multiphase_sharded(
                         u0, p, mesh, m_sets=args.multiphase, phis0=phis,
                         max_iter=chunk, fixed=True, use_pallas=up,
-                        halo=args.halo)
+                        halo=args.halo, comm_k=args.comm_k)
                     phis = r.phis
                     n += chunk
                     frames.append(np.asarray(phis[0]))

@@ -81,12 +81,13 @@ def _coupled_iteration(phi0, phi1, u0, c, red, mu, nu, dt, eps, eta2,
     ``c``: the 4 phase means [c00, c10, c01, c11] indexed by the bitmask
     s = (phi0 inside) + 2 * (phi1 inside).
 
-    ``resync`` (sharded-canvas mode): applied to each level set's
-    red-half result before its black half reads the global-edge replica
-    rim through it. The pre-iteration replicas come from the caller's
-    halo exchange, the coupling term f1 reads new0 pointwise, and the
-    post-iteration halo state is re-exchanged before the next call, so
-    these two are the only refresh points the coupled iteration needs.
+    ``resync`` (sharded-canvas mode): applied after EVERY half-sweep -
+    each red-half result before its black half reads the global-edge
+    replica rim through it, and each black-half result so a CHAINED
+    call (the multiphase comm_k chunk runs k coupled iterations per
+    halo exchange) starts from valid replicas. The coupling term f1
+    reads new0 pointwise, so no refresh is needed between the level
+    sets beyond these.
     """
     d0 = (u0 - c[0]) ** 2
     d1 = (u0 - c[1]) ** 2
@@ -101,6 +102,8 @@ def _coupled_iteration(phi0, phi1, u0, c, red, mu, nu, dt, eps, eta2,
         p0r = resync(p0r)
     new0 = jnp.where(red, p0r,
                      _update_all(p0r, g0, f0, mu, dt, eps, eta2))
+    if resync is not None:
+        new0 = resync(new0)
 
     h0n = _heaviside(new0, eps)
     f1 = -nu + (1.0 - h0n) * (d0 - d2) + h0n * (d1 - d3)
@@ -110,6 +113,8 @@ def _coupled_iteration(phi0, phi1, u0, c, red, mu, nu, dt, eps, eta2,
         p1r = resync(p1r)
     new1 = jnp.where(red, p1r,
                      _update_all(p1r, g1, f1, mu, dt, eps, eta2))
+    if resync is not None:
+        new1 = resync(new1)
     return new0, new1
 
 

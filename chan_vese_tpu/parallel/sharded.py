@@ -1153,7 +1153,7 @@ def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
     return SegResult(phi, phi >= 0, iters, delta, c1, c2)
 
 
-def _mp_pallas_ok(p: CVParams, u0, nx, ny, m_sets) -> bool:
+def _mp_pallas_ok(p: CVParams, u0, nx, ny, m_sets, depth: int = _D) -> bool:
     """Support envelope of the per-shard fused mp2 canvas kernel."""
     from ..ops import pallas_multiphase
     if u0.ndim != 2 or m_sets != 2 or p.order != "redblack" \
@@ -1161,7 +1161,8 @@ def _mp_pallas_ok(p: CVParams, u0, nx, ny, m_sets) -> bool:
         return False
     h, w = u0.shape[0] // nx, u0.shape[1] // ny
     return (h % 8 == 0
-            and pallas_multiphase.supports_mp2(h + 2 * _D, _canvas_cols(w)))
+            and pallas_multiphase.supports_mp2(h + 2 * depth,
+                                               _canvas_cols(w, depth)))
 
 
 def segment_multiphase_sharded(u0, p: CVParams = CVParams(),
@@ -1172,6 +1173,7 @@ def segment_multiphase_sharded(u0, p: CVParams = CVParams(),
                                fixed: bool = False,
                                use_pallas: Optional[bool] = None,
                                halo: str = "ppermute",
+                               comm_k: int = 1,
                                interpret: bool = False):
     """Multiphase Vese-Chan over the 2D device mesh (SURVEY.md C10 x SP).
 
@@ -1183,7 +1185,11 @@ def segment_multiphase_sharded(u0, p: CVParams = CVParams(),
     kernel (ops/pallas_multiphase.mp2_iteration_sharded) with carried
     psum'd means - the sharded twin of models/multiphase's banded route.
     halo: 'ppermute' (default) or 'rdma' for the per-iteration level-set
-    exchanges.
+    exchanges. comm_k: communication-avoiding chunking - one
+    8*comm_k-deep exchange of every level set per comm_k coupled
+    iterations with frozen phase means (the multiphase twin of the
+    scalar comm_k class; convergence is chunk-granular and patience is
+    iteration-denominated).
     """
     from ..models.multiphase import MultiphaseResult, labels_from_phis
 
@@ -1195,9 +1201,20 @@ def segment_multiphase_sharded(u0, p: CVParams = CVParams(),
         raise ValueError(f"image {u0.shape} not divisible by mesh")
     if halo not in ("ppermute", "rdma"):
         raise ValueError(f"unknown halo mechanism {halo!r}")
+    if comm_k < 1:
+        raise ValueError("comm_k must be >= 1")
+    if comm_k > 1:
+        if p.reinit_every:
+            raise ValueError("multiphase comm_k > 1 supports no reinit "
+                             "cadence (frozen-means chunks)")
+        if 8 * comm_k > min(H // nx, W // ny):
+            raise ValueError(
+                f"multiphase comm_k={comm_k} needs 8*comm_k-deep halos, "
+                f"larger than the shard ({H // nx}, {W // ny})")
     cap = max_iter if max_iter is not None else p.max_iter
     vec = u0.ndim == 3
-    ok = _mp_pallas_ok(p, u0, nx, ny, m_sets)
+    depth = 8 * comm_k if comm_k > 1 else _D
+    ok = _mp_pallas_ok(p, u0, nx, ny, m_sets, depth)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and ok
     elif use_pallas and not ok:
@@ -1207,7 +1224,7 @@ def segment_multiphase_sharded(u0, p: CVParams = CVParams(),
             f"no reinit, 8-row-aligned shards)")
 
     run = _build_mp_program(p, mesh, nx, ny, cap, fixed, m_sets, vec,
-                            use_pallas, halo, interpret)
+                            use_pallas, halo, interpret, comm_k)
     u0 = jax.device_put(u0, NamedSharding(
         mesh, P("x", "y", None) if vec else P("x", "y")))
     if phis0 is None:
@@ -1224,12 +1241,73 @@ def segment_multiphase_sharded(u0, p: CVParams = CVParams(),
 
 @functools.lru_cache(maxsize=64)
 def _build_mp_program(p, mesh, nx, ny, cap, fixed, m_sets, vec=False,
-                      use_pallas=False, halo="ppermute", interpret=False):
+                      use_pallas=False, halo="ppermute", interpret=False,
+                      comm_k=1):
     def local_fn(u0_loc, phis_loc):
         ix = lax.axis_index("x")
         iy = lax.axis_index("y")
         h, w = u0_loc.shape[:2]
         n_pix = jnp.asarray(nx * h * ny * w, u0_loc.dtype)
+
+        if comm_k > 1:
+            # communication-avoiding chunked loop (the multiphase twin
+            # of the scalar comm_k loop; see _sharded_multiphase_chunk)
+            D = 8 * comm_k
+            if vec:
+                u0_padk = jax.vmap(lambda ch: exchange_halo2d(ch, D),
+                                   in_axes=2, out_axes=2)(u0_loc)
+            else:
+                u0_padk = exchange_halo2d(u0_loc, D)
+            mp_env = None
+            if use_pallas:
+                wc = _canvas_cols(w, D)
+                u0_canvas = jnp.pad(
+                    u0_padk, ((0, 0), (0, wc - u0_padk.shape[1])),
+                    mode="edge")
+                parity = (ix * h + iy * w) % 2
+                edges = jnp.stack([ix == 0, ix == nx - 1, iy == 0,
+                                   iy == ny - 1]).astype(u0_loc.dtype)
+                mp_env = (u0_canvas, parity, edges)
+            cs0 = jnp.stack(_sharded_phase_means(u0_loc, phis_loc, p))
+
+            def run_chunk(state, size):
+                phis, cs, n, _, streak = state
+                phis, cs, delta = _sharded_multiphase_chunk(
+                    phis, u0_padk, cs, p, size, ix, iy, nx, ny, h, w,
+                    n_pix, mp_env=mp_env, halo=halo, interpret=interpret)
+                streak = jnp.where(delta < p.tol, streak + size, 0)
+                return (phis, cs, n + size, delta, streak)
+
+            def not_stopped(state):
+                _, _, n, delta, streak = state
+                done = jnp.logical_and(streak >= p.patience,
+                                       n >= p.min_iter)
+                diverged = jnp.logical_and(
+                    n > 0, jnp.logical_not(jnp.isfinite(delta)))
+                return jnp.logical_not(jnp.logical_or(done, diverged))
+
+            full = (cap // comm_k) * comm_k
+            rem = cap - full
+
+            def chunk_cond(state):
+                if fixed:
+                    return state[2] < full
+                return jnp.logical_and(state[2] < full,
+                                       not_stopped(state))
+
+            init = (phis_loc, cs0, jnp.int32(0),
+                    jnp.asarray(jnp.inf, u0_loc.dtype), jnp.int32(0))
+            state = lax.while_loop(chunk_cond,
+                                   lambda st: run_chunk(st, comm_k), init)
+            if rem:
+                pred = state[2] < cap
+                if not fixed:
+                    pred = jnp.logical_and(pred, not_stopped(state))
+                state = lax.cond(pred, lambda st: run_chunk(st, rem),
+                                 lambda st: st, state)
+            phis, _, iters, delta, _ = state
+            return phis, iters, delta
+
         if vec:
             u0_pad = jax.vmap(lambda ch: exchange_halo2d(ch, _D),
                               in_axes=2, out_axes=2)(u0_loc)
@@ -1472,6 +1550,109 @@ def segment_sharded_fixed_trace(u0, p: CVParams = CVParams(),
     with jax.set_mesh(mesh):
         phi, es, ds, c1s, c2s = run(u0, phi0)
     return ShardedTrace(phi, phi >= 0, es, ds, c1s, c2s)
+
+
+def _sharded_multiphase_chunk(phis, u0_padk, cs, p: CVParams, k, ix, iy,
+                              nx, ny, h, w, n_pix, mp_env=None,
+                              halo="ppermute", interpret=False):
+    """Communication-avoiding MULTIPHASE chunk: one deep halo exchange
+    of every level set, then k coupled iterations locally with FROZEN
+    phase means (refreshed from the chunk-final state) - the multiphase
+    twin of _sharded_chunk_jnp. Halo depth D = 8 * comm_k covers the
+    coupled iteration's conservative composite reach (8 up / 4 down per
+    iteration: phi_1's sweep reads NEW phi_0 through the data term -
+    ops/pallas_multiphase.py docstring).
+
+    ``mp_env`` (M = 2 grayscale on TPU) routes each in-chunk iteration
+    through the fused coupled canvas kernel (k kernel calls per chunk -
+    no banded-amortization of HBM passes, but the collectives drop
+    k-fold, which is comm_k's purpose). jnp otherwise (general M,
+    grayscale or RGB).
+
+    Returns (phis_new, cs_new, label_flips_fraction) where flips are
+    the LAST in-chunk iteration's transition.
+    """
+    m_sets = phis.shape[0]
+    vec = u0_padk.ndim == 3
+    D = (u0_padk.shape[0] - h) // 2
+    u0_loc = u0_padk[D: D + h, D: D + w]
+
+    if mp_env is not None:
+        from ..ops import pallas_multiphase
+
+        u0_canvas, parity, edges = mp_env
+        wc = u0_canvas.shape[1]
+        pads = [_exchange(phis[m], D, halo, interpret) for m in range(2)]
+        canvas = jnp.stack([jnp.pad(pd, ((0, 0), (0, wc - pd.shape[1])),
+                                    mode="edge") for pd in pads])
+        crop = (D, D + h, D, D + w)
+        parts = None
+        for _ in range(k):
+            canvas, parts = pallas_multiphase.mp2_iteration_sharded(
+                canvas, u0_canvas, cs, p, parity, edges, crop,
+                interpret=interpret)
+        new = canvas[:, D: D + h, D: D + w]
+        parts = lax.psum(parts[:10], ("x", "y"))
+        tiny = jnp.asarray(1e-30, phis.dtype)
+        cs_new = parts[0:4] / jnp.maximum(parts[4:8], tiny)
+        flips = parts[8] / n_pix + 0.0 * parts[9]
+        return new, cs_new, flips
+
+    pads = [_exchange(phis[m], D, halo, interpret) for m in range(m_sets)]
+    gi, gj = _global_coords(pads[0].shape[:2], ix, iy, h, w, pad=D)
+    valid = ((gi >= 0) & (gi < nx * h) & (gj >= 0) & (gj < ny * w))
+    red = ((gi + gj) % 2 == 0) & valid
+    black = ((gi + gj) % 2 == 1) & valid
+
+    def hside(x):
+        return heaviside(x, p.eps)
+
+    def sqdist(upad, c):
+        if vec:
+            return jnp.mean((upad - c) ** 2, axis=-1)
+        return (upad - c) ** 2
+
+    u0_for_f = u0_padk
+    prev = list(pads)
+    for _ in range(k):
+        prev = list(pads)
+        pads = [_resync_replicas(pd, ix, iy, nx, ny, depth=D)
+                for pd in pads]
+        for m in range(m_sets):
+            hs_pad = [hside(pads[kk]) for kk in range(m_sets)]
+            f = jnp.zeros(pads[m].shape[:2], dtype=phis.dtype)
+            for sbit in range(2 ** m_sets):
+                d = sqdist(u0_for_f, cs[sbit])
+                w_other = None
+                for kk in range(m_sets):
+                    if kk == m:
+                        continue
+                    factor = (hs_pad[kk] if (sbit >> kk) & 1
+                              else (1.0 - hs_pad[kk]))
+                    w_other = factor if w_other is None \
+                        else w_other * factor
+                if w_other is None:
+                    w_other = jnp.ones_like(f)
+                sign = -1.0 if (sbit >> m) & 1 else 1.0
+                f = f + sign * d * w_other
+            f = f - p.nu
+            pads[m] = _sweep_local(pads[m], f, p, red, black, ix, iy,
+                                   nx, ny, depth=D)
+
+    new = jnp.stack([pd[D: D + h, D: D + w] for pd in pads])
+    prev_loc = jnp.stack([pd[D: D + h, D: D + w] for pd in prev])
+
+    def labels(ph):
+        lab = jnp.zeros(ph.shape[1:], jnp.int32)
+        for m in range(m_sets):
+            lab = lab | ((ph[m] >= 0).astype(jnp.int32) << m)
+        return lab
+
+    flips = lax.psum(
+        jnp.sum((labels(new) != labels(prev_loc)).astype(phis.dtype))
+        + 0.0 * jnp.sum(new), ("x", "y"))
+    cs_new = jnp.stack(_sharded_phase_means(u0_loc, new, p))
+    return new, cs_new, flips / n_pix
 
 
 def _sharded_multiphase_energy(u0_loc, phis, p: CVParams):

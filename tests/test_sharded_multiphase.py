@@ -239,3 +239,116 @@ def test_cli_multiphase_sharded_surfaces(grid_mesh, tmp_path):
                "-o", str(out)])
     assert rc == 0 and gif.exists()
     assert (ck / "ckpt_00000006").is_dir()
+
+
+def _frozen_cs_reference(u0, phis, p, iters, k):
+    """Unsharded frozen-phase-means-per-chunk multiphase trajectory
+    (the comm_k class), pure jnp."""
+    from chan_vese_tpu.models.multiphase import _coupling_term, phase_means
+    from chan_vese_tpu.ops.sweep import redblack_step
+
+    cs = phase_means(u0, phis, p.eps)
+    done = 0
+    while done < iters:
+        size = min(k, iters - done)
+        for _ in range(size):
+            new = [phis[m] for m in range(phis.shape[0])]
+            for m in range(phis.shape[0]):
+                f = _coupling_term(u0, new, cs, m, p)
+                new[m] = redblack_step(new[m], f, p)
+            phis = jnp.stack(new)
+        cs = phase_means(u0, phis, p.eps)
+        done += size
+    return phis
+
+
+@pytest.mark.parametrize("k,iters", [(2, 6), (2, 7)])
+def test_multiphase_commk_matches_frozen_cs_reference(grid_mesh, k, iters):
+    """Multiphase comm_k chunks (jnp path): one 8k-deep exchange per k
+    coupled iterations, frozen phase means - 1e-9 f64 vs the unsharded
+    frozen-cs reference."""
+    img, _ = four_regions(64, 64, noise=4.0)
+    u = jnp.asarray(img, jnp.float64)
+    p = CVParams(mu=0.003 * 255 ** 2)
+    res = segment_multiphase_sharded(u, p, grid_mesh, m_sets=2,
+                                     max_iter=iters, fixed=True,
+                                     comm_k=k, use_pallas=False)
+    from chan_vese_tpu.models.multiphase import init_multiphase
+    want = _frozen_cs_reference(
+        u, init_multiphase((64, 64), 2, dtype=u.dtype), p, iters, k)
+    np.testing.assert_allclose(np.asarray(res.phis), np.asarray(want),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_multiphase_commk_rgb(grid_mesh):
+    """Vector-valued multiphase comm_k chunks vs the frozen-cs
+    reference (per-channel means)."""
+    rng = np.random.default_rng(0)
+    colors = np.array([[220.0, 40.0, 40.0], [40.0, 220.0, 40.0],
+                       [40.0, 40.0, 220.0], [200.0, 200.0, 200.0]])
+    lab = np.zeros((64, 64), np.int32)
+    lab[:32, 32:] = 1
+    lab[32:, :32] = 2
+    lab[32:, 32:] = 3
+    img = colors[lab] + 3.0 * rng.standard_normal((64, 64, 3))
+    u = jnp.asarray(img, jnp.float64)
+    p = CVParams(mu=0.003 * 255 ** 2)
+    res = segment_multiphase_sharded(u, p, grid_mesh, m_sets=2,
+                                     max_iter=6, fixed=True, comm_k=2,
+                                     use_pallas=False)
+    from chan_vese_tpu.models.multiphase import init_multiphase
+    want = _frozen_cs_reference(
+        u, init_multiphase((64, 64), 2, dtype=jnp.float64), p, 6, 2)
+    np.testing.assert_allclose(np.asarray(res.phis), np.asarray(want),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_multiphase_commk_pallas_equals_unsharded_kernel_chunks(grid_mesh):
+    """comm_k x the fused coupled kernel per shard: equals an unsharded
+    loop of the SAME kernel with frozen-cs-per-chunk refresh."""
+    from chan_vese_tpu.models.multiphase import init_multiphase, phase_means
+    from chan_vese_tpu.ops.pallas_multiphase import mp2_iteration
+
+    img, _ = four_regions(64, 256, noise=4.0)
+    u = jnp.asarray(img, jnp.float64)
+    p = CVParams(mu=0.003 * 255 ** 2)
+    phis0 = init_multiphase((64, 256), 2, dtype=u.dtype)
+    k, iters = 2, 6
+    res = segment_multiphase_sharded(u, p, grid_mesh, m_sets=2,
+                                     phis0=phis0, max_iter=iters,
+                                     fixed=True, comm_k=k,
+                                     use_pallas=True, interpret=True)
+    phis = phis0
+    cs = jnp.stack(phase_means(u, phis, p.eps))
+    tiny = jnp.asarray(1e-30, u.dtype)
+    done = 0
+    while done < iters:
+        size = min(k, iters - done)
+        parts = None
+        for _ in range(size):
+            phis, parts = mp2_iteration(phis, u, cs, p, interpret=True)
+        cs = parts[0:4] / jnp.maximum(parts[4:8], tiny)
+        done += size
+    np.testing.assert_allclose(np.asarray(res.phis), np.asarray(phis),
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_multiphase_commk_tolerance_and_validation(grid_mesh):
+    import itertools
+
+    img, gt = four_regions(64, 64, noise=4.0)
+    p = CVParams(mu=0.003 * 255 ** 2, max_iter=200)
+    res = segment_multiphase_sharded(jnp.asarray(img, F32), p, grid_mesh,
+                                     m_sets=2, comm_k=2, use_pallas=False)
+    assert int(res.iters) < 200
+    pred = np.asarray(res.labels)
+    best = max(float((np.asarray(perm)[pred] == gt).mean())
+               for perm in itertools.permutations(range(4)))
+    assert best >= 0.97, best
+
+    with pytest.raises(ValueError, match="comm_k"):
+        segment_multiphase_sharded(jnp.asarray(img, F32), p, grid_mesh,
+                                   comm_k=0)
+    with pytest.raises(ValueError, match="8\\*comm_k"):
+        segment_multiphase_sharded(jnp.asarray(img, F32), p, grid_mesh,
+                                   comm_k=8)  # 64 > 32x16 shards
