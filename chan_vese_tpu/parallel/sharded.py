@@ -490,6 +490,77 @@ def _sharded_multiphase_iteration_pallas(phis, mp_env, cs, p: CVParams,
     return new, cs_new, flips
 
 
+def _sharded_multiphase_m_overlap(new, u0_pad, cs, p: CVParams, m, m_sets,
+                                  ix, iy, nx, ny, h, w):
+    """Level set ``m``'s update with halo-comm / interior-compute overlap
+    (the multiphase twin of _overlap_new; SURVEY.md 2.9 PP row x C10).
+
+    The block INTERIOR of phi_m's coupled sweep depends only on owned
+    data: the composite red-black stencil reaches 4 up/left / 2
+    down/right, and the coupling term consumes the other level sets'
+    Heavisides pointwise, so interior cells never read a halo of ANY
+    level set. The exchanges of all M level sets are therefore
+    data-independent of an interior sweep computed from locally
+    edge-padded copies, and XLA can run the ppermutes concurrently with
+    it. The rim is then overwritten with strips recomputed from the
+    exchanged pads via the shared _overlap_stitch - elementwise
+    identical to the exchange-then-sweep path
+    (tests/test_sharded_multiphase.py).
+    """
+    def hside(x):
+        return heaviside(x, p.eps)
+
+    gi, gj = _global_coords((h + 2 * _D, w + 2 * _D), ix, iy, h, w)
+    valid = ((gi >= 0) & (gi < nx * h) & (gj >= 0) & (gj < ny * w))
+    red = ((gi + gj) % 2 == 0) & valid
+    black = ((gi + gj) % 2 == 1) & valid
+
+    # interior: purely local (edge-replicated pads carry NO neighbor
+    # data; rim cells within reach of the block edge are overwritten)
+    lpads = [jnp.pad(new[k], _D, mode="edge") for k in range(m_sets)]
+    f_loc = _mp_coupling_f([hside(lp) for lp in lpads], u0_pad, cs, p,
+                           m, m_sets, new.dtype)
+    upd = _sweep_local(lpads[m], f_loc, p, red, black, ix, iy, nx, ny)
+    nm = upd[_D: _D + h, _D: _D + w]
+
+    # communication, independent of the interior compute above
+    pads = [exchange_halo2d(new[k], _D) for k in range(m_sets)]
+    f_pad = _mp_coupling_f([hside(pd) for pd in pads], u0_pad, cs, p,
+                           m, m_sets, new.dtype)
+    return _overlap_stitch(nm, pads[m], f_pad, p, red, black, ix, iy,
+                           nx, ny, h, w)
+
+
+def _mp_coupling_f(hs_pad, u0_pad, cs, p: CVParams, m, m_sets, dtype):
+    """Vese-Chan coupling data term for level set ``m`` on a padded
+    block: sum over the 2^M phase labels of +-sqdist(u0, c_label)
+    weighted by the OTHER level sets' Heaviside products (hs_pad),
+    minus nu. Shared by the exchange-then-sweep and overlap multiphase
+    iterations (the latter evaluates it twice: once from local pads for
+    the interior, once from exchanged pads for the rim strips)."""
+    vec = u0_pad.ndim == 3
+
+    def sqdist(upad, c):
+        if vec:
+            return jnp.mean((upad - c) ** 2, axis=-1)
+        return (upad - c) ** 2
+
+    f = jnp.zeros(u0_pad.shape[:2], dtype=dtype)
+    for sbit in range(2 ** m_sets):
+        d = sqdist(u0_pad, cs[sbit])
+        w_other = None
+        for k in range(m_sets):
+            if k == m:
+                continue
+            factor = hs_pad[k] if (sbit >> k) & 1 else (1.0 - hs_pad[k])
+            w_other = factor if w_other is None else w_other * factor
+        if w_other is None:
+            w_other = jnp.ones_like(f)
+        sign = -1.0 if (sbit >> m) & 1 else 1.0
+        f = f + sign * d * w_other
+    return f - p.nu
+
+
 def _sharded_multiphase_iteration(phis, u0_pad, p: CVParams, ix, iy, nx, ny,
                                   h, w, n_pix, halo="ppermute",
                                   interpret=False):
@@ -500,25 +571,28 @@ def _sharded_multiphase_iteration(phis, u0_pad, p: CVParams, ix, iy, nx, ny,
     own halo exchange - phi_m's sweep sees phi_{m-1}'s update). Handles
     grayscale (h, w) and vector-valued (h, w, C) u0_pad (per-channel
     phase means, channel-averaged squared distances). ``halo`` selects
-    the per-level-set exchange mechanism (ppermute or rdma).
+    the per-level-set exchange mechanism (ppermute, rdma, or overlap -
+    the latter computes the block interior from purely local data while
+    the exchanges fly, then stitches the rim; see
+    _sharded_multiphase_m_overlap).
     """
     m_sets = phis.shape[0]
     u0_loc = u0_pad[_D: _D + h, _D: _D + w]
-    vec = u0_pad.ndim == 3
 
     def hside(x):
         return heaviside(x, p.eps)
-
-    def sqdist(upad, c):
-        if vec:
-            return jnp.mean((upad - c) ** 2, axis=-1)
-        return (upad - c) ** 2
 
     # 2^M phase means (psum'd masked reductions; per-channel for RGB)
     cs = _sharded_phase_means(u0_loc, phis, p)
 
     new = phis
     for m in range(m_sets):
+        if halo == "overlap":
+            nm = _sharded_multiphase_m_overlap(new, u0_pad, cs, p, m,
+                                               m_sets, ix, iy, nx, ny,
+                                               h, w)
+            new = new.at[m].set(nm)
+            continue
         pad = _exchange(new[m], _D, halo, interpret)
         gi, gj = _global_coords(pad.shape, ix, iy, h, w)
         valid = ((gi >= 0) & (gi < nx * h) & (gj >= 0) & (gj < ny * w))
@@ -526,24 +600,10 @@ def _sharded_multiphase_iteration(phis, u0_pad, p: CVParams, ix, iy, nx, ny,
         black = ((gi + gj) % 2 == 1) & valid
         # coupling term from the padded CURRENT level sets (reuse the
         # sweep's own exchange for level set m)
-        f = jnp.zeros(pad.shape[:2], dtype=phis.dtype)
         hs_pad = [hside(pad) if k == m else
                   hside(_exchange(new[k], _D, halo, interpret))
                   for k in range(m_sets)]
-        u0p = u0_pad
-        for sbit in range(2 ** m_sets):
-            d = sqdist(u0p, cs[sbit])
-            w_other = None
-            for k in range(m_sets):
-                if k == m:
-                    continue
-                factor = hs_pad[k] if (sbit >> k) & 1 else (1.0 - hs_pad[k])
-                w_other = factor if w_other is None else w_other * factor
-            if w_other is None:
-                w_other = jnp.ones_like(f)
-            sign = -1.0 if (sbit >> m) & 1 else 1.0
-            f = f + sign * d * w_other
-        f = f - p.nu
+        f = _mp_coupling_f(hs_pad, u0_pad, cs, p, m, m_sets, phis.dtype)
         upd = _sweep_local(pad, f, p, red, black, ix, iy, nx, ny)
         new = new.at[m].set(upd[_D: _D + h, _D: _D + w])
 
@@ -1199,8 +1259,15 @@ def segment_multiphase_sharded(u0, p: CVParams = CVParams(),
     H, W = u0.shape[:2]
     if H % nx or W % ny:
         raise ValueError(f"image {u0.shape} not divisible by mesh")
-    if halo not in ("ppermute", "rdma"):
+    if halo not in ("ppermute", "rdma", "overlap"):
         raise ValueError(f"unknown halo mechanism {halo!r}")
+    if halo == "overlap":
+        if comm_k > 1:
+            raise ValueError("multiphase overlap x comm_k not supported; "
+                             "use halo='ppermute' with comm_k")
+        if min(H // nx, W // ny) < 16:
+            raise ValueError("halo='overlap' needs shards of at least "
+                             "16x16 (stitch strip width)")
     if comm_k < 1:
         raise ValueError("comm_k must be >= 1")
     if comm_k > 1:
@@ -1214,14 +1281,15 @@ def segment_multiphase_sharded(u0, p: CVParams = CVParams(),
     cap = max_iter if max_iter is not None else p.max_iter
     vec = u0.ndim == 3
     depth = 8 * comm_k if comm_k > 1 else _D
-    ok = _mp_pallas_ok(p, u0, nx, ny, m_sets, depth)
+    ok = _mp_pallas_ok(p, u0, nx, ny, m_sets, depth) and halo != "overlap"
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and ok
     elif use_pallas and not ok:
         raise ValueError(
             f"fused multiphase pallas path unsupported for {u0.shape} "
-            f"on mesh ({nx}, {ny}) (needs M=2 grayscale, redblack order, "
-            f"no reinit, 8-row-aligned shards)")
+            f"on mesh ({nx}, {ny}) with halo={halo!r} (needs M=2 "
+            f"grayscale, redblack order, no reinit, 8-row-aligned "
+            f"shards, non-overlap halos)")
 
     run = _build_mp_program(p, mesh, nx, ny, cap, fixed, m_sets, vec,
                             use_pallas, halo, interpret, comm_k)
@@ -1770,15 +1838,19 @@ def segment_multiphase_sharded_fixed_trace(u0, p: CVParams = CVParams(),
     H, W = u0.shape[:2]
     if H % nx or W % ny:
         raise ValueError(f"image {u0.shape} not divisible by mesh")
-    if halo not in ("ppermute", "rdma"):
+    if halo not in ("ppermute", "rdma", "overlap"):
         raise ValueError(f"unknown halo mechanism {halo!r}")
+    if halo == "overlap" and min(H // nx, W // ny) < 16:
+        raise ValueError("halo='overlap' needs shards of at least 16x16 "
+                         "(stitch strip width)")
     vec = u0.ndim == 3
-    ok = _mp_pallas_ok(p, u0, nx, ny, m_sets)
+    ok = _mp_pallas_ok(p, u0, nx, ny, m_sets) and halo != "overlap"
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and ok
     elif use_pallas and not ok:
         raise ValueError(f"fused multiphase pallas path unsupported for "
-                         f"{u0.shape} on mesh ({nx}, {ny})")
+                         f"{u0.shape} on mesh ({nx}, {ny}) with "
+                         f"halo={halo!r}")
 
     run = _build_mp_trace_program(p, mesh, nx, ny, iters, m_sets, vec,
                                   use_pallas, halo, interpret)

@@ -352,3 +352,48 @@ def test_multiphase_commk_tolerance_and_validation(grid_mesh):
     with pytest.raises(ValueError, match="8\\*comm_k"):
         segment_multiphase_sharded(jnp.asarray(img, F32), p, grid_mesh,
                                    comm_k=8)  # 64 > 32x16 shards
+
+
+def test_sharded_multiphase_overlap_matches_standard(grid_mesh):
+    """halo='overlap' (interior from owned data while the M exchanges
+    fly, rim stitched from the exchanged pads) is elementwise the
+    exchange-then-sweep path."""
+    img, _ = four_regions(64, 64, noise=4.0)
+    u = jnp.asarray(img, jnp.float64)
+    p = CVParams(mu=0.003 * 255 ** 2)
+    ref = segment_multiphase_sharded(u, p, grid_mesh, m_sets=2,
+                                     max_iter=3, fixed=True,
+                                     use_pallas=False)
+    got = segment_multiphase_sharded(u, p, grid_mesh, m_sets=2,
+                                     max_iter=3, fixed=True,
+                                     use_pallas=False, halo="overlap")
+    assert np.array_equal(np.asarray(got.phis), np.asarray(ref.phis))
+
+
+def test_sharded_multiphase_overlap_rgb(grid_mesh):
+    """Vector-valued multiphase overlap (channel-averaged coupling term
+    shares the same interior/rim split)."""
+    rng = np.random.default_rng(3)
+    img, _ = four_regions(64, 64, noise=4.0)
+    u = jnp.asarray(np.stack([img + rng.normal(0, 2, img.shape)
+                              for _ in range(3)], axis=-1), jnp.float64)
+    p = CVParams(mu=0.003 * 255 ** 2)
+    ref = segment_multiphase_sharded(u, p, grid_mesh, m_sets=2,
+                                     max_iter=3, fixed=True,
+                                     use_pallas=False)
+    got = segment_multiphase_sharded(u, p, grid_mesh, m_sets=2,
+                                     max_iter=3, fixed=True,
+                                     use_pallas=False, halo="overlap")
+    assert np.array_equal(np.asarray(got.phis), np.asarray(ref.phis))
+
+
+def test_sharded_multiphase_overlap_guards(grid_mesh):
+    img, _ = four_regions(64, 64, noise=4.0)
+    u = jnp.asarray(img, F32)
+    p = CVParams()
+    with pytest.raises(ValueError, match="overlap x comm_k"):
+        segment_multiphase_sharded(u, p, grid_mesh, m_sets=2,
+                                   comm_k=2, halo="overlap")
+    with pytest.raises(ValueError, match="halo='overlap'"):
+        segment_multiphase_sharded(u, p, grid_mesh, max_iter=1,
+                                   use_pallas=True, halo="overlap")
