@@ -52,39 +52,50 @@ def _supported_mc(u0, p: CVParams, k: int) -> bool:
             and p.order == "redblack" and not p.reinit_every)
 
 
-def auto_config(H, W, k=None, unroll=None, packed=None):
-    """Resolve (k, unroll, packed) from the measured size sweep
-    (docs/BENCHMARKS.md round-3 table: 1080p/4K/8K on v5e).
+def auto_config(H, W, k=None, unroll=None, packed=None, fuse=None):
+    """Resolve (k, unroll, packed, fuse) from the measured size sweeps
+    (docs/BENCHMARKS.md round-3 tables: 1080p/4K/8K on v5e).
 
-    k=8 wins at every size; unroll=4 wins for the flat kernel at every
-    size and for the packed kernel beyond 4K (at exactly 4K the packed
-    kernel prefers unroll=1 but auto never selects packed there); the
-    packed parity-plane kernel leads beyond 4K area (13.8 vs 13.4 G at
-    8K same-session; flat bands are VMEM-squeezed there) and ties at
-    4K, so auto turns it on only above 4K area where its layout
-    constraints (H % 16, W % 256) allow.
+    k=8 wins at every size. The packed parity-plane kernel leads at 4K
+    area and beyond where its layout constraints (H % 16, W % 256)
+    allow: +9-12% over flat k=8/unroll=4 in alternating same-session
+    A/B at 4K (14.3-15.0 vs 12.7-13.6 G) and +5% at 8K. unroll=4 wins
+    for the flat kernel at every size; the packed kernel runs
+    unroll=1 (its 4-plane live set spills at unroll >= 2). Below 4K
+    area the flat kernel + unroll=4 is the measured best (packed
+    unmeasured there; most such widths fail W % 256 anyway).
+    fuse (collapse the j grid into an in-kernel ref-state fori_loop)
+    measured NEUTRAL at 4K for both layouts - the per-step cost is the
+    work_scr round-trip, not grid dispatch - so auto leaves it off.
     """
     from ..ops import pallas_packed
 
     if k is None:
         k = 8
     if packed is None:
-        packed = (H * W > 2160 * 3840
+        packed = (H * W >= 2160 * 3840
                   and pallas_packed.supports_packed_banded(H, W, k))
     if unroll is None:
-        unroll = 4
-    return k, unroll, packed
+        # packed prefers unroll=1 up to 4K area (spills beyond u=1) but
+        # unroll=4 at 8K where the VMEM-squeezed flat bands flip the
+        # balance; flat wants 4 everywhere (measured tables)
+        unroll = 4 if (not packed or H * W > 2160 * 3840) else 1
+    if fuse is None:
+        fuse = False
+    return k, unroll, packed, fuse
 
 
 @functools.partial(jax.jit,
                    static_argnames=("p", "iters", "k", "unroll", "lambda1",
-                                    "lambda2", "packed", "interpret"))
+                                    "lambda2", "packed", "fuse",
+                                    "interpret"))
 def segment_banded_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
                          k: Optional[int] = None,
                          phi0: Optional[jax.Array] = None,
                          lambda1=None, lambda2=None,
                          unroll: Optional[int] = None,
                          packed: Optional[bool] = None,
+                         fuse: Optional[bool] = None,
                          interpret: bool = False):
     """Fixed-iteration banded run. Returns (phi, mask).
 
@@ -109,7 +120,8 @@ def segment_banded_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
                                         lambda1, lambda2,
                                         4 if unroll is None else unroll,
                                         interpret)
-    k, unroll, packed = auto_config(*u0.shape, k, unroll, packed)
+    k, unroll, packed, fuse = auto_config(*u0.shape, k, unroll, packed,
+                                          fuse)
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
     if not _supported(u0, p, k) or iters < 1:
         from .fused import segment_fused_fixed
@@ -158,13 +170,15 @@ def segment_banded_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
 
 @functools.partial(jax.jit,
                    static_argnames=("p", "k", "unroll", "lambda1",
-                                    "lambda2", "packed", "interpret"))
+                                    "lambda2", "packed", "fuse",
+                                    "interpret"))
 def segment_banded(u0, p: CVParams = CVParams(),
                    phi0: Optional[jax.Array] = None,
                    k: Optional[int] = None,
                    lambda1=None, lambda2=None,
                    unroll: Optional[int] = None,
                    packed: Optional[bool] = None,
+                   fuse: Optional[bool] = None,
                    interpret: bool = False) -> SegResult:
     """Tolerance-mode banded segmentation (chunk-granular convergence).
 
@@ -180,7 +194,8 @@ def segment_banded(u0, p: CVParams = CVParams(),
                                   lambda1, lambda2,
                                   4 if unroll is None else unroll,
                                   interpret)
-    k, unroll, packed = auto_config(*u0.shape, k, unroll, packed)
+    k, unroll, packed, fuse = auto_config(*u0.shape, k, unroll, packed,
+                                          fuse)
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
     if not _supported(u0, p, k):
         from .fused import segment_fused
@@ -211,11 +226,11 @@ def segment_banded(u0, p: CVParams = CVParams(),
         un = unroll if size % unroll == 0 else 1
         if use_packed:
             phi, parts = pallas_packed.packed_banded_chunk(
-                phi, u0_st, c1, c2, p, size, unroll=un,
+                phi, u0_st, c1, c2, p, size, unroll=un, fuse=fuse,
                 interpret=interpret)
         else:
             phi, parts = pallas_banded.banded_chunk(
-                phi, u0_st, c1, c2, p, size, unroll=un,
+                phi, u0_st, c1, c2, p, size, unroll=un, fuse=fuse,
                 interpret=interpret)
         c1, c2 = means_from_sums(parts[0], parts[1], sum_u, n_pix)
         delta = _delta_from_partials(parts, n_pix, p)

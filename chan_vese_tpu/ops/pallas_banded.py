@@ -227,6 +227,140 @@ def _banded_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
             store_dma(i - 1, (i - 1) % 2).wait()
 
 
+def _banded_kernel_fusej(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
+                         phi_scr, u0_scr, f_scr, work_scr, sems,
+                         *, H, W, b, k, up, dn, mu, nu, l1, l2, dt, eps,
+                         eta2, unroll=1, crop=None):
+    """Fused-j variant of _banded_kernel: grid (nbands,), ALL k in-band
+    iterations inside one grid program via a fori_loop whose state lives
+    in ``work_scr`` (a ref round-trip per step, NOT tile-sized loop
+    carries - those make Mosaic's register allocator spill tens of MB;
+    the ref-based loop keeps the live set identical to one grid step of
+    the unfused kernel). This removes the per-grid-step fixed cost that
+    the packed layout cannot unroll away (docs/BENCHMARKS.md round-3
+    packed-at-4K analysis); DMA schedule (prefetch next band, store two
+    bands behind) is unchanged.
+    """
+    T = b + up + dn
+    i = pl.program_id(0)
+    nbands = pl.num_programs(0)
+
+    def window(ii):
+        g0 = pl.multiple_of(jnp.minimum(ii * b, H - b), 8)
+        s = pl.multiple_of(jnp.clip(g0 - up, 0, H - T), 8)
+        return g0, s
+
+    def load_dmas(ii, slot):
+        _, s = window(ii)
+        return (pltpu.make_async_copy(phi_hbm.at[pl.ds(s, T), :],
+                                      phi_scr.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(u0_hbm.at[pl.ds(s, T), :],
+                                      u0_scr.at[slot], sems.at[slot, 1]))
+
+    def store_dma(ii, slot):
+        g0, s = window(ii)
+        o = pl.multiple_of(g0 - s, 8)
+        return pltpu.make_async_copy(
+            work_scr.at[slot].at[pl.ds(o, b), :],
+            out_hbm.at[pl.ds(g0, b), :], sems.at[slot, 2])
+
+    slot = i % 2
+
+    @pl.when(i == 0)
+    def _():
+        for dma in load_dmas(i, slot):
+            dma.start()
+
+    @pl.when(i + 1 < nbands)
+    def _():
+        for dma in load_dmas(i + 1, (i + 1) % 2):
+            dma.start()
+
+    for dma in load_dmas(i, slot):
+        dma.wait()
+
+    @pl.when(i >= 2)
+    def _():
+        store_dma(i - 2, slot).wait()
+
+    u0 = u0_scr[slot]
+    f_scr[slot] = (-nu - l1 * (u0 - c_ref[0, 0]) ** 2
+                   + l2 * (u0 - c_ref[0, 1]) ** 2)
+    work_scr[slot] = phi_scr[slot]
+
+    _, s = window(i)
+    parity = c_ref[0, 2].astype(jnp.int32)
+    flags = tuple(c_ref[0, 3 + t] > 0.5 for t in range(4))
+
+    def step():
+        """``unroll`` iterations from work_scr back to a value pair
+        (phi_n, prev); iota/mask recomputed per call to keep nothing
+        tile-sized live across the fori_loop back-edge."""
+        phi_n = work_scr[slot]
+        f = f_scr[slot]
+        rows = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 1)
+        grow = rows + s
+        red = ((grow + cols + parity) % 2) == 0
+        phi = phi_n
+        for _ in range(unroll):
+            phi = phi_n
+            g = (dt * eps / math.pi) / (eps * eps + phi * phi)
+            phi_r = jnp.where(red, _update_all(phi, g, f, mu, dt, eps,
+                                               eta2), phi)
+            if crop is not None:
+                phi_r = _resync_rim(phi_r, grow, cols, crop, flags)
+            phi_n = jnp.where(red, phi_r,
+                              _update_all(phi_r, g, f, mu, dt, eps, eta2))
+            if crop is not None:
+                phi_n = _resync_rim(phi_n, grow, cols, crop, flags)
+        return phi_n, phi
+
+    nsteps = k // unroll
+
+    def body(jj, carry):
+        phi_n, _ = step()
+        work_scr[slot] = phi_n
+        return carry
+
+    jax.lax.fori_loop(0, nsteps - 1, body, 0, unroll=False)
+    phi_n, phi = step()
+    work_scr[slot] = phi_n
+
+    store_dma(i, slot).start()
+
+    g0, _ = window(i)
+    rows = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 1)
+    grow = rows + s
+    hi = jnp.minimum((i + 1) * b, H)
+    keep = (grow >= i * b) & (grow < hi)
+    if crop is not None:
+        r0, r1, c0, c1x = crop
+        keep = (keep & (grow >= r0) & (grow < r1)
+                & (cols >= c0) & (cols < c1x))
+    m = keep.astype(phi_n.dtype)
+    h_eps = _heaviside(phi_n, eps)
+    dphi = phi_n - phi
+    flips = ((phi_n >= 0) != (phi >= 0)).astype(phi_n.dtype)
+    part_ref[i, 0] = jnp.sum(u0_scr[slot] * h_eps * m)
+    part_ref[i, 1] = jnp.sum(h_eps * m)
+    part_ref[i, 2] = jnp.sum(dphi * dphi * m)
+    part_ref[i, 3] = jnp.sum(flips * m)
+    part_ref[i, 4] = jnp.sum(jnp.abs(dphi) * m)
+    part_ref[i, 5] = 0.0
+    part_ref[i, 6] = 0.0
+    part_ref[i, 7] = 0.0
+
+    @pl.when(i == nbands - 1)
+    def _():
+        store_dma(i, slot).wait()
+
+    @pl.when((i == nbands - 1) & (nbands >= 2))
+    def _():
+        store_dma(i - 1, (i - 1) % 2).wait()
+
+
 def _banded_smem_row(c1, c2, dtype, parity=None, edges=None):
     """(1, 8) SMEM row: [c1, c2, parity, top, bot, left, right, 0]."""
     par = jnp.asarray(0 if parity is None else parity)
@@ -239,10 +373,10 @@ def _banded_smem_row(c1, c2, dtype, parity=None, edges=None):
     ]).reshape(1, 8)
 
 
-@functools.partial(jax.jit, static_argnames=("p", "k", "unroll",
+@functools.partial(jax.jit, static_argnames=("p", "k", "unroll", "fuse",
                                              "interpret"))
 def banded_chunk(phi, u0, c1, c2, p: CVParams, k: int = 8,
-                 unroll: int = 1,
+                 unroll: int = 1, fuse: bool = False,
                  interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Run k red-black iterations with frozen means in one HBM pass.
 
@@ -250,17 +384,21 @@ def banded_chunk(phi, u0, c1, c2, p: CVParams, k: int = 8,
     LAST iteration's transition (layout of ops/pallas_sweep.py).
     ``unroll`` runs that many iterations per grid step (k % unroll == 0)
     to amortize Mosaic's per-step costs; values > 2 risk VMEM spill OOM.
+    ``fuse`` collapses the j grid dimension into an in-kernel fori_loop
+    (one grid program per band; see _banded_kernel_fusej).
     """
     if not supports_banded(*phi.shape, k):
         raise ValueError(f"banded path unsupported for {phi.shape}, k={k}")
     c = _banded_smem_row(c1, c2, phi.dtype)
-    return _call_banded(phi, u0, c, p, k, unroll, None, interpret)
+    return _call_banded(phi, u0, c, p, k, unroll, None, interpret,
+                        fuse=fuse)
 
 
 @functools.partial(jax.jit, static_argnames=("p", "k", "unroll", "crop",
-                                             "interpret"))
+                                             "fuse", "interpret"))
 def banded_chunk_sharded(canvas, u0_canvas, c1, c2, p: CVParams, k: int,
                          parity, edges, crop, unroll: int = 1,
+                         fuse: bool = False,
                          interpret: bool = False
                          ) -> Tuple[jax.Array, jax.Array]:
     """k frozen-means iterations on a halo-padded SHARD canvas.
@@ -287,11 +425,12 @@ def banded_chunk_sharded(canvas, u0_canvas, c1, c2, p: CVParams, k: int,
                          f"{canvas.shape}, k={k}")
     c = _banded_smem_row(c1, c2, canvas.dtype, parity, edges)
     return _call_banded(canvas, u0_canvas, c, p, k, unroll, crop,
-                        interpret)
+                        interpret, fuse=fuse)
 
 
 def _call_banded(phi, u0, c, p: CVParams, k: int, unroll: int, crop,
-                 interpret: bool) -> Tuple[jax.Array, jax.Array]:
+                 interpret: bool, fuse: bool = False
+                 ) -> Tuple[jax.Array, jax.Array]:
     H, W = phi.shape
     if unroll < 1 or k % unroll:
         raise ValueError(f"unroll must divide k (got k={k}, "
@@ -300,15 +439,16 @@ def _call_banded(phi, u0, c, p: CVParams, k: int, unroll: int, crop,
     b = band_rows_banded(H, W, k)
     nbands = pl.cdiv(H, b)
 
+    kern = _banded_kernel_fusej if fuse else _banded_kernel
     kernel = functools.partial(
-        _banded_kernel, H=H, W=W, b=b, k=k, up=up, dn=dn, mu=p.mu, nu=p.nu,
+        kern, H=H, W=W, b=b, k=k, up=up, dn=dn, mu=p.mu, nu=p.nu,
         l1=p.lambda1, l2=p.lambda2, dt=p.dt, eps=p.eps, eta2=p.eta2,
         unroll=unroll, crop=crop)
 
     T = b + up + dn
     phi_new, partials = pl.pallas_call(
         kernel,
-        grid=(nbands, k // unroll),
+        grid=(nbands,) if fuse else (nbands, k // unroll),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -330,7 +470,8 @@ def _call_banded(phi, u0, c, p: CVParams, k: int, unroll: int, crop,
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",) if fuse
+            else ("arbitrary", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(c, phi, u0)

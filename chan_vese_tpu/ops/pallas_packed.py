@@ -468,10 +468,136 @@ def _packed_banded_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
             store_dma(i - 1, (i - 1) % 2).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("p", "k", "unroll",
+def _packed_banded_kernel_fusej(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
+                                phi_scr, u0_scr, f_scr, work_scr, sems,
+                                *, Hp, Wp, bp, k, upp, dnp, mu, nu, l1, l2,
+                                dt, eps, eta2, unroll=1):
+    """Fused-j variant of _packed_banded_kernel: grid (nbands,), all k
+    in-band iterations inside one grid program via a fori_loop whose
+    state round-trips through ``work_scr`` refs (tile-sized loop CARRIES
+    are what makes Mosaic spill - the ref round-trip keeps the live set
+    at one grid step's worth). This is the per-grid-step-overhead
+    remover the packed layout needs: it cannot unroll (4-plane live
+    sets spill at unroll >= 2, docs/BENCHMARKS.md round-3), so the
+    unfused kernel pays the per-step fixed cost k times per band."""
+    Tp = bp + upp + dnp
+    i = pl.program_id(0)
+    nbands = pl.num_programs(0)
+
+    def window(ii):
+        g0 = pl.multiple_of(jnp.minimum(ii * bp, Hp - bp), 8)
+        s = pl.multiple_of(jnp.clip(g0 - upp, 0, Hp - Tp), 8)
+        return g0, s
+
+    def load_dmas(ii, slot):
+        _, s = window(ii)
+        return (pltpu.make_async_copy(
+                    phi_hbm.at[:, :, pl.ds(s, Tp), :],
+                    phi_scr.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    u0_hbm.at[:, :, pl.ds(s, Tp), :],
+                    u0_scr.at[slot], sems.at[slot, 1]))
+
+    def store_dma(ii, slot):
+        g0, s = window(ii)
+        o = pl.multiple_of(g0 - s, 8)
+        return pltpu.make_async_copy(
+            work_scr.at[slot].at[:, :, pl.ds(o, bp), :],
+            out_hbm.at[:, :, pl.ds(g0, bp), :], sems.at[slot, 2])
+
+    slot = i % 2
+
+    @pl.when(i == 0)
+    def _():
+        for dma in load_dmas(i, slot):
+            dma.start()
+
+    @pl.when(i + 1 < nbands)
+    def _():
+        for dma in load_dmas(i + 1, (i + 1) % 2):
+            dma.start()
+
+    for dma in load_dmas(i, slot):
+        dma.wait()
+
+    @pl.when(i >= 2)
+    def _():
+        store_dma(i - 2, slot).wait()
+
+    for a in (0, 1):
+        for b in (0, 1):
+            u = u0_scr[slot, a, b]
+            f_scr[slot, a, b] = (-nu - l1 * (u - c_ref[0, 0]) ** 2
+                                 + l2 * (u - c_ref[0, 1]) ** 2)
+    work_scr[slot] = phi_scr[slot]
+
+    def step():
+        p = [[work_scr[slot, 0, 0], work_scr[slot, 0, 1]],
+             [work_scr[slot, 1, 0], work_scr[slot, 1, 1]]]
+        f = [[f_scr[slot, 0, 0], f_scr[slot, 0, 1]],
+             [f_scr[slot, 1, 0], f_scr[slot, 1, 1]]]
+        prev = p
+        for _ in range(unroll):
+            prev = p
+            p = _packed_iteration(p, f, mu, dt, eps, eta2)
+        return p, prev
+
+    def body(jj, carry):
+        p, _ = step()
+        for a in (0, 1):
+            for b in (0, 1):
+                work_scr[slot, a, b] = p[a][b]
+        return carry
+
+    jax.lax.fori_loop(0, k // unroll - 1, body, 0, unroll=False)
+    p, prev = step()
+    for a in (0, 1):
+        for b in (0, 1):
+            work_scr[slot, a, b] = p[a][b]
+
+    store_dma(i, slot).start()
+
+    _, s = window(i)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Tp, Wp), 0)
+    grow = rows + s
+    hi = jnp.minimum((i + 1) * bp, Hp)
+    m = ((grow >= i * bp) & (grow < hi)).astype(f_scr.dtype)
+    suh = 0.0
+    sh = 0.0
+    sd2 = 0.0
+    fl = 0.0
+    sad = 0.0
+    for a in (0, 1):
+        for b in (0, 1):
+            h_eps = _heaviside(p[a][b], eps)
+            d = p[a][b] - prev[a][b]
+            suh += jnp.sum(u0_scr[slot, a, b] * h_eps * m)
+            sh += jnp.sum(h_eps * m)
+            sd2 += jnp.sum(d * d * m)
+            fl += jnp.sum(((p[a][b] >= 0) != (prev[a][b] >= 0))
+                          .astype(d.dtype) * m)
+            sad += jnp.sum(jnp.abs(d) * m)
+    part_ref[i, 0] = suh
+    part_ref[i, 1] = sh
+    part_ref[i, 2] = sd2
+    part_ref[i, 3] = fl
+    part_ref[i, 4] = sad
+    for t in range(5, 8):
+        part_ref[i, t] = 0.0
+
+    @pl.when(i == nbands - 1)
+    def _():
+        store_dma(i, slot).wait()
+
+    @pl.when((i == nbands - 1) & (nbands >= 2))
+    def _():
+        store_dma(i - 1, (i - 1) % 2).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("p", "k", "unroll", "fuse",
                                              "interpret"))
 def packed_banded_chunk(phi_planes, u0_planes, c1, c2, p: CVParams,
-                        k: int = 8, unroll: int = 1,
+                        k: int = 8, unroll: int = 1, fuse: bool = False,
                         interpret: bool = False
                         ) -> Tuple[jax.Array, jax.Array]:
     """k frozen-means iterations on PRE-PACKED (2, 2, H/2, W/2) planes in
@@ -488,15 +614,16 @@ def packed_banded_chunk(phi_planes, u0_planes, c1, c2, p: CVParams,
     c = jnp.stack([jnp.asarray(c1, phi_planes.dtype),
                    jnp.asarray(c2, phi_planes.dtype)]).reshape(1, 2)
 
+    kern = _packed_banded_kernel_fusej if fuse else _packed_banded_kernel
     kernel = functools.partial(
-        _packed_banded_kernel, Hp=Hp, Wp=Wp, bp=bp, k=k, upp=upp, dnp=dnp,
+        kern, Hp=Hp, Wp=Wp, bp=bp, k=k, upp=upp, dnp=dnp,
         mu=p.mu, nu=p.nu, l1=p.lambda1, l2=p.lambda2, dt=p.dt, eps=p.eps,
         eta2=p.eta2, unroll=unroll)
 
     Tp = bp + upp + dnp
     out, partials = pl.pallas_call(
         kernel,
-        grid=(nbands, k // unroll),
+        grid=(nbands,) if fuse else (nbands, k // unroll),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -518,7 +645,8 @@ def packed_banded_chunk(phi_planes, u0_planes, c1, c2, p: CVParams,
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",) if fuse
+            else ("arbitrary", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(c, phi_planes, u0_planes)

@@ -47,11 +47,18 @@ def main():
 
     from chan_vese_tpu.ops.pallas_packed import supports_packed_banded
 
-    combos = {False: ((4, 1), (8, 1), (8, 4), (16, 4)),
-              True: ((8, 1),)}
+    # (k, unroll, fuse): fuse collapses the j grid into an in-kernel
+    # fori_loop with ref-based state (round-3 per-grid-step-overhead
+    # experiment - see ops/pallas_banded._banded_kernel_fusej)
+    combos = {False: ((4, 1, False), (8, 1, False), (8, 4, False),
+                      (16, 4, False), (8, 1, True), (8, 4, True),
+                      (16, 4, True), (16, 1, True), (32, 4, True)),
+              True: ((8, 1, False), (8, 1, True), (8, 2, True),
+                     (16, 1, True), (32, 1, True))}
     for packed in (False, True):
-        for k, u in combos[packed]:
+        for k, u, fz in combos[packed]:
             tag = "packed" if packed else "banded"
+            tag += "+fusej" if fz else ""
             ok = (supports_packed_banded(H, W, k) if packed
                   else supports_banded(H, W, k))
             if not ok or iters % k:
@@ -59,10 +66,10 @@ def main():
                 continue
             b = band_rows_banded(H, W, k)
             try:
-                t = timeit(lambda r, k=k, u=u, pk=packed:
+                t = timeit(lambda r, k=k, u=u, pk=packed, fz=fz:
                            segment_banded_fixed(u0 + jnp.float32(r), p,
                                                 iters, k=k, unroll=u,
-                                                packed=pk))
+                                                packed=pk, fuse=fz))
             except Exception as e:
                 print(f"{tag} k={k:2d} u={u}: FAILED "
                       f"{str(e).splitlines()[0][:90]}", flush=True)

@@ -374,3 +374,67 @@ def test_patience_iteration_denominated():
     # ~patience*(k-1) ~ 40+ extra iterations
     assert abs(int(res.iters) - int(ref.iters)) <= 3 * k, (
         int(res.iters), int(ref.iters))
+
+
+@pytest.mark.parametrize("k,unroll", [(3, 1), (8, 1), (8, 4)])
+def test_banded_fusej_matches_unfused(k, unroll):
+    """fuse=True (in-kernel fori_loop over j, ref-based state) is the
+    SAME program as the j-grid kernel: bitwise phi, same partials.
+    Default geometry at (64, 256) gives 4 bands, so the fused DMA
+    pipeline (prefetch next band, store two behind) is exercised."""
+    rng = np.random.default_rng(11)
+    shape = (64, 256)
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), F32)
+    phi = jnp.asarray(rng.standard_normal(shape), F32)
+    p = CVParams()
+    c1, c2 = region_means(u0, phi, p.eps)
+    a, pa = pallas_banded.banded_chunk(phi, u0, c1, c2, p, k,
+                                       unroll=unroll, interpret=True)
+    b, pb = pallas_banded.banded_chunk(phi, u0, c1, c2, p, k,
+                                       unroll=unroll, fuse=True,
+                                       interpret=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                               rtol=1e-5, atol=0.5)
+
+
+def test_banded_fusej_sharded_crop_parity():
+    """The fused-j kernel under the sharded-canvas contract (parity +
+    edge flags + crop + replica-rim resync) matches the j-grid kernel
+    bitwise."""
+    rng = np.random.default_rng(12)
+    shape = (64, 256)
+    k = 4
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), F32)
+    phi = jnp.asarray(rng.standard_normal(shape), F32)
+    p = CVParams()
+    c1, c2 = region_means(u0, phi, p.eps)
+    parity = jnp.int32(1)
+    edges = jnp.asarray([1.0, 0.0, 1.0, 0.0], F32)
+    crop = (16, 48, 16, 240)
+    a, pa = pallas_banded.banded_chunk_sharded(
+        phi, u0, c1, c2, p, k, parity, edges, crop, interpret=True)
+    b, pb = pallas_banded.banded_chunk_sharded(
+        phi, u0, c1, c2, p, k, parity, edges, crop, fuse=True,
+        interpret=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                               rtol=1e-5, atol=0.5)
+
+
+@pytest.mark.tpu
+def test_banded_fusej_compiled_tpu():
+    """Compiled fused-j kernel on the chip vs the frozen-means reference."""
+    rng = np.random.default_rng(13)
+    shape = (256, 256)
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), F32)
+    phi = jnp.asarray(rng.standard_normal(shape), F32)
+    p = CVParams()
+    c1, c2 = region_means(u0, phi, p.eps)
+    got_phi, got_parts = pallas_banded.banded_chunk(phi, u0, c1, c2, p, 8,
+                                                    unroll=4, fuse=True)
+    want_phi, want_parts = _ref_chunk(phi, u0, c1, c2, p, 8)
+    np.testing.assert_allclose(np.asarray(got_phi), np.asarray(want_phi),
+                               rtol=2e-5, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_parts)[:2],
+                               np.asarray(want_parts)[:2], rtol=1e-4)

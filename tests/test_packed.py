@@ -245,3 +245,41 @@ def test_packed_resident_exact_means_class():
     np.testing.assert_array_equal(np.sign(np.asarray(a)),
                                   np.sign(np.asarray(b)))
     assert pb.shape == (2, 8)
+
+
+@pytest.mark.parametrize("k,unroll", [(3, 1), (8, 1), (8, 2)])
+def test_packed_banded_fusej_matches_unfused(k, unroll):
+    """fuse=True (in-kernel fori_loop over j, ref-based plane state) is
+    the SAME program as the j-grid packed kernel: bitwise planes."""
+    rng = np.random.default_rng(7)
+    shape = (64, 256)
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), F32)
+    phi = jnp.asarray(rng.standard_normal(shape) * 5, F32)
+    p = CVParams()
+    c1, c2 = region_means(u0, phi, p.eps)
+    a, pa = pp.packed_banded_chunk(pp._pack(phi), pp._pack(u0), c1, c2,
+                                   p, k, unroll=unroll, interpret=True)
+    b, pb = pp.packed_banded_chunk(pp._pack(phi), pp._pack(u0), c1, c2,
+                                   p, k, unroll=unroll, fuse=True,
+                                   interpret=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                               rtol=1e-5, atol=0.5)
+
+
+@pytest.mark.tpu
+def test_packed_banded_fusej_compiled_tpu():
+    """Compiled packed fused-j kernel on the chip vs the flat reference."""
+    rng = np.random.default_rng(8)
+    shape = (256, 256)
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), F32)
+    phi = jnp.asarray(rng.standard_normal(shape), F32)
+    p = CVParams()
+    c1, c2 = region_means(u0, phi, p.eps)
+    want, wparts = pallas_banded.banded_chunk(phi, u0, c1, c2, p, 8)
+    out, gparts = pp.packed_banded_chunk(pp._pack(phi), pp._pack(u0),
+                                         c1, c2, p, 8, fuse=True)
+    np.testing.assert_allclose(np.asarray(pp._unpack(out)),
+                               np.asarray(want), rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gparts)[:2],
+                               np.asarray(wparts)[:2], rtol=1e-4)
