@@ -86,7 +86,8 @@ def main():
 
     if on_tpu:
         value = _tpu_mpixel_iters()
-        metric = "Mpixel-iters/s, 4K scalar Chan-Vese, banded k=8 Pallas, 1 TPU chip"
+        metric = ("Mpixel-iters/s, 4K scalar Chan-Vese, packed "
+                  "parity-plane banded k=8 Pallas, 1 TPU chip")
     else:
         value = _cpu_fallback_mpixel_iters()
         metric = "Mpixel-iters/s, 512^2 scalar Chan-Vese, jnp path, CPU (no TPU found)"

@@ -132,7 +132,9 @@ def main():
 
     # config 4b: single-chip 4K (the headline; for comparison).
     # Banded multi-iteration kernel, k = 8 iterations per HBM pass
-    # (frozen-means-per-chunk trajectory class, models/banded.py).
+    # (frozen-means-per-chunk trajectory class, models/banded.py);
+    # k/unroll/packed = auto resolves to the packed parity-plane kernel
+    # at 4K (models/banded.auto_config) - the label says so.
     # Re-place on one device: pallas_call is not SPMD-partitionable, so
     # timing it on the mesh-sharded input would measure a gather (or fail)
     # on a real multi-device mesh.
@@ -140,7 +142,8 @@ def main():
     u_single = jax.device_put(np.asarray(u), jax.devices()[0])
     secs = _t(lambda: segment_banded_fixed(u_single, p, iters=iters, k=8),
               lambda o: o[0][0, 0])
-    report("4b: 4K single-chip banded k=8 Pallas", 2160 * 3840, iters, secs)
+    report("4b: 4K single-chip banded k=8 Pallas (auto: packed "
+           "parity-plane)", 2160 * 3840, iters, secs)
 
     # config 5: 256 frames of 512^2 via vmap over the data mesh
     from chan_vese_tpu.parallel.mesh import make_data_mesh

@@ -115,11 +115,9 @@ def segment_banded_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
     off its envelope).
     """
     if u0.ndim == 3:
-        return _segment_banded_mc_fixed(u0, p, iters,
-                                        8 if k is None else k, phi0,
-                                        lambda1, lambda2,
-                                        4 if unroll is None else unroll,
-                                        interpret)
+        return _segment_banded_mc_fixed(u0, p, iters, k, phi0,
+                                        lambda1, lambda2, unroll,
+                                        interpret, packed=packed)
     k, unroll, packed, fuse = auto_config(*u0.shape, k, unroll, packed,
                                           fuse)
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
@@ -190,10 +188,8 @@ def segment_banded(u0, p: CVParams = CVParams(),
     size-aware selection (auto_config).
     """
     if u0.ndim == 3:
-        return _segment_banded_mc(u0, p, phi0, 8 if k is None else k,
-                                  lambda1, lambda2,
-                                  4 if unroll is None else unroll,
-                                  interpret)
+        return _segment_banded_mc(u0, p, phi0, k, lambda1, lambda2,
+                                  unroll, interpret, packed=packed)
     k, unroll, packed, fuse = auto_config(*u0.shape, k, unroll, packed,
                                           fuse)
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
@@ -260,49 +256,86 @@ def segment_banded(u0, p: CVParams = CVParams(),
     return SegResult(phi, phi >= 0, iters, delta, c1, c2)
 
 
+def auto_config_mc(H, W, C, k=None, unroll=None, packed=None):
+    """(k, unroll, packed) for the multichannel banded drivers.
+
+    Unlike the scalar flagship (where packed parity planes win from 4K
+    area up — auto_config), the mc kernel defaults to the FLAT layout at
+    every size: same-session alternating A/B measured flat k8u4 ahead at
+    both 4K RGB (9.7-9.9 G vs packed 7.6-7.9 G) and 8K RGB (10.0-10.2 G
+    vs packed 6.5 G) — the C-times-larger u0 scratch shrinks the packed
+    band height until per-grid-step overhead dominates, and deeper still
+    at 8K. packed=True remains available explicitly (parity-proven)."""
+    if k is None:
+        k = 8
+    if packed is None:
+        packed = False
+    if unroll is None:
+        unroll = 1 if packed else 4
+    return k, unroll, packed
+
+
 def _segment_banded_mc_fixed(u0, p, iters, k, phi0, lambda1, lambda2,
-                             unroll, interpret):
+                             unroll, interpret, packed=None):
     """Vector-valued fixed-iteration banded run (channels-first kernel,
     per-channel frozen means per chunk)."""
+    H, W, C = u0.shape
+    k, unroll, packed = auto_config_mc(H, W, C, k, unroll, packed)
     if not _supported_mc(u0, p, k) or iters < 1:
         from .fused import segment_fused_fixed
         return segment_fused_fixed(u0, p, iters, phi0, lambda1=lambda1,
                                    lambda2=lambda2, interpret=interpret)
-    H, W, C = u0.shape
     ucf = jnp.transpose(u0, (2, 0, 1))
     phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
     n_pix = jnp.asarray(H * W, u0.dtype)
     sum_u = jnp.sum(ucf, axis=(1, 2))  # (C,)
     c1, c2 = region_means(u0, phi0, p.eps)
 
+    from ..ops import pallas_packed
+    use_packed = (packed
+                  and pallas_packed.supports_packed_banded_mc(H, W, k, C))
+    if use_packed:
+        phi_st = pallas_packed._pack(phi0)
+        u0_st = pallas_packed._pack_mc(ucf)
+    else:
+        phi_st, u0_st = phi0, ucf
+
     def chunk(carry, size):
         phi, c1, c2 = carry
         un = unroll if size % unroll == 0 else 1
-        phi, parts = pallas_banded.banded_chunk_mc(
-            phi, ucf, c1, c2, p, size, unroll=un, lambda1=lambda1,
-            lambda2=lambda2, interpret=interpret)
+        if use_packed:
+            phi, parts = pallas_packed.packed_banded_chunk_mc(
+                phi, u0_st, c1, c2, p, size, unroll=un, lambda1=lambda1,
+                lambda2=lambda2, interpret=interpret)
+        else:
+            phi, parts = pallas_banded.banded_chunk_mc(
+                phi, u0_st, c1, c2, p, size, unroll=un, lambda1=lambda1,
+                lambda2=lambda2, interpret=interpret)
         c1, c2 = means_from_sums(parts[:C], parts[C], sum_u, n_pix)
         return (phi, c1, c2)
 
     full, rem = iters // k, iters % k
-    carry = (phi0, c1, c2)
+    carry = (phi_st, c1, c2)
     if full:
         carry = jax.lax.scan(lambda cr, _: (chunk(cr, k), None), carry,
                              None, length=full)[0]
     if rem:
         carry = chunk(carry, rem)
     phi = carry[0]
+    if use_packed:
+        phi = pallas_packed._unpack(phi)
     return phi, phi >= 0
 
 
 def _segment_banded_mc(u0, p, phi0, k, lambda1, lambda2, unroll,
-                       interpret):
+                       interpret, packed=None):
     """Tolerance-mode banded segmentation for (H, W, C) images."""
+    H, W, C = u0.shape
+    k, unroll, packed = auto_config_mc(H, W, C, k, unroll, packed)
     if not _supported_mc(u0, p, k):
         from .fused import segment_fused
         return segment_fused(u0, p, phi0, lambda1=lambda1, lambda2=lambda2,
                              interpret=interpret)
-    H, W, C = u0.shape
     _delta_from_partials(jnp.zeros((C + 4,), u0.dtype), 1.0, p,
                          offset=C - 1)
     ucf = jnp.transpose(u0, (2, 0, 1))
@@ -310,6 +343,15 @@ def _segment_banded_mc(u0, p, phi0, k, lambda1, lambda2, unroll,
     n_pix = jnp.asarray(H * W, u0.dtype)
     sum_u = jnp.sum(ucf, axis=(1, 2))
     c1_0, c2_0 = region_means(u0, phi0, p.eps)
+
+    from ..ops import pallas_packed
+    use_packed = (packed
+                  and pallas_packed.supports_packed_banded_mc(H, W, k, C))
+    if use_packed:
+        phi_init = pallas_packed._pack(phi0)
+        u0_st = pallas_packed._pack_mc(ucf)
+    else:
+        phi_init, u0_st = phi0, ucf
 
     def not_stopped(state):
         _, _, _, n, delta, streak = state
@@ -321,9 +363,14 @@ def _segment_banded_mc(u0, p, phi0, k, lambda1, lambda2, unroll,
     def run_chunk(state, size):
         phi, c1, c2, n, _, streak = state
         un = unroll if size % unroll == 0 else 1
-        phi, parts = pallas_banded.banded_chunk_mc(
-            phi, ucf, c1, c2, p, size, unroll=un, lambda1=lambda1,
-            lambda2=lambda2, interpret=interpret)
+        if use_packed:
+            phi, parts = pallas_packed.packed_banded_chunk_mc(
+                phi, u0_st, c1, c2, p, size, unroll=un, lambda1=lambda1,
+                lambda2=lambda2, interpret=interpret)
+        else:
+            phi, parts = pallas_banded.banded_chunk_mc(
+                phi, u0_st, c1, c2, p, size, unroll=un, lambda1=lambda1,
+                lambda2=lambda2, interpret=interpret)
         c1, c2 = means_from_sums(parts[:C], parts[C], sum_u, n_pix)
         delta = _delta_from_partials(parts, n_pix, p, offset=C - 1)
         # iteration-denominated patience (see the scalar driver)
@@ -336,7 +383,7 @@ def _segment_banded_mc(u0, p, phi0, k, lambda1, lambda2, unroll,
     def cond(state):
         return jnp.logical_and(state[3] < full, not_stopped(state))
 
-    init = (phi0, c1_0, c2_0, jnp.int32(0),
+    init = (phi_init, c1_0, c2_0, jnp.int32(0),
             jnp.asarray(jnp.inf, u0.dtype), jnp.int32(0))
     state = jax.lax.while_loop(cond, lambda s: run_chunk(s, k), init)
     if rem:
@@ -344,4 +391,6 @@ def _segment_banded_mc(u0, p, phi0, k, lambda1, lambda2, unroll,
             jnp.logical_and(state[3] < p.max_iter, not_stopped(state)),
             lambda s: run_chunk(s, rem), lambda s: s, state)
     phi, c1, c2, iters, delta, _ = state
+    if use_packed:
+        phi = pallas_packed._unpack(phi)
     return SegResult(phi, phi >= 0, iters, delta, c1, c2)

@@ -62,10 +62,25 @@ def supports_packed(h: int, w: int) -> bool:
 
 
 def _pack(x):
-    """(H, W) -> (2, 2, H/2, W/2) parity planes (host/jnp side)."""
+    """(H, W) -> (2, 2, H/2, W/2) parity planes (host/jnp side).
+
+    XLA fuses the reshape+transpose into one copy for a RANK-2 operand
+    (measured fast at 4K and 8K). Do NOT vmap this: under vmap the
+    trailing length-2 lane dim of the reshape materializes with the
+    (8, 128) tiled layout — a 64x HBM transient (f32[3,2160,2,3840,2]
+    asked for 25.5 GB at 8K RGB). Strided slices are no alternative:
+    lane-stride-2 slices lower gather-like and cost ~1.3 s at 8K RGB
+    (measured 10x end-to-end slowdown). Use _pack_mc for (C, H, W)."""
     H, W = x.shape
     return (x.reshape(H // 2, 2, W // 2, 2)
             .transpose(1, 3, 0, 2))
+
+
+def _pack_mc(ucf):
+    """(C, H, W) channels-first -> (C, 2, 2, H/2, W/2): a static Python
+    loop over channels so each pack keeps the rank-2 fusion (see _pack
+    for why vmap here OOMs at 8K)."""
+    return jnp.stack([_pack(c) for c in ucf])
 
 
 def _unpack(planes):
@@ -647,6 +662,229 @@ def packed_banded_chunk(phi_planes, u0_planes, c1, c2, p: CVParams,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) if fuse
             else ("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(c, phi_planes, u0_planes)
+    return out, jnp.sum(partials, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Packed MULTICHANNEL banded kernel: the parity-plane layout on the
+# k-iterations-per-HBM-pass scheme with a (C, H, W) channels-first image
+# (ops/pallas_banded._banded_mc_kernel's contract). The level set stays
+# scalar; the frozen data term averages per-channel weighted squared
+# distances once per band; partials carry per-channel s_uH sums in the
+# 16-slot mc layout.
+# ---------------------------------------------------------------------------
+
+
+def band_rows_packed_mc(h: int, w: int, k: int, c: int):
+    """(bp, upp, dnp) packed-row band geometry for the mc kernel: the u0
+    scratch holds C plane sets per buffer instead of 1 (same channel
+    surcharge as ops/pallas_banded.band_rows_banded_mc)."""
+    upp = -(-2 * k // 8) * 8
+    dnp = -(-k // 8) * 8
+    per_real_row = w * 4 * (_TILES_BANDED + 2 * c)
+    b_real = max(16, (_VMEM_LIMIT // per_real_row) // 16 * 16)
+    bp = b_real // 2
+    hp = h // 2
+    bp = min(bp, max(8, ((hp - upp - dnp) // 8) * 8))
+    return bp, upp, dnp
+
+
+def supports_packed_banded_mc(h: int, w: int, k: int, c: int) -> bool:
+    if h % 16 or w % 256 or not (1 <= k <= 64) or not (1 <= c <= 8):
+        return False
+    bp, upp, dnp = band_rows_packed_mc(h, w, k, c)
+    return bp + upp + dnp <= h // 2
+
+
+def _packed_banded_mc_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
+                             phi_scr, u0_scr, f_scr, work_scr, sems,
+                             *, Hp, Wp, C, bp, k, upp, dnp, mu, nu, l1, l2,
+                             dt, eps, eta2, unroll=1):
+    """Grid (nbands, k // unroll) over packed phi (2, 2, Hp, Wp) and u0
+    (C, 2, 2, Hp, Wp); c_ref (SMEM (1, 2C + 8)) as in
+    ops/pallas_banded._banded_mc_kernel (parity/edge slots unused -
+    the packed banded kernel runs unsharded)."""
+    Tp = bp + upp + dnp
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nsteps = pl.num_programs(1)
+    nbands = pl.num_programs(0)
+
+    def window(ii):
+        g0 = pl.multiple_of(jnp.minimum(ii * bp, Hp - bp), 8)
+        s = pl.multiple_of(jnp.clip(g0 - upp, 0, Hp - Tp), 8)
+        return g0, s
+
+    def load_dmas(ii, slot):
+        _, s = window(ii)
+        return (pltpu.make_async_copy(
+                    phi_hbm.at[:, :, pl.ds(s, Tp), :],
+                    phi_scr.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    u0_hbm.at[:, :, :, pl.ds(s, Tp), :],
+                    u0_scr.at[slot], sems.at[slot, 1]))
+
+    def store_dma(ii, slot):
+        g0, s = window(ii)
+        o = pl.multiple_of(g0 - s, 8)
+        return pltpu.make_async_copy(
+            work_scr.at[slot].at[:, :, pl.ds(o, bp), :],
+            out_hbm.at[:, :, pl.ds(g0, bp), :], sems.at[slot, 2])
+
+    slot = i % 2
+
+    @pl.when(j == 0)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            for dma in load_dmas(i, slot):
+                dma.start()
+
+        @pl.when(i + 1 < nbands)
+        def _():
+            for dma in load_dmas(i + 1, (i + 1) % 2):
+                dma.start()
+
+        for dma in load_dmas(i, slot):
+            dma.wait()
+
+        @pl.when(i >= 2)
+        def _():
+            store_dma(i - 2, slot).wait()
+
+        for a in (0, 1):
+            for b in (0, 1):
+                f = jnp.full((Tp, Wp), -nu, dtype=phi_scr.dtype)
+                for ch in range(C):
+                    u = u0_scr[slot, ch, a, b]
+                    d1 = u - c_ref[0, ch]
+                    d2 = u - c_ref[0, C + ch]
+                    f = (f + (l2[ch] / C) * (d2 * d2)
+                         - (l1[ch] / C) * (d1 * d1))
+                f_scr[slot, a, b] = f
+        work_scr[slot] = phi_scr[slot]
+
+    p = [[work_scr[slot, 0, 0], work_scr[slot, 0, 1]],
+         [work_scr[slot, 1, 0], work_scr[slot, 1, 1]]]
+    f = [[f_scr[slot, 0, 0], f_scr[slot, 0, 1]],
+         [f_scr[slot, 1, 0], f_scr[slot, 1, 1]]]
+    prev = p
+    for _ in range(unroll):
+        prev = p
+        p = _packed_iteration(p, f, mu, dt, eps, eta2)
+    for a in (0, 1):
+        for b in (0, 1):
+            work_scr[slot, a, b] = p[a][b]
+
+    @pl.when(j == nsteps - 1)
+    def _():
+        store_dma(i, slot).start()
+
+        _, s = window(i)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (Tp, Wp), 0)
+        grow = rows + s
+        hi = jnp.minimum((i + 1) * bp, Hp)
+        m = ((grow >= i * bp) & (grow < hi)).astype(f_scr.dtype)
+        suh = [0.0] * C
+        sh = 0.0
+        sd2 = 0.0
+        fl = 0.0
+        sad = 0.0
+        for a in (0, 1):
+            for b in (0, 1):
+                h_eps = _heaviside(p[a][b], eps)
+                hm = h_eps * m
+                d = p[a][b] - prev[a][b]
+                for ch in range(C):
+                    suh[ch] += jnp.sum(u0_scr[slot, ch, a, b] * hm)
+                sh += jnp.sum(hm)
+                sd2 += jnp.sum(d * d * m)
+                fl += jnp.sum(((p[a][b] >= 0) != (prev[a][b] >= 0))
+                              .astype(d.dtype) * m)
+                sad += jnp.sum(jnp.abs(d) * m)
+        for ch in range(C):
+            part_ref[i, ch] = suh[ch]
+        part_ref[i, C] = sh
+        part_ref[i, C + 1] = sd2
+        part_ref[i, C + 2] = fl
+        part_ref[i, C + 3] = sad
+        for t in range(C + 4, 16):
+            part_ref[i, t] = 0.0
+
+        @pl.when(i == nbands - 1)
+        def _():
+            store_dma(i, slot).wait()
+
+        @pl.when((i == nbands - 1) & (nbands >= 2))
+        def _():
+            store_dma(i - 1, (i - 1) % 2).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("p", "k", "unroll", "lambda1",
+                                             "lambda2", "interpret"))
+def packed_banded_chunk_mc(phi_planes, u0_planes, c1, c2, p: CVParams,
+                           k: int = 8, unroll: int = 1,
+                           lambda1=None, lambda2=None,
+                           interpret: bool = False
+                           ) -> Tuple[jax.Array, jax.Array]:
+    """k frozen-means red-black iterations on PRE-PACKED planes: phi
+    (2, 2, H/2, W/2), u0 (C, 2, 2, H/2, W/2) channels-first. Contract of
+    ops/pallas_banded.banded_chunk_mc: c1, c2 (C,) means; returns
+    (phi_planes_new, partials (16,)) = [s_uH per channel..., s_H,
+    s_dphi2, flips, s_absdphi, 0...] of the last iteration's transition.
+    """
+    from .pallas_banded import _banded_mc_smem_row
+
+    C = u0_planes.shape[0]
+    _, _, Hp, Wp = phi_planes.shape
+    H, W = 2 * Hp, 2 * Wp
+    if u0_planes.shape[1:] != phi_planes.shape:
+        raise ValueError(f"u0 planes {u0_planes.shape} vs phi planes "
+                         f"{phi_planes.shape}")
+    if not supports_packed_banded_mc(H, W, k, C):
+        raise ValueError(f"packed banded mc unsupported for {(H, W, C)}, "
+                         f"k={k}")
+    if unroll < 1 or k % unroll:
+        raise ValueError(f"unroll must divide k ({k=}, {unroll=})")
+    l1, l2 = p.channel_lambdas(C, lambda1, lambda2)
+    bp, upp, dnp = band_rows_packed_mc(H, W, k, C)
+    nbands = pl.cdiv(Hp, bp)
+    c = _banded_mc_smem_row(c1, c2, C, phi_planes.dtype)
+
+    kernel = functools.partial(
+        _packed_banded_mc_kernel, Hp=Hp, Wp=Wp, C=C, bp=bp, k=k, upp=upp,
+        dnp=dnp, mu=p.mu, nu=p.nu, l1=l1, l2=l2, dt=p.dt, eps=p.eps,
+        eta2=p.eta2, unroll=unroll)
+
+    Tp = bp + upp + dnp
+    out, partials = pl.pallas_call(
+        kernel,
+        grid=(nbands, k // unroll),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(phi_planes.shape, phi_planes.dtype),
+            jax.ShapeDtypeStruct((nbands, 16), phi_planes.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 2, Tp, Wp), phi_planes.dtype),     # phi
+            pltpu.VMEM((2, C, 2, 2, Tp, Wp), phi_planes.dtype),  # u0
+            pltpu.VMEM((2, 2, 2, Tp, Wp), phi_planes.dtype),     # data term
+            pltpu.VMEM((2, 2, 2, Tp, Wp), phi_planes.dtype),     # iterate
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(c, phi_planes, u0_planes)

@@ -40,6 +40,23 @@ def pytest_configure(config):
         "markers", "tpu: needs a real TPU chip (set RUN_TPU_TESTS=1)")
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables at module boundaries.
+
+    The full suite compiles ~350 programs (many large shard_map +
+    interpret-mode Pallas graphs on the 8-fake-device CPU client);
+    letting them all stay live segfaults jaxlib's CPU compiler near
+    test ~300 (reproducible at
+    test_sharded_multiphase.py::test_multiphase_commk_pallas_equals_
+    unsharded_kernel_chunks when the whole suite runs; any ~half of the
+    suite passes — cumulative exhaustion, not a specific test). Clearing
+    per module keeps the live-executable count bounded at a small
+    recompile cost."""
+    yield
+    jax.clear_caches()
+
+
 def pytest_runtest_setup(item):
     if "tpu" in [m.name for m in item.iter_markers()]:
         if not os.environ.get("RUN_TPU_TESTS"):

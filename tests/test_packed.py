@@ -283,3 +283,82 @@ def test_packed_banded_fusej_compiled_tpu():
                                np.asarray(want), rtol=1e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(gparts)[:2],
                                np.asarray(wparts)[:2], rtol=1e-4)
+
+
+@pytest.mark.parametrize("k,unroll", [(1, 1), (4, 1), (8, 4)])
+def test_packed_banded_mc_matches_banded_mc(k, unroll):
+    """Packed parity-plane mc banded kernel == flat mc banded kernel
+    (f64: no FMA-contraction headroom at this tolerance)."""
+    rng = np.random.default_rng(9)
+    H, W, C = 64, 256, 3
+    u0 = jnp.asarray(rng.uniform(0, 255, (H, W, C)), jnp.float64)
+    phi = jnp.asarray(rng.standard_normal((H, W)) * 5, jnp.float64)
+    p = CVParams()
+    c1, c2 = region_means(u0, phi, p.eps)
+    ucf = jnp.transpose(u0, (2, 0, 1))
+    want, wparts = pallas_banded.banded_chunk_mc(phi, ucf, c1, c2, p, k,
+                                                 unroll=unroll,
+                                                 interpret=True)
+    got, gparts = pp.packed_banded_chunk_mc(
+        pp._pack(phi), pp._pack_mc(ucf), c1, c2, p, k,
+        unroll=unroll, interpret=True)
+    np.testing.assert_allclose(np.asarray(pp._unpack(got)),
+                               np.asarray(want), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gparts), np.asarray(wparts),
+                               rtol=1e-10, atol=1e-6)
+
+
+def test_packed_banded_mc_driver_routes():
+    """segment_banded_fixed(packed=True) on an RGB image runs the packed
+    mc kernel and matches the flat-kernel driver elementwise (f64)."""
+    from chan_vese_tpu.models.banded import segment_banded_fixed
+
+    rng = np.random.default_rng(10)
+    H, W, C = 64, 256, 3
+    u0 = jnp.asarray(rng.uniform(0, 255, (H, W, C)), jnp.float64)
+    p = CVParams()
+    a, _ = segment_banded_fixed(u0, p, 10, k=4, unroll=1, packed=False,
+                                interpret=True)
+    b, _ = segment_banded_fixed(u0, p, 10, k=4, unroll=1, packed=True,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-11, atol=1e-11)
+
+
+def test_packed_banded_mc_per_channel_lambdas():
+    """Per-channel lambda tuples flow through the packed mc kernel."""
+    rng = np.random.default_rng(11)
+    H, W, C = 64, 256, 2
+    u0 = jnp.asarray(rng.uniform(0, 255, (H, W, C)), jnp.float64)
+    phi = jnp.asarray(rng.standard_normal((H, W)) * 5, jnp.float64)
+    p = CVParams()
+    c1, c2 = region_means(u0, phi, p.eps)
+    ucf = jnp.transpose(u0, (2, 0, 1))
+    l1, l2 = (1.5, 0.5), (0.7, 1.3)
+    want, _ = pallas_banded.banded_chunk_mc(phi, ucf, c1, c2, p, 3,
+                                            lambda1=l1, lambda2=l2,
+                                            interpret=True)
+    got, _ = pp.packed_banded_chunk_mc(
+        pp._pack(phi), pp._pack_mc(ucf), c1, c2, p, 3,
+        lambda1=l1, lambda2=l2, interpret=True)
+    np.testing.assert_allclose(np.asarray(pp._unpack(got)),
+                               np.asarray(want), rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.tpu
+def test_packed_banded_mc_compiled_tpu():
+    """Compiled packed mc kernel on the chip vs the flat mc kernel."""
+    rng = np.random.default_rng(12)
+    H, W, C = 256, 256, 3
+    u0 = jnp.asarray(rng.uniform(0, 255, (H, W, C)), F32)
+    phi = jnp.asarray(rng.standard_normal((H, W)), F32)
+    p = CVParams()
+    c1, c2 = region_means(u0, phi, p.eps)
+    ucf = jnp.transpose(u0, (2, 0, 1))
+    want, wparts = pallas_banded.banded_chunk_mc(phi, ucf, c1, c2, p, 8)
+    got, gparts = pp.packed_banded_chunk_mc(
+        pp._pack(phi), pp._pack_mc(ucf), c1, c2, p, 8)
+    np.testing.assert_allclose(np.asarray(pp._unpack(got)),
+                               np.asarray(want), rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gparts)[:4],
+                               np.asarray(wparts)[:4], rtol=1e-4)
