@@ -164,6 +164,54 @@ def _packed_iteration(p, f, mu, dt, eps, eta2):
     return _packed_half_sweep(p, f, ((0, 1), (1, 0)), mu, dt, eps, eta2)
 
 
+def _packed_rim(p, flags, cropp, growp, colp):
+    """Global-edge Neumann replica-rim refresh in PLANE coordinates (the
+    packed twin of ops/pallas_sweep._resync_rim; used by the sharded
+    packed banded kernel).
+
+    Requires an even-parity canvas origin and even crop bounds, so every
+    rim row/col maps to a STATIC plane position: with crop (r0, r1, c0,
+    c1) even, canvas rows r0-1 / r0-2 are plane rows r0/2 - 1 of planes
+    a=1 / a=0, both replicas of edge row r0 (plane a=0, row r0/2); rows
+    r1, r1+1 are plane rows r1/2 of a=0 / a=1, replicas of row r1-1
+    (plane a=1, row r1/2 - 1); columns symmetric with the b index.
+    ``cropp`` = crop // 2; ``growp``/``colp`` = plane-space global
+    row/col iotas of the band tile; ``flags`` = traced (top, bot, left,
+    right) booleans. Rows fix before columns so corner replicas match
+    _resync_replicas' sequential order.
+    """
+    r0p, r1p, c0p, c1p = cropp
+    is_top, is_bot, is_left, is_right = flags
+    out = [[p[0][0], p[0][1]], [p[1][0], p[1][1]]]
+    for b in (0, 1):
+        # value at plane row r <- plane-a=0 row r+1 (canvas edge row r0)
+        top_src = jnp.concatenate([out[0][b][1:], out[0][b][-1:]], axis=0)
+        mt = is_top & (growp == r0p - 1)
+        o1 = jnp.where(mt, top_src, out[1][b])
+        o0 = jnp.where(mt, top_src, out[0][b])
+        # value at plane row r <- plane-a=1 row r-1 (canvas row r1 - 1)
+        bot_src = jnp.concatenate([o1[:1], o1[:-1]], axis=0)
+        mb = is_bot & (growp == r1p)
+        out[0][b] = jnp.where(mb, bot_src, o0)
+        out[1][b] = jnp.where(mb, bot_src, o1)
+    # Column positions are STATIC in plane space (no band offset on the
+    # lane axis), so the select source is a single static column slice
+    # broadcast across lanes - no full-plane lane-shift concats (the
+    # expensive VPU direction; Mosaic cannot lower dynamic_update_slice
+    # on values, so masked selects with a broadcast source are the
+    # cheapest lowerable form). Rows keep sublane-shift concats (cheap).
+    for a in (0, 1):
+        src_l = out[a][0][:, c0p:c0p + 1]            # (Tp, 1) broadcast
+        ml = is_left & (colp == c0p - 1)
+        o1 = jnp.where(ml, src_l, out[a][1])
+        o0 = jnp.where(ml, src_l, out[a][0])
+        src_r = o1[:, c1p - 1:c1p]
+        mr = is_right & (colp == c1p)
+        out[a][0] = jnp.where(mr, src_r, o0)
+        out[a][1] = jnp.where(mr, src_r, o1)
+    return out
+
+
 def _planes(ref):
     return [[ref[0, 0], ref[0, 1]], [ref[1, 0], ref[1, 1]]]
 
@@ -371,9 +419,17 @@ def supports_packed_banded(h: int, w: int, k: int) -> bool:
 def _packed_banded_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
                           phi_scr, u0_scr, f_scr, work_scr, sems,
                           *, Hp, Wp, bp, k, upp, dnp, mu, nu, l1, l2, dt,
-                          eps, eta2, unroll=1):
+                          eps, eta2, unroll=1, cropp=None):
     """Grid (nbands, k // unroll) over packed (2, 2, Hp, Wp) arrays;
-    the DMA pipeline of ops/pallas_banded._banded_kernel on plane tiles."""
+    the DMA pipeline of ops/pallas_banded._banded_kernel on plane tiles.
+
+    cropp (static, plane coords, or None): sharded-canvas mode - apply
+    the global-edge replica-rim refresh (_packed_rim) after every
+    half-sweep, gated by the traced edge flags in c_ref slots 2..5, and
+    restrict the partials to the crop window. The canvas origin parity
+    is statically even in this mode (caller contract), so plane (a, b)
+    always has global color (a + b) % 2 and the half-sweep pairing needs
+    no parity input."""
     Tp = bp + upp + dnp
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -433,10 +489,23 @@ def _packed_banded_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
          [work_scr[slot, 1, 0], work_scr[slot, 1, 1]]]
     f = [[f_scr[slot, 0, 0], f_scr[slot, 0, 1]],
          [f_scr[slot, 1, 0], f_scr[slot, 1, 1]]]
+    if cropp is not None:
+        _, s_rim = window(i)
+        growp = (jax.lax.broadcasted_iota(jnp.int32, (Tp, Wp), 0) + s_rim)
+        colp = jax.lax.broadcasted_iota(jnp.int32, (Tp, Wp), 1)
+        flags = tuple(c_ref[0, 2 + t] > 0.5 for t in range(4))
     prev = p
     for _ in range(unroll):
         prev = p
-        p = _packed_iteration(p, f, mu, dt, eps, eta2)
+        if cropp is None:
+            p = _packed_iteration(p, f, mu, dt, eps, eta2)
+        else:
+            p = _packed_half_sweep(p, f, ((0, 0), (1, 1)), mu, dt, eps,
+                                   eta2)
+            p = _packed_rim(p, flags, cropp, growp, colp)
+            p = _packed_half_sweep(p, f, ((0, 1), (1, 0)), mu, dt, eps,
+                                   eta2)
+            p = _packed_rim(p, flags, cropp, growp, colp)
     for a in (0, 1):
         for b in (0, 1):
             work_scr[slot, a, b] = p[a][b]
@@ -450,7 +519,13 @@ def _packed_banded_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
         rows = jax.lax.broadcasted_iota(jnp.int32, (Tp, Wp), 0)
         grow = rows + s
         hi = jnp.minimum((i + 1) * bp, Hp)
-        m = ((grow >= i * bp) & (grow < hi)).astype(f_scr.dtype)
+        keep = (grow >= i * bp) & (grow < hi)
+        if cropp is not None:
+            cols = jax.lax.broadcasted_iota(jnp.int32, (Tp, Wp), 1)
+            r0p, r1p, c0p, c1p = cropp
+            keep = (keep & (grow >= r0p) & (grow < r1p)
+                    & (cols >= c0p) & (cols < c1p))
+        m = keep.astype(f_scr.dtype)
         suh = 0.0
         sh = 0.0
         sd2 = 0.0
@@ -665,6 +740,85 @@ def packed_banded_chunk(phi_planes, u0_planes, c1, c2, p: CVParams,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(c, phi_planes, u0_planes)
+    return out, jnp.sum(partials, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "k", "crop", "unroll",
+                                             "interpret"))
+def packed_banded_chunk_sharded(canvas_planes, u0_canvas_planes, c1, c2,
+                                p: CVParams, k: int, edges, crop,
+                                unroll: int = 1, interpret: bool = False
+                                ) -> Tuple[jax.Array, jax.Array]:
+    """k frozen-means iterations on a PRE-PACKED halo-padded shard
+    canvas: the packed twin of ops/pallas_banded.banded_chunk_sharded
+    (parallel/sharded._sharded_chunk_pallas's kernel when the per-shard
+    geometry clears the packed auto rule).
+
+    Caller contract (enforced): the canvas origin sits on an EVEN global
+    (row, col) — guaranteed by even shard dims h, w and the even halo
+    depth D = 4*comm_k — so the red-black parity of every plane is
+    STATIC (plane (a, b) has global color (a + b) % 2; no traced parity
+    input), and ``crop`` = (r0, r1, c0, c1) canvas coordinates are all
+    even. ``edges``: traced (4,) [top, bottom, left, right] global-edge
+    flags; replica rims on those sides are refreshed after every
+    half-sweep (_packed_rim). Returns (canvas_planes_new, partials (8,))
+    restricted to the crop window; the caller unpacks/crops the planes
+    and psums the partials.
+    """
+    _, _, Hp, Wp = canvas_planes.shape
+    H, W = 2 * Hp, 2 * Wp
+    if not supports_packed_banded(H, W, k):
+        raise ValueError(f"packed sharded banded unsupported for "
+                         f"canvas {(H, W)}, k={k}")
+    if u0_canvas_planes.shape != canvas_planes.shape:
+        raise ValueError(f"u0 planes {u0_canvas_planes.shape} vs phi "
+                         f"planes {canvas_planes.shape}")
+    if any(c % 2 for c in crop):
+        raise ValueError(f"packed sharded crop must be even, got {crop}")
+    if unroll < 1 or k % unroll:
+        raise ValueError(f"unroll must divide k ({k=}, {unroll=})")
+    cropp = tuple(c // 2 for c in crop)
+    bp, upp, dnp = band_rows_packed(H, W, k)
+    nbands = pl.cdiv(Hp, bp)
+    dt_ = canvas_planes.dtype
+    c = jnp.concatenate([
+        jnp.stack([jnp.asarray(c1, dt_), jnp.asarray(c2, dt_)]),
+        jnp.asarray(edges, dt_), jnp.zeros((2,), dt_)]).reshape(1, 8)
+
+    kernel = functools.partial(
+        _packed_banded_kernel, Hp=Hp, Wp=Wp, bp=bp, k=k, upp=upp, dnp=dnp,
+        mu=p.mu, nu=p.nu, l1=p.lambda1, l2=p.lambda2, dt=p.dt, eps=p.eps,
+        eta2=p.eta2, unroll=unroll, cropp=cropp)
+
+    Tp = bp + upp + dnp
+    out, partials = pl.pallas_call(
+        kernel,
+        grid=(nbands, k // unroll),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(canvas_planes.shape, dt_),
+            jax.ShapeDtypeStruct((nbands, 8), dt_),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 2, Tp, Wp), dt_),  # phi tiles
+            pltpu.VMEM((2, 2, 2, Tp, Wp), dt_),  # u0 tiles
+            pltpu.VMEM((2, 2, 2, Tp, Wp), dt_),  # data term
+            pltpu.VMEM((2, 2, 2, Tp, Wp), dt_),  # iterate
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(c, canvas_planes, u0_canvas_planes)
     return out, jnp.sum(partials, axis=0)
 
 

@@ -47,7 +47,7 @@ from ..ops.sweep import _update_all
 from ..params import CVParams
 from ..models.fused import _delta_from_partials
 from ..models.scalar import SegResult
-from .halo import exchange_halo2d
+from .halo import exchange_halo2d, exchange_halo2d_batched
 
 _D = 4  # halo depth
 
@@ -139,6 +139,27 @@ def _pallas_banded_ok(h: int, w: int, comm_k: int, channels: int = 0) -> bool:
                 and pallas_banded.supports_banded_mc(hc, wc, comm_k,
                                                      channels))
     return h % 8 == 0 and pallas_banded.supports_banded(hc, wc, comm_k)
+
+
+def _packed_canvas_cols(w: int, depth: int) -> int:
+    """256-aligned canvas width for the packed parity-plane shard kernel
+    (plane width Wp = wc/2 must be 128-lane aligned)."""
+    return -(-(w + 2 * depth) // 256) * 256
+
+
+def _packed_banded_shard_ok(h: int, w: int, comm_k: int) -> bool:
+    """Can the PACKED banded kernel run per shard inside comm_k chunks?
+
+    Beyond the packed kernel's canvas envelope this needs even shard
+    dims: D = 4*comm_k is even, so even (h, w) puts the canvas origin on
+    an even global (row, col) for EVERY device — the packed sharded
+    kernel's static-parity contract (plane (a, b) color = (a + b) % 2,
+    crop bounds even)."""
+    from ..ops import pallas_packed
+    D = 4 * comm_k
+    return (h % 2 == 0 and w % 2 == 0 and comm_k > 1
+            and pallas_packed.supports_packed_banded(
+                h + 2 * D, _packed_canvas_cols(w, D), comm_k))
 
 
 def _sharded_iteration(phi, u0_pad, c1, c2, p: CVParams, ix, iy, nx, ny,
@@ -703,7 +724,7 @@ def _sharded_chunk_pallas(phi, pallas_env, c1, c2, p: CVParams, k, h, w,
     """
     from ..ops import pallas_banded
 
-    u0_canvas, parity, edges = pallas_env
+    u0_canvas, parity, edges, u0_planes = pallas_env
     vec = u0_canvas.ndim == 3
     D = ((u0_canvas.shape[1] if vec else u0_canvas.shape[0]) - h) // 2
     if halo == "rdma":
@@ -711,9 +732,9 @@ def _sharded_chunk_pallas(phi, pallas_env, c1, c2, p: CVParams, k, h, w,
         pad = exchange_halo2d_rdma(phi, D, interpret=interpret)
     else:
         pad = exchange_halo2d(phi, D)
+    crop = (D, D + h, D, D + w)
     wc = u0_canvas.shape[-1]
     canvas = jnp.pad(pad, ((0, 0), (0, wc - pad.shape[1])), mode="edge")
-    crop = (D, D + h, D, D + w)
     un = unroll if k % unroll == 0 else 1
     if vec:
         c = u0_canvas.shape[0]
@@ -732,6 +753,83 @@ def _sharded_chunk_pallas(phi, pallas_env, c1, c2, p: CVParams, k, h, w,
         crop=crop, unroll=un, interpret=interpret)
     parts = lax.psum(parts[:5], ("x", "y"))
     new = canvas_new[D: D + h, D: D + w]
+    c1n, c2n = means_from_sums(parts[0], parts[1], sum_u, n_pix)
+    delta = _delta_from_partials(parts, n_pix, p)
+    return new, c1n, c2n, delta
+
+
+def _fix_edge_replicas_planes(planes, edges, crop_p):
+    """Restore the flat clamped-replica convention at global edges on a
+    freshly plane-exchanged canvas, depth 2 (all the kernels ever read;
+    they re-refresh depth 2 after every half-sweep - _packed_rim).
+
+    exchange_halo2d_batched replicates each PLANE's own edge row/col
+    into its halo, but the flat convention wants the global edge
+    row/col: canvas rows r0-1 and r0-2 both hold edge row r0 (plane
+    a=0), etc. crop_p = plane-coord crop (r0p, r1p, c0p, c1p)."""
+    r0p, r1p, c0p, c1p = crop_p
+    t, b, l, r = (edges[i] > 0.5 for i in range(4))
+    top_src = planes[0:1, :, r0p, :]                      # (1, 2, Wp)
+    planes = planes.at[:, :, r0p - 1, :].set(
+        jnp.where(t, top_src, planes[:, :, r0p - 1, :]))
+    bot_src = planes[1:2, :, r1p - 1, :]
+    planes = planes.at[:, :, r1p, :].set(
+        jnp.where(b, bot_src, planes[:, :, r1p, :]))
+    left_src = planes[:, 0:1, :, c0p]
+    planes = planes.at[:, :, :, c0p - 1].set(
+        jnp.where(l, left_src, planes[:, :, :, c0p - 1]))
+    right_src = planes[:, 1:2, :, c1p - 1]
+    planes = planes.at[:, :, :, c1p].set(
+        jnp.where(r, right_src, planes[:, :, :, c1p]))
+    return planes
+
+
+def _packed_shard_unroll(h, w):
+    """Measured in-chunk unroll for the packed sharded kernel: 1 at
+    every size (the per-half-sweep rim refresh in the unrolled body
+    raises register pressure beyond what the 4-plane live set already
+    spills at - unroll=4 measured 7.2 G vs flat 9.4 G at 8K 1x1)."""
+    return 1
+
+
+def _sharded_chunk_packed(phi_planes, u0_planes, c1, c2, p: CVParams, k,
+                          h, w, n_pix, sum_u, edges, interpret=False):
+    """Communication-avoiding chunk on PRE-PACKED parity planes: the
+    packed twin of _sharded_chunk_pallas that never leaves plane space.
+
+    The chunk-loop state IS the (2, 2, h/2, w/2) plane stack (packed
+    once outside the while_loop): with even shard dims and even halo
+    depth the plane decomposition commutes with the halo exchange, so
+    the 4*comm_k-deep exchange runs per plane at half depth in ONE
+    batched ppermute per direction (exchange_halo2d_batched), the
+    depth-2 global-edge rim is restored in plane space, and the packed
+    banded kernel runs on the plane canvas. A per-chunk flat
+    pack/unpack round-trip would cost more than the packed kernel saves
+    (measured 3.3x SLOWER than flat at 4K 1x1: the deinterleave
+    transient materializes with a 64x-padded tiled layout inside
+    shard_map), so plane-resident state is the only viable form. Even
+    so, the per-half-sweep rim refresh eats the packed margin (measured
+    -12% vs flat at 4K, -26% at 8K; docs/BENCHMARKS.md) - this path is
+    opt-in (segment_sharded(packed=True)), not the default.
+    """
+    from ..ops import pallas_packed
+
+    D = (2 * u0_planes.shape[2] - h) // 2
+    wc_p = 2 * u0_planes.shape[3]
+    crop = (D, D + h, D, D + w)
+    crop_p = (D // 2, (D + h) // 2, D // 2, (D + w) // 2)
+    pad = exchange_halo2d_batched(phi_planes, D // 2)
+    pad = _fix_edge_replicas_planes(pad, edges, crop_p)
+    canvas = jnp.pad(
+        pad, ((0, 0), (0, 0), (0, 0), (0, wc_p // 2 - (w // 2 + D))),
+        mode="edge")
+    un = _packed_shard_unroll(h, w)
+    un = un if k % un == 0 else 1
+    canvas_new, parts = pallas_packed.packed_banded_chunk_sharded(
+        canvas, u0_planes, c1, c2, p, k=k, edges=edges, crop=crop,
+        unroll=un, interpret=interpret)
+    parts = lax.psum(parts[:5], ("x", "y"))
+    new = canvas_new[:, :, D // 2:(D + h) // 2, D // 2:(D + w) // 2]
     c1n, c2n = means_from_sums(parts[0], parts[1], sum_u, n_pix)
     delta = _delta_from_partials(parts, n_pix, p)
     return new, c1n, c2n, delta
@@ -792,7 +890,7 @@ def _sharded_chunk_overlap(phi, u0_padk, c1, c2, p: CVParams, k, ix, iy,
 
     # interior: purely local; rim cells are overwritten below
     if pallas_env is not None:
-        u0_canvas, parity, edges = pallas_env
+        u0_canvas, parity, edges = pallas_env[:3]
         wc = u0_canvas.shape[1]
         local = jnp.pad(phi, D, mode="edge")
         canvas = jnp.pad(local, ((0, 0), (0, wc - local.shape[1])),
@@ -928,7 +1026,7 @@ def _reinit_refresh_means(phi, c1, c2, n, u0_local, s_u, n_pix, p, vec):
 
 def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed,
                  use_pallas=False, interpret=False, lambdas=None,
-                 halo="ppermute", comm_k=1):
+                 halo="ppermute", comm_k=1, packed=False):
     """shard_map body: the full solver on a local (h, w[, C]) block."""
     ix = lax.axis_index("x")
     iy = lax.axis_index("y")
@@ -984,7 +1082,22 @@ def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed,
                 u0_canvas = jnp.pad(
                     u0_padk, ((0, 0), (0, wc - u0_padk.shape[1])),
                     mode="edge")
-            chunk_env = (u0_canvas, parity, edges)
+            u0_planes = None
+            if packed and not vec and halo == "ppermute":
+                # parity-plane u0 canvas for the packed sharded kernel
+                # (256-aligned width; the unused flat canvas above is
+                # dead code XLA removes). Origin parity is statically
+                # even (_packed_banded_shard_ok gate), so no parity
+                # rides along - just the edge flags.
+                from ..ops import pallas_packed
+                wc_p = _packed_canvas_cols(w, D)
+                u0_planes = pallas_packed._pack(jnp.pad(
+                    u0_padk, ((0, 0), (0, wc_p - u0_padk.shape[1])),
+                    mode="edge"))
+            chunk_env = (u0_canvas, parity, edges, u0_planes)
+
+        pk = (use_pallas and chunk_env is not None
+              and chunk_env[3] is not None)
 
         def run_chunk(state, size):
             phi, a, b, n, _, streak = state
@@ -994,6 +1107,12 @@ def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed,
                     n_pix, s_u,
                     pallas_env=chunk_env if use_pallas else None,
                     interpret=interpret)
+            elif pk:
+                # phi is the (2, 2, h/2, w/2) plane stack here (packed
+                # once around the whole chunk loop)
+                phi, a, b, delta = _sharded_chunk_packed(
+                    phi, chunk_env[3], a, b, p, size, h, w, n_pix, s_u,
+                    chunk_env[2], interpret=interpret)
             elif use_pallas:
                 phi, a, b, delta = _sharded_chunk_pallas(
                     phi, chunk_env, a, b, p, size, h, w, n_pix, s_u,
@@ -1028,7 +1147,11 @@ def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed,
                 return state[3] < full
             return jnp.logical_and(state[3] < full, not_stopped(state))
 
-        init = (phi0, c1, c2, jnp.int32(0),
+        phi_state = phi0
+        if pk:
+            from ..ops import pallas_packed
+            phi_state = pallas_packed._pack(phi0)
+        init = (phi_state, c1, c2, jnp.int32(0),
                 jnp.asarray(jnp.inf, u0.dtype), jnp.int32(0))
         state = lax.while_loop(chunk_cond,
                                lambda st: run_chunk(st, comm_k), init)
@@ -1039,6 +1162,8 @@ def _run_sharded(u0, phi0, p: CVParams, nx, ny, max_iter, fixed,
             state = lax.cond(pred, lambda st: run_chunk(st, rem),
                              lambda st: st, state)
         phi, c1, c2, iters, delta, _ = state
+        if pk:
+            phi = pallas_packed._unpack(phi)
         return phi, c1, c2, iters, delta
 
     # loop-invariant pallas-path setup: lane-aligned u0 canvas, parity,
@@ -1089,7 +1214,8 @@ def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
                     lambda1=None, lambda2=None,
                     interpret: bool = False,
                     halo: str = "ppermute",
-                    comm_k: int = 1) -> SegResult:
+                    comm_k: int = 1,
+                    packed: Optional[bool] = None) -> SegResult:
     """Segment one large image sharded over a 2D ('x', 'y') device mesh.
 
     u0: (H, W) grayscale or (H, W, C) vector-valued (channels replicated,
@@ -1118,6 +1244,16 @@ def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
     (None = auto: on the TPU backend when the shard geometry allows and
     the image is grayscale; the jnp sweep otherwise). interpret=True runs
     the kernel interpreted (CPU-mesh tests).
+
+    packed: run the comm_k chunks with the PACKED parity-plane banded
+    kernel per shard (ops/pallas_packed.packed_banded_chunk_sharded).
+    The chunk loop stays in plane space across chunks (pack once,
+    batched per-plane halo ppermutes at half depth -
+    _sharded_chunk_packed). None = OFF: measured SLOWER than the flat
+    kernel per shard at both 4K and 8K (the per-half-sweep global-edge
+    rim refresh eats the packed margin - docs/BENCHMARKS.md); True
+    forces it (requires even shard dims for static plane parity,
+    comm_k > 1, grayscale, halo='ppermute').
     """
     if mesh is None:
         raise ValueError("segment_sharded needs a mesh "
@@ -1182,6 +1318,25 @@ def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
         raise ValueError(f"pallas path unsupported for shard "
                          f"({u0.shape}, mesh ({nx}, {ny}))")
 
+    # parity-plane kernel per shard (packed x comm_k): only meaningful
+    # on the scalar chunked pallas path. None = OFF: unlike the
+    # single-chip drivers, the sharded packed kernel measured SLOWER
+    # than the flat kernel per shard at both 4K (-12%) and 8K (-26%)
+    # 1x1 alternating A/B - the global-edge rim refresh every
+    # half-sweep eats the packed margin (docs/BENCHMARKS.md round-3).
+    # packed=True keeps the path available (correctness-equivalent,
+    # compile-proven on-chip).
+    packed_ok = (not vec and comm_k > 1 and bool(use_pallas)
+                 and halo == "ppermute"
+                 and _packed_banded_shard_ok(H // nx, W // ny, comm_k))
+    if packed is None:
+        packed = False
+    elif packed and not packed_ok:
+        raise ValueError(
+            f"packed sharded banded path unsupported for shard "
+            f"({u0.shape}, mesh ({nx}, {ny}), comm_k={comm_k}, "
+            f"halo={halo!r}, use_pallas={use_pallas})")
+
     if nx == 1 and ny == 1 and not vec and use_pallas and comm_k == 1:
         # Degenerate 1x1 mesh: the shard IS the image, so the canvas
         # pad/crop + replica-resync machinery is pure tax (~18% at 4K,
@@ -1199,7 +1354,8 @@ def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
                              fixed=fixed, max_iter=cap)
 
     run = _build_program(p, mesh, nx, ny, cap, fixed, use_pallas,
-                         interpret, vec, lambdas, halo, comm_k)
+                         interpret, vec, lambdas, halo, comm_k,
+                         bool(packed))
 
     spec = NamedSharding(mesh, P("x", "y", None) if vec else P("x", "y"))
     u0 = jax.device_put(u0, spec)
@@ -1443,14 +1599,16 @@ def _build_mp_program(p, mesh, nx, ny, cap, fixed, m_sets, vec=False,
 
 @functools.lru_cache(maxsize=64)
 def _build_program(p, mesh, nx, ny, cap, fixed, use_pallas, interpret,
-                   vec=False, lambdas=None, halo="ppermute", comm_k=1):
+                   vec=False, lambdas=None, halo="ppermute", comm_k=1,
+                   packed=False):
     """Cache the jitted shard_map program (a fresh closure per call would
     retrace on every segment_sharded invocation - ~2s per call at 4K)."""
 
     def local_fn(u0_loc, phi0_loc):
         return _run_sharded(u0_loc, phi0_loc, p, nx, ny, cap, fixed,
                             use_pallas=use_pallas, interpret=interpret,
-                            lambdas=lambdas, halo=halo, comm_k=comm_k)
+                            lambdas=lambdas, halo=halo, comm_k=comm_k,
+                            packed=packed)
 
     u_spec = P("x", "y", None) if vec else P("x", "y")
     mapped = shard_map(

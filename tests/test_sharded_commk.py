@@ -268,3 +268,83 @@ def test_cli_commk(grid_mesh, tmp_path):
     assert rc == 0
     mask = image_io.load_image(out) > 127
     assert iou(mask, gt) >= 0.97
+
+
+@pytest.mark.parametrize("k,iters", [(2, 8), (4, 10)])
+def test_commk_packed_equals_flat_kernel_path(grid_mesh, k, iters):
+    """packed x comm_k (the parity-plane kernel per shard,
+    ops/pallas_packed.packed_banded_chunk_sharded) equals the flat
+    banded-kernel-per-shard path elementwise in f64 (no FMA-contraction
+    headroom in interpret mode; isolates static plane parity, the
+    plane-space replica-rim refresh, and the even-crop windowing).
+    iters=10 with k=4 also covers the remainder chunk."""
+    img, _ = two_disks(64, 256, noise=6.0)
+    u0 = jnp.asarray(img)  # f64
+    p = CVParams()
+    phi0 = init_phi((64, 256), p.init, u0.dtype)
+    a = segment_sharded(u0, p, grid_mesh, fixed=True, max_iter=iters,
+                        comm_k=k, phi0=phi0, use_pallas=True,
+                        packed=True, interpret=True)
+    b = segment_sharded(u0, p, grid_mesh, fixed=True, max_iter=iters,
+                        comm_k=k, phi0=phi0, use_pallas=True,
+                        packed=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(a.phi), np.asarray(b.phi),
+                               rtol=1e-11, atol=1e-11)
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+    np.testing.assert_allclose(np.asarray(a.c1), np.asarray(b.c1),
+                               rtol=1e-11)
+
+
+def test_commk_packed_matches_frozen_means_reference(grid_mesh):
+    """packed x comm_k against the exact-atan jnp frozen-means
+    reference: same class, Cephes-atan envelope (as the flat kernel)."""
+    img, _ = two_disks(64, 256, noise=6.0)
+    u0 = jnp.asarray(img)  # f64
+    p = CVParams()
+    res = segment_sharded(u0, p, grid_mesh, fixed=True, max_iter=8,
+                          comm_k=2, use_pallas=True, packed=True,
+                          interpret=True)
+    want = _frozen_means_reference(u0, init_phi((64, 256), p.init,
+                                                u0.dtype), p, 8, 2)
+    np.testing.assert_allclose(np.asarray(res.phi), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(res.mask),
+                                  np.asarray(want) >= 0)
+
+
+def test_commk_packed_validation(grid_mesh):
+    p = CVParams()
+    # comm_k = 1 has no scalar chunk loop for packed to ride
+    with pytest.raises(ValueError, match="packed"):
+        segment_sharded(jnp.zeros((64, 256)), p, grid_mesh, comm_k=1,
+                        packed=True, use_pallas=True, interpret=True)
+    # shard h=24 clears the FLAT banded gate (24 % 8 == 0) but not the
+    # packed canvas envelope (canvas height 24 + 16 = 40, 40 % 16 != 0)
+    with pytest.raises(ValueError, match="packed"):
+        segment_sharded(jnp.zeros((48, 256)), p, grid_mesh, comm_k=2,
+                        packed=True, use_pallas=True, interpret=True)
+
+
+@pytest.mark.tpu
+def test_commk_packed_compiled_1x1():
+    """packed x comm_k compiled on the chip (1x1 mesh): mask-agrees with
+    the flat banded-kernel-per-shard path (same chunks, FMA-contraction
+    level phi differences only)."""
+    mesh = meshmod.make_grid_mesh(1, 1)
+    img, gt = two_disks(256, 256, noise=6.0)
+    u = jnp.asarray(img, F32)
+    p = CVParams(init="circle")
+    a = segment_sharded(u, p, mesh, max_iter=16, fixed=True, comm_k=8,
+                        use_pallas=True, packed=True)
+    b = segment_sharded(u, p, mesh, max_iter=16, fixed=True, comm_k=8,
+                        use_pallas=True, packed=False)
+    assert (np.asarray(a.mask) != np.asarray(b.mask)).sum() <= 3
+    # FMA-contraction differences compound fastest at contour cells; a
+    # handful of isolated outliers is the expected envelope (measured:
+    # 3/65536 cells at |d| ~0.2 on phi ~O(100) after 16 iters)
+    d = np.abs(np.asarray(a.phi) - np.asarray(b.phi))
+    assert np.mean(d) < 0.01 and d.max() <= 1.0
+    assert (d > 2e-3 * np.abs(np.asarray(b.phi)) + 2e-3).sum() <= 10
+    # sanity floor only: 16 iterations from circle init is mid-descent
+    # (measured IoU ~0.88); the load-bearing check is packed == flat
+    assert iou(np.asarray(a.mask), gt) >= 0.8
