@@ -110,7 +110,7 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from .models import multiphase as mp
-    from .models.fused import segment_fused
+    from .models.banded import segment_banded
     from .models.scalar import segment, segment_fixed
     from .models.vector import segment_vector, segment_vector_fixed
     from .ops.diffusion import perona_malik
@@ -431,9 +431,13 @@ def main(argv=None) -> int:
             res = segment_vector(u0, p, lambda1=lam1, lambda2=lam2)
         elif (not args.no_fused) and jax.default_backend() == "tpu" \
                 and args.order == "redblack":
-            # the fused kernel implements red-black only; an explicit
-            # --order wavefront/jacobi must run the jnp path
-            res = segment_fused(u0, p)
+            # the kernels implement red-black only; an explicit
+            # --order wavefront/jacobi must run the jnp path. The
+            # banded driver (k iterations per HBM pass, the 4K
+            # flagship; size-aware auto incl. the packed parity-plane
+            # kernel) falls back to the per-iteration fused kernel
+            # transparently off its envelope (W % 128 etc.)
+            res = segment_banded(u0, p)
         else:
             res = segment(u0, p)
         mask, iters, c1, c2 = res.mask, int(res.iters), res.c1, res.c2
