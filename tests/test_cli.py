@@ -194,3 +194,18 @@ def test_sharded_rect_matches_unsharded(tmp_path):
     assert iou(np.asarray(res.mask), np.asarray(ref.mask)) >= 0.999
     np.testing.assert_allclose(np.asarray(res.phi), np.asarray(ref.phi),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.tpu
+def test_cli_tolerance_banded_route_tpu(tmp_path):
+    """On TPU the tolerance-mode grayscale CLI routes through the
+    banded flagship driver (512^2 clears its W % 128 envelope) and
+    still segments correctly end-to-end."""
+    img, gt = two_disks(512, 512, noise=6.0)
+    pth = tmp_path / "in.png"
+    image_io._save_u8(pth, np.clip(img, 0, 255).astype(np.uint8))
+    out = tmp_path / "m.png"
+    rc = main([str(pth), "--init", "circle", "--quiet", "-o", str(out)])
+    assert rc == 0
+    mask = image_io.load_image(out) > 127
+    assert iou(mask, gt) >= 0.97
