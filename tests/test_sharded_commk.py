@@ -348,3 +348,38 @@ def test_commk_packed_compiled_1x1():
     # sanity floor only: 16 iterations from circle init is mid-descent
     # (measured IoU ~0.88); the load-bearing check is packed == flat
     assert iou(np.asarray(a.mask), gt) >= 0.8
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_commk_packed_fuzz(grid_mesh, trial):
+    """Random params x random even shard geometry: packed x comm_k ==
+    flat-kernel x comm_k elementwise (f64 interpret; includes a
+    remainder chunk and random phi0 so edge/rim/crop logic is hit off
+    the fixture trajectories)."""
+    rng = np.random.default_rng(700 + trial)
+    k = int(rng.choice([2, 3]))
+    h = int(rng.choice([32, 48] if k == 2 else [24, 40]))
+    w = int(rng.choice([32, 64, 96]))
+    from chan_vese_tpu.parallel.sharded import _packed_banded_shard_ok
+    assert _packed_banded_shard_ok(h, w, k)
+    H, W = 2 * h, 4 * w
+    p = CVParams(mu=float(rng.uniform(10, 2000)),
+                 nu=float(rng.uniform(-50, 50)),
+                 lambda1=float(rng.uniform(0.3, 3.0)),
+                 lambda2=float(rng.uniform(0.3, 3.0)),
+                 dt=float(rng.uniform(0.1, 2.0)),
+                 eps=float(rng.uniform(0.3, 3.0)))
+    u0 = jnp.asarray(rng.uniform(0, 255, (H, W)))
+    phi0 = jnp.asarray(rng.standard_normal((H, W))
+                       * rng.uniform(0.5, 50))
+    iters = 2 * k + 1  # forces a remainder chunk
+    a = segment_sharded(u0, p, grid_mesh, fixed=True, max_iter=iters,
+                        comm_k=k, phi0=phi0, use_pallas=True,
+                        packed=True, interpret=True)
+    b = segment_sharded(u0, p, grid_mesh, fixed=True, max_iter=iters,
+                        comm_k=k, phi0=phi0, use_pallas=True,
+                        packed=False, interpret=True)
+    scale = float(jnp.max(jnp.abs(b.phi))) + 1.0
+    np.testing.assert_allclose(np.asarray(a.phi), np.asarray(b.phi),
+                               rtol=1e-11, atol=1e-11 * scale,
+                               err_msg=f"h={h} w={w} k={k} p={p}")
