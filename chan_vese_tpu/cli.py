@@ -219,22 +219,29 @@ def main(argv=None) -> int:
                 # contour (bit 0 of the labels, the overlay convention).
                 # Frame boundaries snap to comm_k multiples so the
                 # frozen-means cadence reproduces the saved trajectory.
+                # The traced/checkpointed branches DROP comm_k for the
+                # main run (warned above), so the re-run must too -
+                # otherwise the gif shows a different trajectory class
+                # than the saved labels/CSV.
                 from .models.multiphase import init_multiphase
 
+                gif_comm_k = (1 if (args.trace_energy
+                                    or args.checkpoint_dir)
+                              else args.comm_k)
                 frames = []
                 phis = init_multiphase(u0.shape[:2], args.multiphase,
                                        dtype=dtype)
                 n = 0
                 step_iters = args.gif_every
-                if args.comm_k > 1:
-                    step_iters = -(-step_iters // args.comm_k) \
-                        * args.comm_k
+                if gif_comm_k > 1:
+                    step_iters = -(-step_iters // gif_comm_k) \
+                        * gif_comm_k
                 while n < args.iters:
                     chunk = min(step_iters, args.iters - n)
                     r = segment_multiphase_sharded(
                         u0, p, mesh, m_sets=args.multiphase, phis0=phis,
                         max_iter=chunk, fixed=True, use_pallas=up,
-                        halo=args.halo, comm_k=args.comm_k)
+                        halo=args.halo, comm_k=gif_comm_k)
                     phis = r.phis
                     n += chunk
                     frames.append(np.asarray(phis[0]))
@@ -355,16 +362,20 @@ def main(argv=None) -> int:
             # re-run restarts the frozen-means cadence at each phi0
             # handoff, so only aligned boundaries reproduce the
             # trajectory that produced the saved mask (the final
-            # remainder chunk matches the unchunked run's remainder)
+            # remainder chunk matches the unchunked run's remainder).
+            # The traced branch DROPS comm_k for the main run (warned
+            # above) - mirror that here or the gif trajectory diverges
+            # from the saved mask/CSV.
+            gif_comm_k = 1 if args.trace_energy else args.comm_k
             step_iters = args.gif_every
-            if args.comm_k > 1:
-                step_iters = -(-step_iters // args.comm_k) * args.comm_k
+            if gif_comm_k > 1:
+                step_iters = -(-step_iters // gif_comm_k) * gif_comm_k
             while n < args.iters:
                 chunk = min(step_iters, args.iters - n)
                 r = segment_sharded(u0, p, mesh, phi0=phi, max_iter=chunk,
                                     fixed=True, lambda1=lam1, lambda2=lam2,
                                     use_pallas=up, halo=args.halo,
-                                    comm_k=args.comm_k)
+                                    comm_k=gif_comm_k)
                 phi = r.phi
                 n += chunk
                 frames.append(np.asarray(phi))

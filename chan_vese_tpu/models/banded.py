@@ -144,11 +144,11 @@ def segment_banded_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
         un = unroll if size % unroll == 0 else 1
         if use_packed:
             phi, parts = pallas_packed.packed_banded_chunk(
-                phi, u0_st, c1, c2, p, size, unroll=un,
+                phi, u0_st, c1, c2, p, size, unroll=un, fuse=fuse,
                 interpret=interpret)
         else:
             phi, parts = pallas_banded.banded_chunk(
-                phi, u0_st, c1, c2, p, size, unroll=un,
+                phi, u0_st, c1, c2, p, size, unroll=un, fuse=fuse,
                 interpret=interpret)
         c1, c2 = means_from_sums(parts[0], parts[1], sum_u, n_pix)
         return (phi, c1, c2)

@@ -83,6 +83,13 @@ def _pack_mc(ucf):
     return jnp.stack([_pack(c) for c in ucf])
 
 
+def _unpack_n(planes_n):
+    """(N, 2, 2, H/2, W/2) -> (N, H, W): static per-slice loop (the
+    vmap'd unpack has the same 64x trailing-length-2 tiled-layout
+    transient as the vmap'd pack - see _pack)."""
+    return jnp.stack([_unpack(pl) for pl in planes_n])
+
+
 def _unpack(planes):
     """(2, 2, H/2, W/2) -> (H, W)."""
     _, _, Hp, Wp = planes.shape
@@ -1502,14 +1509,13 @@ def packed_resident_iterations_batch(phis, u0s, p: CVParams, iters: int,
         _packed_resident_batch_kernel, steps=steps, unroll=unroll,
         mu=p.mu, nu=p.nu, l1=p.lambda1, l2=p.lambda2, dt=p.dt, eps=p.eps,
         eta2=p.eta2, n_pix=float(H * W))
-    pack_n = jax.vmap(_pack)
     scr = (2, 2, H // 2, W // 2)
     out, partials = _resident_call(
-        kernel, pack_n(phis), pack_n(u0s), (N,) + scr, (N, 8),
+        kernel, _pack_mc(phis), _pack_mc(u0s), (N,) + scr, (N, 8),
         (N, steps),
         [pltpu.VMEM(scr, phis.dtype), pltpu.VMEM(scr, phis.dtype)],
         interpret)
-    return jax.vmap(_unpack)(out), partials
+    return _unpack_n(out), partials
 
 
 @functools.partial(jax.jit, static_argnames=("p", "iters", "unroll",
@@ -1538,7 +1544,7 @@ def packed_resident_iterations_mc(phi, u0_cfirst, p: CVParams, iters: int,
         n_pix=float(H * W))
     scr = (2, 2, H // 2, W // 2)
     out, partials = _resident_call(
-        kernel, _pack(phi), jax.vmap(_pack)(u0_cfirst), scr,
+        kernel, _pack(phi), _pack_mc(u0_cfirst), scr,
         (steps, C + 4), (steps,),
         [pltpu.VMEM(scr, phi.dtype), pltpu.VMEM((C,) + scr, phi.dtype)],
         interpret)

@@ -1799,7 +1799,6 @@ def _sharded_multiphase_chunk(phis, u0_padk, cs, p: CVParams, k, ix, iy,
     the LAST in-chunk iteration's transition.
     """
     m_sets = phis.shape[0]
-    vec = u0_padk.ndim == 3
     D = (u0_padk.shape[0] - h) // 2
     u0_loc = u0_padk[D: D + h, D: D + w]
 
@@ -1833,12 +1832,6 @@ def _sharded_multiphase_chunk(phis, u0_padk, cs, p: CVParams, k, ix, iy,
     def hside(x):
         return heaviside(x, p.eps)
 
-    def sqdist(upad, c):
-        if vec:
-            return jnp.mean((upad - c) ** 2, axis=-1)
-        return (upad - c) ** 2
-
-    u0_for_f = u0_padk
     prev = list(pads)
     for _ in range(k):
         prev = list(pads)
@@ -1846,22 +1839,8 @@ def _sharded_multiphase_chunk(phis, u0_padk, cs, p: CVParams, k, ix, iy,
                 for pd in pads]
         for m in range(m_sets):
             hs_pad = [hside(pads[kk]) for kk in range(m_sets)]
-            f = jnp.zeros(pads[m].shape[:2], dtype=phis.dtype)
-            for sbit in range(2 ** m_sets):
-                d = sqdist(u0_for_f, cs[sbit])
-                w_other = None
-                for kk in range(m_sets):
-                    if kk == m:
-                        continue
-                    factor = (hs_pad[kk] if (sbit >> kk) & 1
-                              else (1.0 - hs_pad[kk]))
-                    w_other = factor if w_other is None \
-                        else w_other * factor
-                if w_other is None:
-                    w_other = jnp.ones_like(f)
-                sign = -1.0 if (sbit >> m) & 1 else 1.0
-                f = f + sign * d * w_other
-            f = f - p.nu
+            f = _mp_coupling_f(hs_pad, u0_padk, cs, p, m, m_sets,
+                               phis.dtype)
             pads[m] = _sweep_local(pads[m], f, p, red, black, ix, iy,
                                    nx, ny, depth=D)
 

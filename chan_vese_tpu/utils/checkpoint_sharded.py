@@ -104,7 +104,25 @@ def restore_sharded(path, mesh, shape, dtype, spec=None):
         "c2": np.zeros((_C_SLOTS,), np.float64),
         "c2_len": np.zeros((), np.int32),
     }
-    state = ckptr.restore(Path(path).resolve(), tgt)
+    try:
+        state = ckptr.restore(Path(path).resolve(), tgt)
+    except Exception:
+        # legacy format (pre slab+length-tag): scalar f64 c1/c2 and no
+        # *_len keys - restore with the old target instead of failing
+        # the resume
+        legacy = {
+            "step": np.zeros((), np.int32),
+            "phi": tgt["phi"],
+            "c1": np.zeros((), np.float64),
+            "c2": np.zeros((), np.float64),
+        }
+        state = ckptr.restore(Path(path).resolve(), legacy)
+        return {
+            "step": state["step"],
+            "phi": state["phi"],
+            "c1": np.float64(state["c1"]),
+            "c2": np.float64(state["c2"]),
+        }
     return {
         "step": state["step"],
         "phi": state["phi"],

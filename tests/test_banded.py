@@ -438,3 +438,28 @@ def test_banded_fusej_compiled_tpu():
                                rtol=2e-5, atol=2e-3)
     np.testing.assert_allclose(np.asarray(got_parts)[:2],
                                np.asarray(want_parts)[:2], rtol=1e-4)
+
+
+@pytest.mark.parametrize("fuse", [False, True])
+def test_driver_forwards_fuse(monkeypatch, fuse):
+    """Regression: segment_banded_fixed must forward ``fuse`` to the
+    chunk kernels (a round-3 review found it silently dropped, which
+    had invalidated the fused-j benchmark rows - they measured the
+    unfused kernel against itself)."""
+    import chan_vese_tpu.models.banded as mb
+
+    seen = []
+    real = pallas_banded.banded_chunk
+
+    def spy(*a, **kw):
+        seen.append(kw.get("fuse"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(mb.pallas_banded, "banded_chunk", spy)
+    u0 = jnp.asarray(np.random.default_rng(0).uniform(0, 255, (32, 256)),
+                     jnp.float32)
+    mb.segment_banded_fixed.clear_cache()
+    mb.segment_banded_fixed(u0, CVParams(), iters=2, k=2, fuse=fuse,
+                            interpret=True)
+    mb.segment_banded_fixed.clear_cache()
+    assert seen and all(f is fuse for f in seen)

@@ -225,3 +225,22 @@ def test_sharded_checkpoint_commk_alignment(grid_mesh, tmp_path):
         cks.segment_sharded_with_checkpoints(
             u0, CVParams(reinit_every=30), grid_mesh, iters=100,
             ckpt_dir=tmp_path / "c", every=50)
+
+
+def test_restore_sharded_legacy_scalar_format(grid_mesh, tmp_path):
+    """Checkpoints written by the pre-slab format (scalar f64 c1/c2, no
+    length tags) still restore (review round 3: the slab migration must
+    not hard-fail old resume dirs)."""
+    phi = jnp.asarray(np.random.default_rng(0).standard_normal((32, 64)))
+    pth = tmp_path / "ck" / "ckpt_00000007"
+    pth.parent.mkdir()
+    ckptr = cks._checkpointer()
+    ckptr.save(pth, {"step": np.asarray(7, np.int32), "phi": phi,
+                     "c1": np.float64(123.25), "c2": np.float64(4.5)},
+               force=True)
+    ckptr.wait_until_finished()
+    state = cks.restore_sharded(pth, grid_mesh, phi.shape, phi.dtype)
+    assert int(state["step"]) == 7
+    assert float(state["c1"]) == 123.25 and float(state["c2"]) == 4.5
+    np.testing.assert_array_equal(np.asarray(state["phi"]),
+                                  np.asarray(phi))
