@@ -64,9 +64,10 @@ def auto_config(H, W, k=None, unroll=None, packed=None, fuse=None):
     unroll=1 (its 4-plane live set spills at unroll >= 2). Below 4K
     area the flat kernel + unroll=4 is the measured best (packed
     unmeasured there; most such widths fail W % 256 anyway).
-    fuse (collapse the j grid into an in-kernel ref-state fori_loop)
-    measured NEUTRAL at 4K for both layouts - the per-step cost is the
-    work_scr round-trip, not grid dispatch - so auto leaves it off.
+    fuse (collapse the j grid into an in-kernel ref-state fori_loop):
+    throughput UNMEASURED (the earlier "neutral" rows were invalidated
+    by a driver bug that dropped the flag); auto leaves it off until an
+    honest A/B lands - docs/BENCHMARKS.md fused-j section.
     """
     from ..ops import pallas_packed
 
