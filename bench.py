@@ -69,6 +69,24 @@ def _cpu_fallback_mpixel_iters():
 
 
 def main():
+    # Probe the backend FIRST, in a SUBPROCESS with a timeout: when the
+    # axon relay is down, jax device init through the dead tunnel HANGS
+    # rather than raising (observed 2026-08-17) - and even the C
+    # baseline's fixture builder touches jnp, so the CPU override must
+    # be decided before anything initializes a backend in this process.
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=240)
+        on_tpu = r.returncode == 0 and r.stdout.strip() == "tpu"
+    except Exception:
+        on_tpu = False
+    if not on_tpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     try:
         from native import baseline
         c_mpix = baseline.bench_mpixel_iters_per_sec(h=512, w=512, iters=8,
@@ -77,12 +95,6 @@ def main():
         print(f"# C baseline failed ({e}); using survey estimate",
               file=sys.stderr)
         c_mpix = 27.5  # measured on this machine 2026-08-16
-
-    try:
-        import jax
-        on_tpu = jax.default_backend() == "tpu"
-    except Exception:
-        on_tpu = False
 
     if on_tpu:
         value = _tpu_mpixel_iters()
