@@ -28,6 +28,43 @@ def test_dryrun_multichip(n):
     dryrun_multichip(n)
 
 
+def test_dryrun_never_touches_ambient_backend_when_not_cpu():
+    """Round-3 driver regression (MULTICHIP_r03 rc=124): with the axon
+    relay dead, jax.devices() under the ambient platform HANGS instead of
+    raising, so dryrun_multichip must never touch the ambient backend
+    when JAX_PLATFORMS isn't already cpu - it must go straight to the
+    clean CPU child. Simulated by poisoning every device-enumeration
+    entry point in the calling process: any touch exits 41."""
+    import os
+    import subprocess
+    import sys
+
+    repo = Path(__file__).resolve().parents[1]
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # ambient = not-cpu, like the driver
+    env.pop("_GRAFT_DRYRUN_CHILD", None)
+    env["PYTHONPATH"] = str(repo) + os.pathsep + env.get("PYTHONPATH", "")
+    code = (
+        "import os, sys\n"
+        "import jax\n"
+        "def _poison(*a, **k):\n"
+        "    sys.stderr.write('ambient backend touched\\n')\n"
+        "    os._exit(41)\n"
+        "jax.devices = _poison\n"
+        "jax.device_count = _poison\n"
+        "jax.local_devices = _poison\n"
+        "jax.default_backend = _poison\n"
+        "import __graft_entry__\n"
+        "__graft_entry__.dryrun_multichip(8)\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          cwd=str(repo), capture_output=True, text=True,
+                          timeout=1800)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "ambient backend touched" not in proc.stderr
+    assert "dryrun_multichip OK" in proc.stdout
+
+
 def test_dryrun_self_provisions_from_small_ambient_backend():
     """Simulate the driver: a process whose backend is ALREADY initialized
     with 1 device calls dryrun_multichip(8). The function must provision
