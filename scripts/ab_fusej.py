@@ -1,0 +1,62 @@
+"""A/B the fused-j banded kernel variants at 4K on the real chip.
+
+fused-j folds the j-grid into an in-kernel fori_loop (one grid step per
+band row instead of one per (band, j) pair), targeting the ~15-25 us
+per-grid-step overhead that gates packed-at-4K (docs/BENCHMARKS.md).
+Round 3's first A/B rows were INVALID (segment_banded_fixed dropped the
+fuse flag - fixed + regression-tested in commit e30b6fb); throughput has
+been UNMEASURED since. Run this on the real chip (axon relay up),
+within ONE session per the +-25% cross-session variance discipline:
+
+    cd /root/repo && timeout 3600 python scripts/ab_fusej.py
+
+Decision rule: if any fusej row beats its non-fused twin by > ~5%
+in-session, flip the auto default in models/banded.auto_config and
+re-record BENCH_CONFIGS; otherwise document the measured dead end in
+docs/BENCHMARKS.md and close the thread (VERDICT r3 item 2).
+"""
+
+import time
+
+import jax  # noqa: F401  (backend init before timing)
+import jax.numpy as jnp
+import numpy as np
+
+from chan_vese_tpu.params import CVParams
+from chan_vese_tpu.models.banded import segment_banded_fixed
+
+H, W, iters = 2160, 3840, 192
+rng = np.random.default_rng(0)
+u0 = jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32))
+p = CVParams()
+
+RUNS = [
+    ("flat   u4      ", dict(k=8, unroll=4, packed=False, fuse=False)),
+    ("flat   u4 fusej", dict(k=8, unroll=4, packed=False, fuse=True)),
+    ("packed u1      ", dict(k=8, unroll=1, packed=True, fuse=False)),
+    ("packed u1 fusej", dict(k=8, unroll=1, packed=True, fuse=True)),
+    ("packed u1 fusej k16", dict(k=16, unroll=1, packed=True, fuse=True)),
+    ("flat   u4 fusej k16", dict(k=16, unroll=4, packed=False, fuse=True)),
+]
+
+
+def run(tag, r, kw):
+    t0 = time.perf_counter()
+    phi, _ = segment_banded_fixed(u0 + jnp.float32(r), p, iters, **kw)
+    _ = float(phi[0, 0])  # force execution + readback (tunnel discipline)
+    dt = time.perf_counter() - t0
+    print(f"{tag} rep{r}: {H * W * iters / dt / 1e6:9.1f} Mpix-it/s",
+          flush=True)
+
+
+for tag, kw in RUNS:
+    try:
+        run("warm " + tag, 0, kw)
+    except Exception as e:  # noqa: BLE001 - report and keep measuring
+        print(f"warm {tag} FAILED: {type(e).__name__}: {e}", flush=True)
+for r in range(1, 4):
+    for tag, kw in RUNS:
+        try:
+            run(tag, r, kw)
+        except Exception:  # noqa: BLE001 - warm pass already reported it
+            pass

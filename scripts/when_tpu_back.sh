@@ -1,0 +1,32 @@
+#!/bin/bash
+# Poll the axon relay; when it answers, run the queued TPU measurements.
+#
+# The axon relay (127.0.0.1:8083) can die mid-session and stay down for
+# hours (first observed 2026-08-17 ~20:00); nothing in this container can
+# restart it. Arm this watcher detached so the pending re-measurements
+# land automatically the moment the tunnel answers:
+#
+#   nohup scripts/when_tpu_back.sh >/tmp/when_tpu_back.nohup 2>&1 &
+#
+# Progress lands in /tmp/tpu_back.log; measurement outputs in
+# /tmp/ab_fusej.out, /tmp/bench_configs_rerecord.out, /tmp/bench_final.out.
+# Stop it with `kill $(cat /tmp/when_tpu_back.pid)` (NEVER pkill -f).
+export PYTHONPATH=/root/repo:/root/.axon_site
+echo $$ > /tmp/when_tpu_back.pid
+for i in $(seq 1 2000); do
+  if curl -s -m 5 http://127.0.0.1:8083/ -o /dev/null; then
+    echo "tunnel back at $(date)" > /tmp/tpu_back.log
+    sleep 30
+    cd /root/repo
+    timeout 3600 python scripts/ab_fusej.py > /tmp/ab_fusej.out 2>&1
+    echo "fusej exit=$?" >> /tmp/tpu_back.log
+    timeout 3600 python bench_configs.py > /tmp/bench_configs_rerecord.out 2>&1
+    echo "configs exit=$?" >> /tmp/tpu_back.log
+    timeout 1200 python bench.py > /tmp/bench_final.out 2>&1
+    echo "bench exit=$?" >> /tmp/tpu_back.log
+    echo "ALL DONE $(date)" >> /tmp/tpu_back.log
+    exit 0
+  fi
+  sleep 60
+done
+echo "gave up $(date)" > /tmp/tpu_back.log
