@@ -79,7 +79,17 @@ def _pack(x):
 def _pack_mc(ucf):
     """(C, H, W) channels-first -> (C, 2, 2, H/2, W/2): a static Python
     loop over channels so each pack keeps the rank-2 fusion (see _pack
-    for why vmap here OOMs at 8K)."""
+    for why vmap here OOMs at 8K).
+
+    Trace cost is deliberately N-linear: each leading slice unrolls one
+    reshape+transpose pair into the jaxpr, so a batched caller
+    (packed_resident_iterations_batch at config-5 scale, N=256) grows
+    program size/compile time linearly around the kernel call. Accepted
+    trade-off (ADVICE r3): the safe rank-preserving alternative — one
+    (N, H/2, 2, W/2, 2) reshape+transpose — still carries a trailing
+    length-2 lane dim, the exact shape class measured as the 64x tiled-
+    layout HBM transient under vmap; do not switch without re-measuring
+    that transient at 8K."""
     return jnp.stack([_pack(c) for c in ucf])
 
 

@@ -84,6 +84,24 @@ def latest_sharded(path_dir) -> Optional[Path]:
     return cands[-1] if cands else None
 
 
+def _is_legacy_layout(ckptr, path) -> bool:
+    """True iff the on-disk checkpoint predates the slab+length-tag means
+    layout (scalar f64 c1/c2, no *_len keys). Detected from the saved
+    tree metadata rather than by retrying a failed restore, so genuine
+    restore errors (mesh/shape mismatch, corruption, I/O) surface as
+    themselves (ADVICE r3)."""
+    try:
+        meta = ckptr.metadata(Path(path).resolve())
+    except Exception:
+        return False  # let the real restore produce the real error
+    tree = getattr(meta, "tree", None)
+    if tree is None:
+        tree = getattr(getattr(meta, "item_metadata", None), "tree", None)
+    if not isinstance(tree, dict):
+        return False
+    return "c1_len" not in tree
+
+
 def restore_sharded(path, mesh, shape, dtype, spec=None):
     """Restore {step, phi, c1, c2} with phi placed on ``mesh``.
 
@@ -95,24 +113,12 @@ def restore_sharded(path, mesh, shape, dtype, spec=None):
     if spec is None:
         spec = P("x", "y")
     ckptr = _checkpointer()
-    tgt = {
-        "step": np.zeros((), np.int32),
-        "phi": jax.ShapeDtypeStruct(
-            shape, dtype, sharding=NamedSharding(mesh, spec)),
-        "c1": np.zeros((_C_SLOTS,), np.float64),
-        "c1_len": np.zeros((), np.int32),
-        "c2": np.zeros((_C_SLOTS,), np.float64),
-        "c2_len": np.zeros((), np.int32),
-    }
-    try:
-        state = ckptr.restore(Path(path).resolve(), tgt)
-    except Exception:
-        # legacy format (pre slab+length-tag): scalar f64 c1/c2 and no
-        # *_len keys - restore with the old target instead of failing
-        # the resume
+    phi_tgt = jax.ShapeDtypeStruct(
+        shape, dtype, sharding=NamedSharding(mesh, spec))
+    if _is_legacy_layout(ckptr, path):
         legacy = {
             "step": np.zeros((), np.int32),
-            "phi": tgt["phi"],
+            "phi": phi_tgt,
             "c1": np.zeros((), np.float64),
             "c2": np.zeros((), np.float64),
         }
@@ -123,6 +129,15 @@ def restore_sharded(path, mesh, shape, dtype, spec=None):
             "c1": np.float64(state["c1"]),
             "c2": np.float64(state["c2"]),
         }
+    tgt = {
+        "step": np.zeros((), np.int32),
+        "phi": phi_tgt,
+        "c1": np.zeros((_C_SLOTS,), np.float64),
+        "c1_len": np.zeros((), np.int32),
+        "c2": np.zeros((_C_SLOTS,), np.float64),
+        "c2_len": np.zeros((), np.int32),
+    }
+    state = ckptr.restore(Path(path).resolve(), tgt)
     return {
         "step": state["step"],
         "phi": state["phi"],

@@ -244,3 +244,18 @@ def test_restore_sharded_legacy_scalar_format(grid_mesh, tmp_path):
     assert float(state["c1"]) == 123.25 and float(state["c2"]) == 4.5
     np.testing.assert_array_equal(np.asarray(state["phi"]),
                                   np.asarray(phi))
+
+
+def test_restore_sharded_real_error_not_legacy_retry(grid_mesh, tmp_path):
+    """A genuine restore failure on a NEW-format checkpoint must surface
+    as itself, not as a confusing secondary failure against the legacy
+    target (ADVICE r3: layout detection replaced the bare except retry)."""
+    phi = jnp.asarray(np.random.default_rng(1).standard_normal((32, 64)))
+    d = tmp_path / "ck"
+    cks.save_sharded(d, 5, phi, 1.5, 2.5)
+    pth = cks.latest_sharded(d)
+    with pytest.raises(Exception) as ei:
+        # wrong global shape: the error must mention the phi mismatch
+        # (new-format target), not missing c1_len keys (legacy target)
+        cks.restore_sharded(pth, grid_mesh, (16, 16), phi.dtype)
+    assert "c1_len" not in str(ei.value)
