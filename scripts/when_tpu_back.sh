@@ -20,6 +20,8 @@ for i in $(seq 1 2000); do
     cd /root/repo
     timeout 3600 python scripts/ab_fusej.py > /tmp/ab_fusej.out 2>&1
     echo "fusej exit=$?" >> /tmp/tpu_back.log
+    timeout 3600 python scripts/profile_banded.py > /tmp/profile_banded.out 2>&1
+    echo "profile exit=$?" >> /tmp/tpu_back.log
     timeout 3600 python bench_configs.py > /tmp/bench_configs_rerecord.out 2>&1
     echo "configs exit=$?" >> /tmp/tpu_back.log
     timeout 1200 python bench.py > /tmp/bench_final.out 2>&1
