@@ -26,7 +26,14 @@ for i in $(seq 1 2000); do
     echo "configs exit=$?" >> /tmp/tpu_back.log
     timeout 1200 python bench.py > /tmp/bench_final.out 2>&1
     echo "bench exit=$?" >> /tmp/tpu_back.log
+    # mirror the raw outputs into the repo so the end-of-round
+    # auto-commit preserves them even if nobody analyzes them in time
+    mkdir -p /root/repo/artifacts
+    cp -f /tmp/ab_fusej.out /tmp/profile_banded.out \
+          /tmp/bench_configs_rerecord.out /tmp/bench_final.out \
+          /tmp/tpu_back.log /root/repo/artifacts/ 2>/dev/null
     echo "ALL DONE $(date)" >> /tmp/tpu_back.log
+    cp -f /tmp/tpu_back.log /root/repo/artifacts/ 2>/dev/null
     exit 0
   fi
   sleep 60
