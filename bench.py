@@ -98,8 +98,14 @@ def main():
 
     if on_tpu:
         value = _tpu_mpixel_iters()
-        metric = ("Mpixel-iters/s, 4K scalar Chan-Vese, packed "
-                  "parity-plane banded k=8 Pallas, 1 TPU chip")
+        # derive the kernel description from the auto defaults so the
+        # label can never go stale against models/banded.auto_config
+        from chan_vese_tpu.models.banded import auto_config
+        k, unroll, packed, fuse = auto_config(2160, 3840, k=8)
+        desc = ("packed parity-plane" if packed else "flat") + \
+            f" banded k={k}/u={unroll}" + (" fused-j" if fuse else "")
+        metric = (f"Mpixel-iters/s, 4K scalar Chan-Vese, {desc} Pallas, "
+                  f"1 TPU chip")
     else:
         value = _cpu_fallback_mpixel_iters()
         metric = "Mpixel-iters/s, 512^2 scalar Chan-Vese, jnp path, CPU (no TPU found)"
