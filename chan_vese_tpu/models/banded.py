@@ -32,7 +32,8 @@ from ..ops import pallas_banded
 from ..ops.reductions import loop_continue, means_from_sums, region_means
 from ..params import CVParams
 from ..utils.init_phi import init_phi
-from .fused import _delta_from_partials, _fold_scalar_lambdas
+from .fused import (_backend_ok, _delta_from_partials,
+                    _fold_scalar_lambdas)
 from .scalar import SegResult
 
 
@@ -122,7 +123,8 @@ def segment_banded_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
     k, unroll, packed, fuse = auto_config(*u0.shape, k, unroll, packed,
                                           fuse)
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
-    if not _supported(u0, p, k) or iters < 1:
+    if not _supported(u0, p, k) or iters < 1 \
+            or not _backend_ok(interpret):
         from .fused import segment_fused_fixed
         return segment_fused_fixed(u0, p, iters, phi0, interpret=interpret)
     H, W = u0.shape
@@ -194,7 +196,7 @@ def segment_banded(u0, p: CVParams = CVParams(),
     k, unroll, packed, fuse = auto_config(*u0.shape, k, unroll, packed,
                                           fuse)
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
-    if not _supported(u0, p, k):
+    if not _supported(u0, p, k) or not _backend_ok(interpret):
         from .fused import segment_fused
         return segment_fused(u0, p, phi0, interpret=interpret)
     H, W = u0.shape
@@ -282,7 +284,8 @@ def _segment_banded_mc_fixed(u0, p, iters, k, phi0, lambda1, lambda2,
     per-channel frozen means per chunk)."""
     H, W, C = u0.shape
     k, unroll, packed = auto_config_mc(H, W, C, k, unroll, packed)
-    if not _supported_mc(u0, p, k) or iters < 1:
+    if not _supported_mc(u0, p, k) or iters < 1 \
+            or not _backend_ok(interpret):
         from .fused import segment_fused_fixed
         return segment_fused_fixed(u0, p, iters, phi0, lambda1=lambda1,
                                    lambda2=lambda2, interpret=interpret)
@@ -333,7 +336,7 @@ def _segment_banded_mc(u0, p, phi0, k, lambda1, lambda2, unroll,
     """Tolerance-mode banded segmentation for (H, W, C) images."""
     H, W, C = u0.shape
     k, unroll, packed = auto_config_mc(H, W, C, k, unroll, packed)
-    if not _supported_mc(u0, p, k):
+    if not _supported_mc(u0, p, k) or not _backend_ok(interpret):
         from .fused import segment_fused
         return segment_fused(u0, p, phi0, lambda1=lambda1, lambda2=lambda2,
                              interpret=interpret)

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..params import CVParams
+from .fused import _backend_ok
 from .scalar import SegResult, segment, step
 from ..utils.init_phi import init_phi
 
@@ -90,7 +91,8 @@ def segment_stack_fused_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
     from ..ops.reductions import means_from_sums, region_means
 
     N, H, W = u0.shape
-    if not pallas_sweep.supports(H, W) or p.order != "redblack":
+    if not pallas_sweep.supports(H, W) or p.order != "redblack" \
+            or not _backend_ok(interpret):
         return segment_stack_fixed(u0, p, iters, phi0)
 
     if phi0 is None:

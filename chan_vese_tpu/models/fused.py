@@ -25,6 +25,15 @@ from ..utils.init_phi import init_phi
 from .scalar import SegResult, segment as _segment_jnp, step as _step_jnp
 
 
+def _backend_ok(interpret: bool) -> bool:
+    """Pallas/Mosaic kernels compile only on the TPU backend;
+    interpret=True runs them anywhere. Every driver's routing guard
+    includes this so the documented "transparent jnp fallback" covers
+    the backend dimension too, not just shape/order (found via
+    examples/demo.py crashing on CPU - round 4)."""
+    return interpret or jax.default_backend() == "tpu"
+
+
 def _delta_from_partials(parts, n_pixels, p: CVParams, offset: int = 0):
     """Decode the convergence metric from kernel partials.
 
@@ -94,7 +103,8 @@ def segment_fused(u0, p: CVParams = CVParams(),
                                  fixed, cap)
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
     H, W = u0.shape
-    if not pallas_sweep.supports(H, W) or p.order != "redblack":
+    if not pallas_sweep.supports(H, W) or p.order != "redblack" \
+            or not _backend_ok(interpret):
         # the fused kernel implements red-black only; explicit wavefront/
         # jacobi requests must run the jnp path regardless of shape
         if fixed:
@@ -139,7 +149,8 @@ def _segment_fused_mc(u0, p, phi0, lambda1, lambda2, interpret,
 
     cap = p.max_iter if cap is None else cap
     H, W, C = u0.shape
-    if not pallas_sweep_mc.supports_mc(H, W, C) or p.order != "redblack":
+    if not pallas_sweep_mc.supports_mc(H, W, C) or p.order != "redblack" \
+            or not _backend_ok(interpret):
         l1, l2 = p.channel_lambdas(C, lambda1, lambda2)
         pf = p.replace(max_iter=cap, tol=-1.0) if fixed \
             else p.replace(max_iter=cap)
@@ -191,7 +202,8 @@ def segment_fused_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
                                        lambda2, interpret)
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
     H, W = u0.shape
-    if not pallas_sweep.supports(H, W) or p.order != "redblack":
+    if not pallas_sweep.supports(H, W) or p.order != "redblack" \
+            or not _backend_ok(interpret):
         from ..ops.reinit import maybe_reinit
 
         phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
@@ -228,7 +240,8 @@ def _segment_fused_mc_fixed(u0, p, iters, phi0, lambda1, lambda2, interpret):
     from ..ops import pallas_sweep_mc
 
     H, W, C = u0.shape
-    if not pallas_sweep_mc.supports_mc(H, W, C) or p.order != "redblack":
+    if not pallas_sweep_mc.supports_mc(H, W, C) or p.order != "redblack" \
+            or not _backend_ok(interpret):
         from .scalar import segment_fixed
         l1, l2 = p.channel_lambdas(C, lambda1, lambda2)
         tr = segment_fixed(u0, p, iters=iters, phi0=phi0,

@@ -32,7 +32,7 @@ from ..ops import pallas_resident
 from ..ops.reductions import region_means
 from ..params import CVParams
 from ..utils.init_phi import init_phi
-from .fused import _fold_scalar_lambdas
+from .fused import _backend_ok, _fold_scalar_lambdas
 from .scalar import SegResult
 
 
@@ -91,7 +91,8 @@ def segment_resident_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
     if u0.ndim == 3:
         H, W, C = u0.shape
         if (not pallas_resident.supports_resident_mc(H, W, C)
-                or p.order != "redblack" or p.reinit_every):
+                or p.order != "redblack" or p.reinit_every
+                or not _backend_ok(interpret)):
             from .fused import segment_fused_fixed
             return segment_fused_fixed(u0, p, iters, phi0, lambda1=lambda1,
                                        lambda2=lambda2, interpret=interpret)
@@ -109,7 +110,8 @@ def segment_resident_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
     H, W = u0.shape
     if (not pallas_resident.supports_resident(H, W)
-            or p.order != "redblack" or p.reinit_every):
+            or p.order != "redblack" or p.reinit_every
+            or not _backend_ok(interpret)):
         from .fused import segment_fused_fixed
         return segment_fused_fixed(u0, p, iters, phi0, interpret=interpret)
     phi0 = init_phi((H, W), p.init, u0.dtype) if phi0 is None else phi0
@@ -151,7 +153,8 @@ def segment_resident(u0, p: CVParams = CVParams(),
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
     H, W = u0.shape
     if (not pallas_resident.supports_resident(H, W)
-            or p.order != "redblack" or p.reinit_every):
+            or p.order != "redblack" or p.reinit_every
+            or not _backend_ok(interpret)):
         from .fused import segment_fused
         return segment_fused(u0, p, phi0, interpret=interpret)
     if chunk < 1:
@@ -231,7 +234,8 @@ def segment_stack_resident_fixed(u0, p: CVParams = CVParams(),
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
     N, H, W = u0.shape
     if (not pallas_resident.supports_resident(H, W)
-            or p.order != "redblack" or p.reinit_every):
+            or p.order != "redblack" or p.reinit_every
+            or not _backend_ok(interpret)):
         from .batched import segment_stack_fused_fixed
         return segment_stack_fused_fixed(u0, p, iters, phi0,
                                          interpret=interpret)

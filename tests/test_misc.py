@@ -89,3 +89,50 @@ class TestRobustness:
                         jnp.float32)
         tr = segment_fixed(u, CVParams(), iters=10)
         assert bool(jnp.isfinite(tr.phi).all())
+
+
+def test_drivers_fall_back_to_jnp_off_tpu_without_interpret():
+    """Every single-chip driver must run on a non-TPU backend with the
+    DEFAULT interpret=False by routing to the jnp path, even on shapes
+    the kernels support (round 4: examples/demo.py crashed on CPU with
+    'Only interpret mode is supported on CPU backend' because
+    segment_fused's fallback guard checked shape/order but not backend)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chan_vese_tpu.params import CVParams
+    from chan_vese_tpu.models.fused import segment_fused, segment_fused_fixed
+    from chan_vese_tpu.models.banded import (segment_banded,
+                                             segment_banded_fixed)
+    from chan_vese_tpu.models.resident import (segment_resident,
+                                               segment_resident_fixed,
+                                               segment_stack_resident_fixed)
+    from chan_vese_tpu.models.batched import segment_stack_fused_fixed
+
+    assert jax.default_backend() != "tpu"  # the premise of this test
+    rng = np.random.default_rng(0)
+    p = CVParams()
+    u = jnp.asarray(rng.uniform(0, 255, (24, 128)), jnp.float32)
+    urgb = jnp.asarray(rng.uniform(0, 255, (24, 128, 3)), jnp.float32)
+    stack = jnp.asarray(rng.uniform(0, 255, (2, 24, 128)), jnp.float32)
+
+    assert bool(jnp.isfinite(segment_fused(u, p, max_iter=3).phi).all())
+    assert bool(jnp.isfinite(
+        segment_fused(urgb, p, max_iter=3).phi).all())
+    assert bool(jnp.isfinite(segment_fused_fixed(u, p, iters=3)[0]).all())
+    assert bool(jnp.isfinite(
+        segment_fused_fixed(urgb, p, iters=3)[0]).all())
+    p3 = CVParams(max_iter=3)
+    assert bool(jnp.isfinite(segment_banded(u, p3).phi).all())
+    assert bool(jnp.isfinite(segment_banded_fixed(u, p, iters=3)[0]).all())
+    assert bool(jnp.isfinite(
+        segment_banded_fixed(urgb, p, iters=3)[0]).all())
+    assert bool(jnp.isfinite(segment_resident(u, p3).phi).all())
+    assert bool(jnp.isfinite(segment_resident_fixed(u, p, iters=3)[0]).all())
+    assert bool(jnp.isfinite(
+        segment_resident_fixed(urgb, p, iters=3)[0]).all())
+    assert bool(jnp.isfinite(
+        segment_stack_resident_fixed(stack, p, iters=3)[0]).all())
+    assert bool(jnp.isfinite(
+        segment_stack_fused_fixed(stack, p, iters=3)[0]).all())
