@@ -18,12 +18,19 @@ docs/BENCHMARKS.md and close the thread (VERDICT r3 item 2).
 
 import time
 
-import jax  # noqa: F401  (backend init before timing)
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from chan_vese_tpu.params import CVParams
 from chan_vese_tpu.models.banded import segment_banded_fixed
+
+# Fail LOUDLY off-TPU: since the _backend_ok routing guard (round 4),
+# the drivers silently fall back to the jnp path on other backends, so
+# without this assert a relay flake mid-queue would record CPU-jnp
+# timings under kernel row labels (the round-3 mislabeled-rows class).
+assert jax.default_backend() == "tpu", \
+    f"ab_fusej needs the TPU backend, got {jax.default_backend()!r}"
 
 H, W, iters = 2160, 3840, 192
 rng = np.random.default_rng(0)

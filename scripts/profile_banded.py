@@ -72,7 +72,8 @@ def analyze(d: Path, top: int = 25):
     f = traces[-1]
     with gzip.open(f, "rt") as fh:
         data = json.load(fh)
-    events = data.get("traceEvents", data if isinstance(data, list) else [])
+    events = data["traceEvents"] if isinstance(data, dict) \
+        else (data if isinstance(data, list) else [])
     pids = {}  # pid -> process name (device vs host python threads)
     tids = {}
     for e in events:
@@ -101,6 +102,11 @@ def analyze(d: Path, top: int = 25):
 
 
 def main():
+    # fail loudly off-TPU: the drivers now silently fall back to jnp on
+    # other backends (_backend_ok guard), which would profile the wrong
+    # program under a kernel label
+    assert jax.default_backend() == "tpu", \
+        f"profile_banded needs the TPU backend, got {jax.default_backend()!r}"
     runs = [("flat", dict(k=8, unroll=4, packed=False)),
             ("packed", dict(k=8, unroll=1, packed=True))]
     dirs = []

@@ -11,7 +11,7 @@
 # Progress lands in /tmp/tpu_back.log; measurement outputs in
 # /tmp/ab_fusej.out, /tmp/bench_configs_rerecord.out, /tmp/bench_final.out.
 # Stop it with `kill $(cat /tmp/when_tpu_back.pid)` (NEVER pkill -f).
-export PYTHONPATH=/root/repo:/root/.axon_site
+export PYTHONPATH=/root/repo:/root/.axon_site${PYTHONPATH:+:$PYTHONPATH}
 echo $$ > /tmp/when_tpu_back.pid
 for i in $(seq 1 2000); do
   if curl -s -m 5 http://127.0.0.1:8083/ -o /dev/null; then
