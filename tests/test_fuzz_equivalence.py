@@ -172,3 +172,67 @@ def test_resident_mc_matches_jnp_random(trial):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=2e-4 * scale,
                                err_msg=f"shape=({h},{w},{c}) p={p}")
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_banded_fusej_matches_unfused_random(trial):
+    """Random shapes x params x k x unroll: fuse=True (in-kernel j
+    fori_loop) is bitwise the SAME program as the j-grid kernel. Fuzzed
+    (round 4) because fused-j is the queued auto-default candidate -
+    the fixed tests pin only two geometries."""
+    from chan_vese_tpu.ops import pallas_banded
+
+    rng = np.random.default_rng(600 + trial)
+    k = int(rng.integers(1, 6))
+    unroll = int(rng.choice([u for u in (1, 2, 4) if k % u == 0]))
+    up, dn = pallas_banded._halos(k)
+    h = 8 * int(rng.integers((up + dn) // 8 + 1, 20))
+    w = 128 * int(rng.integers(1, 4))
+    if not pallas_banded.supports_banded(h, w, k):
+        pytest.skip(f"unsupported ({h},{w}) k={k}")
+    p = _rand_params(rng)
+    u0 = jnp.asarray(rng.uniform(0, 255, (h, w)), jnp.float32)
+    phi = jnp.asarray(rng.standard_normal((h, w)) * rng.uniform(0.5, 20),
+                      jnp.float32)
+    c1, c2 = region_means(u0, phi, p.eps)
+    a, pa = pallas_banded.banded_chunk(phi, u0, c1, c2, p, k,
+                                       unroll=unroll, interpret=True)
+    b, pb = pallas_banded.banded_chunk(phi, u0, c1, c2, p, k,
+                                       unroll=unroll, fuse=True,
+                                       interpret=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b)), \
+        f"shape=({h},{w}) k={k} u={unroll}"
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_packed_banded_matches_flat_random(trial):
+    """Random packed-eligible shapes x params x k: the parity-plane
+    kernel (with and without fused-j) matches the flat banded kernel on
+    the same chunk (same trajectory class at FMA-contraction level)."""
+    from chan_vese_tpu.ops import pallas_banded, pallas_packed
+
+    rng = np.random.default_rng(700 + trial)
+    k = int(rng.integers(1, 6))
+    h = 16 * int(rng.integers(3, 14))
+    w = 256 * int(rng.integers(1, 3))
+    if not (pallas_packed.supports_packed_banded(h, w, k)
+            and pallas_banded.supports_banded(h, w, k)):
+        pytest.skip(f"unsupported ({h},{w}) k={k}")
+    p = _rand_params(rng)
+    u0 = jnp.asarray(rng.uniform(0, 255, (h, w)), jnp.float32)
+    phi = jnp.asarray(rng.standard_normal((h, w)) * rng.uniform(0.5, 20),
+                      jnp.float32)
+    c1, c2 = region_means(u0, phi, p.eps)
+    want, _ = pallas_banded.banded_chunk(phi, u0, c1, c2, p, k,
+                                         interpret=True)
+    scale = float(jnp.max(jnp.abs(want))) + 1.0
+    for fuse in (False, True):
+        got, _ = pallas_packed.packed_banded_chunk(
+            pallas_packed._pack(phi), pallas_packed._pack(u0), c1, c2,
+            p, k, fuse=fuse, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(pallas_packed._unpack(got)), np.asarray(want),
+            rtol=1e-4, atol=1e-4 * scale,
+            err_msg=f"shape=({h},{w}) k={k} fuse={fuse}")
