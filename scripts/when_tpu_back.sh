@@ -11,10 +11,18 @@
 # Progress lands in /tmp/tpu_back.log; measurement outputs in
 # /tmp/ab_fusej.out, /tmp/bench_configs_rerecord.out, /tmp/bench_final.out.
 # Stop it with `kill $(cat /tmp/when_tpu_back.pid)` (NEVER pkill -f).
+#
+# Probe = real jax device init in a timed subprocess, NOT an HTTP GET:
+# after the 2026-08-18 box reboot the relay LISTENED on 8083 but never
+# answered HTTP (curl -m 5 -> rc 28) while jax.devices() initialized the
+# chip fine in ~10 s — a curl probe would have sat on a working TPU
+# forever. The converse failure (dead relay) makes jax.devices() HANG,
+# which the `timeout` turns into a clean retry.
 export PYTHONPATH=/root/repo:/root/.axon_site${PYTHONPATH:+:$PYTHONPATH}
 echo $$ > /tmp/when_tpu_back.pid
 for i in $(seq 1 2000); do
-  if curl -s -m 5 http://127.0.0.1:8083/ -o /dev/null; then
+  if timeout 300 python -c 'import jax; assert jax.default_backend() == "tpu"' \
+       >/dev/null 2>&1; then
     echo "tunnel back at $(date)" > /tmp/tpu_back.log
     sleep 30
     cd /root/repo
