@@ -119,7 +119,8 @@ def segment_banded_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
     if u0.ndim == 3:
         return _segment_banded_mc_fixed(u0, p, iters, k, phi0,
                                         lambda1, lambda2, unroll,
-                                        interpret, packed=packed)
+                                        interpret, packed=packed,
+                                        fuse=fuse)
     k, unroll, packed, fuse = auto_config(*u0.shape, k, unroll, packed,
                                           fuse)
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
@@ -192,7 +193,8 @@ def segment_banded(u0, p: CVParams = CVParams(),
     """
     if u0.ndim == 3:
         return _segment_banded_mc(u0, p, phi0, k, lambda1, lambda2,
-                                  unroll, interpret, packed=packed)
+                                  unroll, interpret, packed=packed,
+                                  fuse=fuse)
     k, unroll, packed, fuse = auto_config(*u0.shape, k, unroll, packed,
                                           fuse)
     p = _fold_scalar_lambdas(p, lambda1, lambda2)
@@ -259,8 +261,8 @@ def segment_banded(u0, p: CVParams = CVParams(),
     return SegResult(phi, phi >= 0, iters, delta, c1, c2)
 
 
-def auto_config_mc(H, W, C, k=None, unroll=None, packed=None):
-    """(k, unroll, packed) for the multichannel banded drivers.
+def auto_config_mc(H, W, C, k=None, unroll=None, packed=None, fuse=None):
+    """(k, unroll, packed, fuse) for the multichannel banded drivers.
 
     Unlike the scalar flagship (where packed parity planes win from 4K
     area up — auto_config), the mc kernel defaults to the FLAT layout at
@@ -268,22 +270,30 @@ def auto_config_mc(H, W, C, k=None, unroll=None, packed=None):
     both 4K RGB (9.7-9.9 G vs packed 7.6-7.9 G) and 8K RGB (10.0-10.2 G
     vs packed 6.5 G) — the C-times-larger u0 scratch shrinks the packed
     band height until per-grid-step overhead dominates, and deeper still
-    at 8K. packed=True remains available explicitly (parity-proven)."""
+    at 8K. packed=True remains available explicitly (parity-proven).
+
+    fuse (in-kernel fori_loop over j, flat kernel only): default False
+    until an on-chip mc A/B lands; the scalar flat kernel measured +12%
+    at 4K with fusej (2026-08-18 session), and flat is the mc default,
+    so this is the live mc lever — scripts/ab_fusej_mc.py."""
     if k is None:
         k = 8
     if packed is None:
         packed = False
     if unroll is None:
         unroll = 1 if packed else 4
-    return k, unroll, packed
+    if fuse is None:
+        fuse = False
+    return k, unroll, packed, fuse
 
 
 def _segment_banded_mc_fixed(u0, p, iters, k, phi0, lambda1, lambda2,
-                             unroll, interpret, packed=None):
+                             unroll, interpret, packed=None, fuse=None):
     """Vector-valued fixed-iteration banded run (channels-first kernel,
     per-channel frozen means per chunk)."""
     H, W, C = u0.shape
-    k, unroll, packed = auto_config_mc(H, W, C, k, unroll, packed)
+    k, unroll, packed, fuse = auto_config_mc(H, W, C, k, unroll, packed,
+                                             fuse)
     if not _supported_mc(u0, p, k) or iters < 1 \
             or not _backend_ok(interpret):
         from .fused import segment_fused_fixed
@@ -308,13 +318,15 @@ def _segment_banded_mc_fixed(u0, p, iters, k, phi0, lambda1, lambda2,
         phi, c1, c2 = carry
         un = unroll if size % unroll == 0 else 1
         if use_packed:
+            # the packed mc kernel has no fusej variant (packed mc is a
+            # measured loss and not the default - auto_config_mc)
             phi, parts = pallas_packed.packed_banded_chunk_mc(
                 phi, u0_st, c1, c2, p, size, unroll=un, lambda1=lambda1,
                 lambda2=lambda2, interpret=interpret)
         else:
             phi, parts = pallas_banded.banded_chunk_mc(
                 phi, u0_st, c1, c2, p, size, unroll=un, lambda1=lambda1,
-                lambda2=lambda2, interpret=interpret)
+                lambda2=lambda2, fuse=fuse, interpret=interpret)
         c1, c2 = means_from_sums(parts[:C], parts[C], sum_u, n_pix)
         return (phi, c1, c2)
 
@@ -332,10 +344,11 @@ def _segment_banded_mc_fixed(u0, p, iters, k, phi0, lambda1, lambda2,
 
 
 def _segment_banded_mc(u0, p, phi0, k, lambda1, lambda2, unroll,
-                       interpret, packed=None):
+                       interpret, packed=None, fuse=None):
     """Tolerance-mode banded segmentation for (H, W, C) images."""
     H, W, C = u0.shape
-    k, unroll, packed = auto_config_mc(H, W, C, k, unroll, packed)
+    k, unroll, packed, fuse = auto_config_mc(H, W, C, k, unroll, packed,
+                                             fuse)
     if not _supported_mc(u0, p, k) or not _backend_ok(interpret):
         from .fused import segment_fused
         return segment_fused(u0, p, phi0, lambda1=lambda1, lambda2=lambda2,
@@ -368,13 +381,14 @@ def _segment_banded_mc(u0, p, phi0, k, lambda1, lambda2, unroll,
         phi, c1, c2, n, _, streak = state
         un = unroll if size % unroll == 0 else 1
         if use_packed:
+            # no packed-mc fusej variant (see _segment_banded_mc_fixed)
             phi, parts = pallas_packed.packed_banded_chunk_mc(
                 phi, u0_st, c1, c2, p, size, unroll=un, lambda1=lambda1,
                 lambda2=lambda2, interpret=interpret)
         else:
             phi, parts = pallas_banded.banded_chunk_mc(
                 phi, u0_st, c1, c2, p, size, unroll=un, lambda1=lambda1,
-                lambda2=lambda2, interpret=interpret)
+                lambda2=lambda2, fuse=fuse, interpret=interpret)
         c1, c2 = means_from_sums(parts[:C], parts[C], sum_u, n_pix)
         delta = _delta_from_partials(parts, n_pix, p, offset=C - 1)
         # iteration-denominated patience (see the scalar driver)

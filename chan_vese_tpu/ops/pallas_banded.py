@@ -622,6 +622,142 @@ def _banded_mc_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
             store_dma(i - 1, (i - 1) % 2).wait()
 
 
+def _banded_mc_kernel_fusej(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
+                            phi_scr, u0_scr, f_scr, work_scr, sems,
+                            *, H, W, C, b, k, up, dn, mu, nu, l1, l2, dt,
+                            eps, eta2, unroll=1, crop=None):
+    """Fused-j variant of _banded_mc_kernel: grid (nbands,), all k
+    in-band iterations inside one grid program via a fori_loop with
+    ref-based state (work_scr round-trips, no tile-sized loop carries -
+    same spill discipline as _banded_kernel_fusej). Measured motivation:
+    fusej lifted the flat SCALAR kernel ~+12% at 4K (2026-08-18 A/B)
+    and the flat layout is the mc auto default at every size, so the mc
+    kernel is where the per-grid-step overhead still bites.
+    """
+    T = b + up + dn
+    i = pl.program_id(0)
+    nbands = pl.num_programs(0)
+
+    def window(ii):
+        g0 = pl.multiple_of(jnp.minimum(ii * b, H - b), 8)
+        s = pl.multiple_of(jnp.clip(g0 - up, 0, H - T), 8)
+        return g0, s
+
+    def load_dmas(ii, slot):
+        _, s = window(ii)
+        return (pltpu.make_async_copy(phi_hbm.at[pl.ds(s, T), :],
+                                      phi_scr.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(u0_hbm.at[:, pl.ds(s, T), :],
+                                      u0_scr.at[slot], sems.at[slot, 1]))
+
+    def store_dma(ii, slot):
+        g0, s = window(ii)
+        o = pl.multiple_of(g0 - s, 8)
+        return pltpu.make_async_copy(
+            work_scr.at[slot].at[pl.ds(o, b), :],
+            out_hbm.at[pl.ds(g0, b), :], sems.at[slot, 2])
+
+    slot = i % 2
+
+    @pl.when(i == 0)
+    def _():
+        for dma in load_dmas(i, slot):
+            dma.start()
+
+    @pl.when(i + 1 < nbands)
+    def _():
+        for dma in load_dmas(i + 1, (i + 1) % 2):
+            dma.start()
+
+    for dma in load_dmas(i, slot):
+        dma.wait()
+
+    @pl.when(i >= 2)
+    def _():
+        store_dma(i - 2, slot).wait()
+
+    f = jnp.full((T, W), -nu, dtype=phi_scr.dtype)
+    for ch in range(C):
+        u_ch = u0_scr[slot, ch]
+        d1 = u_ch - c_ref[0, ch]
+        d2 = u_ch - c_ref[0, C + ch]
+        f = f + (l2[ch] / C) * (d2 * d2) - (l1[ch] / C) * (d1 * d1)
+    f_scr[slot] = f
+    work_scr[slot] = phi_scr[slot]
+
+    _, s = window(i)
+    parity = c_ref[0, 2 * C].astype(jnp.int32)
+    flags = tuple(c_ref[0, 2 * C + 1 + t] > 0.5 for t in range(4))
+
+    def step():
+        """``unroll`` iterations from work_scr back to (phi_n, prev);
+        iota/mask recomputed per call so nothing tile-sized stays live
+        across the fori_loop back-edge."""
+        phi_n = work_scr[slot]
+        f = f_scr[slot]
+        rows = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 1)
+        grow = rows + s
+        red = ((grow + cols + parity) % 2) == 0
+        phi = phi_n
+        for _ in range(unroll):
+            phi = phi_n
+            g = (dt * eps / math.pi) / (eps * eps + phi * phi)
+            phi_r = jnp.where(red, _update_all(phi, g, f, mu, dt, eps,
+                                               eta2), phi)
+            if crop is not None:
+                phi_r = _resync_rim(phi_r, grow, cols, crop, flags)
+            phi_n = jnp.where(red, phi_r,
+                              _update_all(phi_r, g, f, mu, dt, eps, eta2))
+            if crop is not None:
+                phi_n = _resync_rim(phi_n, grow, cols, crop, flags)
+        return phi_n, phi
+
+    nsteps = k // unroll
+
+    def body(jj, carry):
+        phi_n, _ = step()
+        work_scr[slot] = phi_n
+        return carry
+
+    jax.lax.fori_loop(0, nsteps - 1, body, 0, unroll=False)
+    phi_n, phi = step()
+    work_scr[slot] = phi_n
+
+    store_dma(i, slot).start()
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, phi_n.shape, 1)
+    grow = rows + s
+    hi = jnp.minimum((i + 1) * b, H)
+    keep = (grow >= i * b) & (grow < hi)
+    if crop is not None:
+        r0, r1, cc0, cc1 = crop
+        keep = (keep & (grow >= r0) & (grow < r1)
+                & (cols >= cc0) & (cols < cc1))
+    m = keep.astype(phi_n.dtype)
+    h_eps = _heaviside(phi_n, eps)
+    hm = h_eps * m
+    dphi = phi_n - phi
+    flips = ((phi_n >= 0) != (phi >= 0)).astype(phi_n.dtype)
+    for ch in range(C):
+        part_ref[i, ch] = jnp.sum(u0_scr[slot, ch] * hm)
+    part_ref[i, C] = jnp.sum(hm)
+    part_ref[i, C + 1] = jnp.sum(dphi * dphi * m)
+    part_ref[i, C + 2] = jnp.sum(flips * m)
+    part_ref[i, C + 3] = jnp.sum(jnp.abs(dphi) * m)
+    for t in range(C + 4, 16):
+        part_ref[i, t] = 0.0
+
+    @pl.when(i == nbands - 1)
+    def _():
+        store_dma(i, slot).wait()
+
+    @pl.when((i == nbands - 1) & (nbands >= 2))
+    def _():
+        store_dma(i - 1, (i - 1) % 2).wait()
+
+
 def _banded_mc_smem_row(c1, c2, C, dtype, parity=None, edges=None):
     """(1, 2C + 8) SMEM row: [c1..., c2..., parity, edge flags, 0s]."""
     par = jnp.asarray(0 if parity is None else parity)
@@ -635,15 +771,18 @@ def _banded_mc_smem_row(c1, c2, C, dtype, parity=None, edges=None):
 
 
 @functools.partial(jax.jit, static_argnames=("p", "k", "unroll", "lambda1",
-                                             "lambda2", "interpret"))
+                                             "lambda2", "fuse",
+                                             "interpret"))
 def banded_chunk_mc(phi, u0_cfirst, c1, c2, p: CVParams, k: int = 8,
                     unroll: int = 1, lambda1=None, lambda2=None,
-                    interpret: bool = False
+                    fuse: bool = False, interpret: bool = False
                     ) -> Tuple[jax.Array, jax.Array]:
     """k frozen-means red-black iterations on a (C, H, W) channels-first
     image in one HBM pass. c1, c2: (C,) means. Returns (phi_new,
     partials (16,)): [s_uH per channel..., s_H, s_dphi2, flips,
-    s_absdphi, 0...] of the last iteration's transition.
+    s_absdphi, 0...] of the last iteration's transition. ``fuse``
+    collapses the j grid into an in-kernel fori_loop
+    (_banded_mc_kernel_fusej), like the scalar banded_chunk.
     """
     C, H, W = u0_cfirst.shape
     if phi.shape != (H, W):
@@ -652,14 +791,15 @@ def banded_chunk_mc(phi, u0_cfirst, c1, c2, p: CVParams, k: int = 8,
         raise ValueError(f"banded mc unsupported for {(H, W, C)}, k={k}")
     c = _banded_mc_smem_row(c1, c2, C, phi.dtype)
     return _call_banded_mc(phi, u0_cfirst, c, p, k, unroll, lambda1,
-                           lambda2, None, interpret)
+                           lambda2, None, interpret, fuse=fuse)
 
 
 @functools.partial(jax.jit, static_argnames=("p", "k", "unroll", "lambda1",
-                                             "lambda2", "crop", "interpret"))
+                                             "lambda2", "crop", "fuse",
+                                             "interpret"))
 def banded_chunk_mc_sharded(canvas, u0_canvas_cfirst, c1, c2, p: CVParams,
                             k: int, parity, edges, crop, unroll: int = 1,
-                            lambda1=None, lambda2=None,
+                            lambda1=None, lambda2=None, fuse: bool = False,
                             interpret: bool = False
                             ) -> Tuple[jax.Array, jax.Array]:
     """Multichannel twin of banded_chunk_sharded: k frozen-means
@@ -675,12 +815,12 @@ def banded_chunk_mc_sharded(canvas, u0_canvas_cfirst, c1, c2, p: CVParams,
                          f"{(H, W, C)}, k={k}")
     c = _banded_mc_smem_row(c1, c2, C, canvas.dtype, parity, edges)
     return _call_banded_mc(canvas, u0_canvas_cfirst, c, p, k, unroll,
-                           lambda1, lambda2, crop, interpret)
+                           lambda1, lambda2, crop, interpret, fuse=fuse)
 
 
 def _call_banded_mc(phi, u0_cfirst, c, p: CVParams, k: int, unroll: int,
-                    lambda1, lambda2, crop, interpret: bool
-                    ) -> Tuple[jax.Array, jax.Array]:
+                    lambda1, lambda2, crop, interpret: bool,
+                    fuse: bool = False) -> Tuple[jax.Array, jax.Array]:
     C, H, W = u0_cfirst.shape
     if unroll < 1 or k % unroll:
         raise ValueError(f"unroll must divide k (got k={k}, "
@@ -690,15 +830,16 @@ def _call_banded_mc(phi, u0_cfirst, c, p: CVParams, k: int, unroll: int,
     b = band_rows_banded_mc(H, W, k, C)
     nbands = pl.cdiv(H, b)
 
+    kern = _banded_mc_kernel_fusej if fuse else _banded_mc_kernel
     kernel = functools.partial(
-        _banded_mc_kernel, H=H, W=W, C=C, b=b, k=k, up=up, dn=dn, mu=p.mu,
+        kern, H=H, W=W, C=C, b=b, k=k, up=up, dn=dn, mu=p.mu,
         nu=p.nu, l1=l1, l2=l2, dt=p.dt, eps=p.eps, eta2=p.eta2,
         unroll=unroll, crop=crop)
 
     T = b + up + dn
     phi_new, partials = pl.pallas_call(
         kernel,
-        grid=(nbands, k // unroll),
+        grid=(nbands,) if fuse else (nbands, k // unroll),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -720,7 +861,8 @@ def _call_banded_mc(phi, u0_cfirst, c, p: CVParams, k: int, unroll: int,
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",) if fuse
+            else ("arbitrary", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(c, phi, u0_cfirst)

@@ -320,6 +320,89 @@ def test_banded_mc_compiled_tpu():
                                np.asarray(want_suh), rtol=1e-4)
 
 
+@pytest.mark.parametrize("k,unroll", [(3, 1), (8, 1), (8, 4)])
+def test_banded_mc_fusej_matches_unfused(k, unroll):
+    """Multichannel fuse=True (in-kernel fori_loop over j) is the SAME
+    program as the j-grid mc kernel: bitwise phi, same partials.
+    (64, 256) gives multiple bands so the DMA pipeline is exercised."""
+    rng = np.random.default_rng(31)
+    shape = (64, 256, 3)
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), F32)
+    phi = jnp.asarray(rng.standard_normal(shape[:2]), F32)
+    p = CVParams()
+    l1 = (1.0, 1.2, 0.8)
+    c1, c2 = region_means(u0, phi, p.eps)
+    ucf = jnp.transpose(u0, (2, 0, 1))
+    a, pa = pallas_banded.banded_chunk_mc(
+        phi, ucf, c1, c2, p, k, unroll=unroll, lambda1=l1, interpret=True)
+    b, pb = pallas_banded.banded_chunk_mc(
+        phi, ucf, c1, c2, p, k, unroll=unroll, lambda1=l1, fuse=True,
+        interpret=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                               rtol=1e-5, atol=0.5)
+
+
+def test_banded_mc_fusej_sharded_crop_parity():
+    """The mc fused-j kernel under the sharded-canvas contract (parity +
+    edge flags + crop + replica-rim resync) matches the j-grid mc kernel
+    bitwise."""
+    rng = np.random.default_rng(32)
+    shape = (64, 256, 3)
+    k = 4
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), F32)
+    phi = jnp.asarray(rng.standard_normal(shape[:2]), F32)
+    p = CVParams()
+    c1, c2 = region_means(u0, phi, p.eps)
+    ucf = jnp.transpose(u0, (2, 0, 1))
+    parity = jnp.int32(1)
+    edges = jnp.asarray([1.0, 0.0, 1.0, 0.0], F32)
+    crop = (16, 48, 16, 240)
+    a, pa = pallas_banded.banded_chunk_mc_sharded(
+        phi, ucf, c1, c2, p, k, parity, edges, crop, interpret=True)
+    b, pb = pallas_banded.banded_chunk_mc_sharded(
+        phi, ucf, c1, c2, p, k, parity, edges, crop, fuse=True,
+        interpret=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                               rtol=1e-5, atol=0.5)
+
+
+def test_banded_mc_fusej_driver_plumbs_flag():
+    """segment_banded_fixed forwards fuse= on the (H, W, C) route and the
+    result matches fuse=False (regression for the dropped-flag bug class
+    that invalidated round-3's scalar fusej rows, commit e30b6fb)."""
+    rng = np.random.default_rng(33)
+    shape = (64, 128, 3)
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), F32)
+    p = CVParams()
+    a, ma = segment_banded_fixed(u0, p, iters=10, k=4, interpret=True)
+    b, mb = segment_banded_fixed(u0, p, iters=10, k=4, fuse=True,
+                                 interpret=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(ma), np.asarray(mb))
+
+
+@pytest.mark.tpu
+def test_banded_mc_fusej_compiled_tpu():
+    """Compiled-on-chip mc fused-j chunk vs the frozen-means reference."""
+    rng = np.random.default_rng(34)
+    shape = (256, 256, 3)
+    u0 = jnp.asarray(rng.uniform(0, 255, shape), F32)
+    phi = jnp.asarray(rng.standard_normal(shape[:2]), F32)
+    p = CVParams()
+    l1e, l2e = p.channel_lambdas(3)
+    c1, c2 = region_means(u0, phi, p.eps)
+    ucf = jnp.transpose(u0, (2, 0, 1))
+    got, parts = pallas_banded.banded_chunk_mc(phi, ucf, c1, c2, p, 4,
+                                               unroll=2, fuse=True)
+    want, _, want_suh, _ = _ref_chunk_mc(phi, u0, c1, c2, l1e, l2e, p, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(parts[:3]),
+                               np.asarray(want_suh), rtol=1e-4)
+
+
 def test_banded_tolerance_rgb_per_channel_lambdas():
     """segment_banded handles (H, W, C) + per-channel lambdas on BOTH the
     mc-kernel route and the fused fallback (regression: lambda folding
