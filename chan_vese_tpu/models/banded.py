@@ -66,9 +66,14 @@ def auto_config(H, W, k=None, unroll=None, packed=None, fuse=None):
     area the flat kernel + unroll=4 is the measured best (packed
     unmeasured there; most such widths fail W % 256 anyway).
     fuse (collapse the j grid into an in-kernel ref-state fori_loop):
-    throughput UNMEASURED (the earlier "neutral" rows were invalidated
-    by a driver bug that dropped the flag); auto leaves it off until an
-    honest A/B lands - docs/BENCHMARKS.md fused-j section.
+    measured 2026-08-18 clean session (scripts/ab_fusej.py,
+    artifacts/ab_fusej_2026-08-18.out): +7.1% on packed u4 at 8K
+    (17.15 -> 18.36 G, the new 8K default), +3.6-6.9% on flat u4 at
+    4K/8K, -2% on packed u1 at 4K (stays unfused), and a compile-time
+    VMEM OOM at k=16 x unroll=4 flat (69M register spills) — so auto
+    turns fuse on exactly for the unroll=4, k <= 8, >= 4K-area regimes
+    where it measured ahead: never with the spill-prone deep-k
+    geometry, and not below 4K area where it is unmeasured.
     """
     from ..ops import pallas_packed
 
@@ -83,7 +88,7 @@ def auto_config(H, W, k=None, unroll=None, packed=None, fuse=None):
         # balance; flat wants 4 everywhere (measured tables)
         unroll = 4 if (not packed or H * W > 2160 * 3840) else 1
     if fuse is None:
-        fuse = False
+        fuse = unroll == 4 and k <= 8 and H * W >= 2160 * 3840
     return k, unroll, packed, fuse
 
 
@@ -272,10 +277,15 @@ def auto_config_mc(H, W, C, k=None, unroll=None, packed=None, fuse=None):
     band height until per-grid-step overhead dominates, and deeper still
     at 8K. packed=True remains available explicitly (parity-proven).
 
-    fuse (in-kernel fori_loop over j, flat kernel only): default False
-    until an on-chip mc A/B lands; the scalar flat kernel measured +12%
-    at 4K with fusej (2026-08-18 session), and flat is the mc default,
-    so this is the live mc lever — scripts/ab_fusej_mc.py."""
+    fuse (in-kernel fori_loop over j, flat kernel only): measured
+    2026-08-18 clean session (scripts/ab_fusej_mc.py,
+    artifacts/ab_fusej_mc_2026-08-18.out): +18.7% at 4K RGB flat u4
+    (8.50 -> 10.09 G) and +7.2% at 8K RGB flat u4 (11.30 -> 12.11 G) —
+    the new mc defaults at those sizes. unroll=1 x fusej is a
+    compile-time VMEM OOM at 4K RGB (63M register spills: the fused
+    k*u=8 trip count spills where u4's in-loop trip of 2 does not) and
+    measured behind u4-fusej at 8K RGB, so auto never pairs fuse with
+    unroll=1; below 4K area fusej is unmeasured and stays off."""
     if k is None:
         k = 8
     if packed is None:
@@ -283,7 +293,8 @@ def auto_config_mc(H, W, C, k=None, unroll=None, packed=None, fuse=None):
     if unroll is None:
         unroll = 1 if packed else 4
     if fuse is None:
-        fuse = False
+        fuse = (not packed and unroll == 4 and k <= 8
+                and H * W >= 2160 * 3840)
     return k, unroll, packed, fuse
 
 
