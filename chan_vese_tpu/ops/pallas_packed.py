@@ -1520,6 +1520,13 @@ def packed_resident_iterations_batch(phis, u0s, p: CVParams, iters: int,
         mu=p.mu, nu=p.nu, l1=p.lambda1, l2=p.lambda2, dt=p.dt, eps=p.eps,
         eta2=p.eta2, n_pix=float(H * W))
     scr = (2, 2, H // 2, W // 2)
+    # _pack_mc/_unpack_n unroll a static per-frame loop, so trace/program
+    # size grows linearly with N around the kernel call (~2 fused
+    # reshape+transpose pairs per frame). Accepted: at the config-5 scale
+    # (N=256, 512^2) compile time stays in the normal axon range, and the
+    # rank-2-per-frame shape is what keeps each pack a single fused
+    # copy (the vmapped/rank-4 alternatives hit the 64x tiled-layout
+    # transient documented in _pack).
     out, partials = _resident_call(
         kernel, _pack_mc(phis), _pack_mc(u0s), (N,) + scr, (N, 8),
         (N, steps),

@@ -107,8 +107,12 @@ def main():
     # program under a kernel label
     assert jax.default_backend() == "tpu", \
         f"profile_banded needs the TPU backend, got {jax.default_backend()!r}"
-    runs = [("flat", dict(k=8, unroll=4, packed=False)),
-            ("packed", dict(k=8, unroll=1, packed=True))]
+    # fuse pinned explicitly: auto now turns it on for u4/k8/4K, and the
+    # flat fused-vs-unfused pair directly prices the per-grid-step
+    # overhead the roofline section attributes
+    runs = [("flat", dict(k=8, unroll=4, packed=False, fuse=False)),
+            ("flat_fusej", dict(k=8, unroll=4, packed=False, fuse=True)),
+            ("packed", dict(k=8, unroll=1, packed=True, fuse=False))]
     dirs = []
     for tag, kw in runs:
         try:
