@@ -61,17 +61,58 @@ def supports_packed(h: int, w: int) -> bool:
             and h * w * 4 * _ARRAYS_RESIDENT <= _VMEM_LIMIT)
 
 
+_MXU_G = 256  # lane-deinterleave block; supports_packed demands W % 256
+
+
+@functools.lru_cache(maxsize=None)
+def _perm_matrix(dtype_name: str):
+    """(G, G) 0/1 deinterleave permutation: output lane j < G/2 selects
+    input lane 2j (even columns), j >= G/2 selects 2(j - G/2) + 1 (odd).
+    Used from both sides: x @ P deinterleaves, y @ P^T re-interleaves."""
+    import numpy as np
+    g = _MXU_G
+    m = np.zeros((g, g), np.dtype(dtype_name))
+    m[2 * np.arange(g // 2), np.arange(g // 2)] = 1
+    m[2 * np.arange(g // 2) + 1, g // 2 + np.arange(g // 2)] = 1
+    return jnp.asarray(m)
+
+
 def _pack(x):
     """(H, W) -> (2, 2, H/2, W/2) parity planes (host/jnp side).
 
-    XLA fuses the reshape+transpose into one copy for a RANK-2 operand
-    (measured fast at 4K and 8K). Do NOT vmap this: under vmap the
-    trailing length-2 lane dim of the reshape materializes with the
-    (8, 128) tiled layout — a 64x HBM transient (f32[3,2160,2,3840,2]
-    asked for 25.5 GB at 8K RGB). Strided slices are no alternative:
-    lane-stride-2 slices lower gather-like and cost ~1.3 s at 8K RGB
-    (measured 10x end-to-end slowdown). Use _pack_mc for (C, H, W)."""
+    Two formulations, picked by width:
+
+    * W % 256 == 0 (every supports_packed shape): lane deinterleave as
+      a (256, 256) 0/1 permutation matmul on the MXU (HIGHEST
+      precision: each output is exactly one input * 1 summed with
+      zeros — bit-exact for normals; denormals flush to zero, which
+      TPU arithmetic does anyway and phi/u0/f live at O(1)-O(255)),
+      then the row split as a major-dim transpose whose minor dim
+      stays intact. The round-4 on-chip profile
+      (artifacts/profile_banded_2026-08-18.out) showed the previous
+      fused reshape+transpose lowering at ~12 GB/s plus two XLA layout
+      copies = 17.2 ms per 4K segment call; the MXU route removes the
+      trailing-length-2 lane reshape that caused both.
+    * otherwise (odd sharded local widths): the original rank-2
+      reshape+transpose — XLA fuses it into one copy.
+
+    Do NOT vmap either form: under vmap the trailing length-2 lane dim
+    of the reshape materializes with the (8, 128) tiled layout — a 64x
+    HBM transient (f32[3,2160,2,3840,2] asked for 25.5 GB at 8K RGB).
+    Strided slices are no alternative: lane-stride-2 slices lower
+    gather-like and cost ~1.3 s at 8K RGB (measured 10x end-to-end
+    slowdown). Use _pack_mc for (C, H, W)."""
     H, W = x.shape
+    if W % _MXU_G == 0:
+        pm = _perm_matrix(x.dtype.name)
+        xb = x.reshape(H, W // _MXU_G, _MXU_G)
+        y = jax.lax.dot_general(xb, pm, (((2,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST)
+        ye = y[..., :_MXU_G // 2].reshape(H, W // 2)
+        yo = y[..., _MXU_G // 2:].reshape(H, W // 2)
+        pe = ye.reshape(H // 2, 2, W // 2).transpose(1, 0, 2)
+        po = yo.reshape(H // 2, 2, W // 2).transpose(1, 0, 2)
+        return jnp.stack([pe, po], axis=1)
     return (x.reshape(H // 2, 2, W // 2, 2)
             .transpose(1, 3, 0, 2))
 
@@ -101,8 +142,20 @@ def _unpack_n(planes_n):
 
 
 def _unpack(planes):
-    """(2, 2, H/2, W/2) -> (H, W)."""
+    """(2, 2, H/2, W/2) -> (H, W). Inverse of _pack, same two
+    formulations (MXU re-interleave when W % 256 == 0)."""
     _, _, Hp, Wp = planes.shape
+    H, W = 2 * Hp, 2 * Wp
+    if W % _MXU_G == 0:
+        pm = _perm_matrix(planes.dtype.name)
+        ye = planes[:, 0].transpose(1, 0, 2).reshape(H, Wp)
+        yo = planes[:, 1].transpose(1, 0, 2).reshape(H, Wp)
+        y = jnp.concatenate([ye.reshape(H, W // _MXU_G, _MXU_G // 2),
+                             yo.reshape(H, W // _MXU_G, _MXU_G // 2)],
+                            axis=-1)
+        xb = jax.lax.dot_general(y, pm, (((2,), (1,)), ((), ())),
+                                 precision=jax.lax.Precision.HIGHEST)
+        return xb.reshape(H, W)
     return planes.transpose(2, 0, 3, 1).reshape(2 * Hp, 2 * Wp)
 
 

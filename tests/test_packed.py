@@ -37,6 +37,37 @@ def test_pack_unpack_roundtrip():
                                           xn[a::2, b::2])
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64])
+def test_pack_mxu_matches_legacy(dtype):
+    """W % 256 == 0 dispatches _pack/_unpack to the MXU permutation
+    matmul (round-4: the reshape+transpose lowering cost 17.2 ms per 4K
+    segment call on-chip; the matmul route is ~75x cheaper, bit-exact
+    for normals under HIGHEST precision — denormals flush to zero,
+    which TPU arithmetic does anyway; bench artifact
+    artifacts/bench_pack_mxu_2026-08-18.out)."""
+    rng = np.random.default_rng(3)
+
+    def legacy_pack(x):
+        h, w = x.shape
+        return x.reshape(h // 2, 2, w // 2, 2).transpose(1, 3, 0, 2)
+
+    for shape in [(32, 512), (48, 768), (30, 3840)]:
+        x = jnp.asarray(rng.uniform(-300, 300, shape), dtype)
+        x = x.at[1, 1].set(-0.0).at[2, 3].set(0.0)
+        assert shape[1] % pp._MXU_G == 0  # MXU route engaged
+        planes = pp._pack(x)
+        np.testing.assert_array_equal(np.asarray(planes),
+                                      np.asarray(legacy_pack(x)))
+        np.testing.assert_array_equal(np.asarray(pp._unpack(planes)),
+                                      np.asarray(x))
+    # fallback widths (sharded local shapes) keep the legacy path
+    x = jnp.asarray(rng.uniform(-300, 300, (16, 120)), dtype)
+    np.testing.assert_array_equal(np.asarray(pp._unpack(pp._pack(x))),
+                                  np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(pp._pack(x)),
+                                  np.asarray(legacy_pack(x)))
+
+
 @pytest.mark.parametrize("k", [1, 3, 8])
 def test_packed_resident_matches_banded(k):
     rng = np.random.default_rng(0)
