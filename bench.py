@@ -31,16 +31,26 @@ def _tpu_mpixel_iters(iters=200, reps=3):
     u0 = jnp.asarray(host)
     p = CVParams()
 
-    phi, _ = segment_banded_fixed(u0, p, iters=iters, k=8)  # compile+warm
-    jax.block_until_ready(phi)
-    _ = float(phi[0, 0])
+    # The timed region is ONE jitted dispatch: the program perturbs the
+    # input by the rep index (defeats any result caching), runs the
+    # full solve, and returns a single element of phi. The 4-byte
+    # readback still forces the whole while-loop (phi[0,0] depends on
+    # every chunk), but the timing no longer pays three tunnel
+    # round-trips of pure latency (add + solve + getitem ~75 ms,
+    # priced by the round-4 profile; on a normal host this is a no-op).
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("it",))
+    def run(u, r, it):
+        phi, _ = segment_banded_fixed(u + r, p, iters=it, k=8)
+        return phi[0, 0]
+
+    _ = float(run(u0, jnp.float32(0), iters))  # compile + warm
 
     best = float("inf")
     for r in range(reps):
-        u = u0 + jnp.float32(r + 1)  # defeat any result caching
         t0 = time.perf_counter()
-        phi, _ = segment_banded_fixed(u, p, iters=iters, k=8)
-        _ = float(phi[0, 0])  # forces execution + readback of the result
+        _ = float(run(u0, jnp.float32(r + 1), iters))
         best = min(best, time.perf_counter() - t0)
     return H * W * iters / best / 1e6
 

@@ -19,16 +19,22 @@ import time
 import numpy as np
 
 
-def _t(fn, readback, reps=3):
-    out = fn()
-    import jax
-    jax.block_until_ready(out)
-    float(readback(out))
+def _t(run, *args, reps=3):
+    """Time ONE jitted dispatch per rep.
+
+    ``run(*args, r)`` must be a jitted callable returning a 0-d array
+    that depends on the full solve (one element of the result). The rep
+    index r perturbs the input inside the program (defeats result
+    caching); the 4-byte scalar readback forces execution. This keeps
+    the tunneled dev box's ~25 ms/dispatch latency to one round-trip
+    per rep instead of two or three (round-4 profile); on a normal
+    host it changes nothing."""
+    import jax.numpy as jnp
+    float(run(*args, jnp.float32(0)))  # compile + warm
     best = float("inf")
-    for _ in range(reps):
+    for rep in range(reps):
         t0 = time.perf_counter()
-        out = fn()
-        float(readback(out))
+        float(run(*args, jnp.float32(rep + 1)))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -63,8 +69,9 @@ def main():
     # config 1: 256x256 grayscale, checkerboard (VMEM-resident kernel:
     # the whole image lives in VMEM across iterations, models/resident.py)
     u = jnp.asarray(rng.uniform(0, 255, (256, 256)), jnp.float32)
-    secs = _t(lambda: segment_resident_fixed(u, p, iters=iters_small),
-              lambda o: o[0][0, 0])
+    secs = _t(jax.jit(
+        lambda u, r: segment_resident_fixed(u + r, p,
+                                            iters=iters_small)[0][0, 0]), u)
     report("1: gray 256^2 checkerboard (resident)", 256 * 256, iters_small,
            secs)
 
@@ -72,9 +79,10 @@ def main():
     # multichannel kernel; falls back to the fused mc kernel off the
     # resident envelope)
     u = jnp.asarray(rng.uniform(0, 255, (512, 512, 3)), jnp.float32)
-    secs = _t(lambda: segment_resident_fixed(
-        u, p, iters=iters_small, lambda1=(1.0, 1.2, 0.8)),
-        lambda o: o[0][0, 0])
+    secs = _t(jax.jit(
+        lambda u, r: segment_resident_fixed(
+            u + r, p, iters=iters_small,
+            lambda1=(1.0, 1.2, 0.8))[0][0, 0]), u)
     report("2: RGB 512^2 per-channel lambda (resident mc)", 512 * 512,
            iters_small, secs)
 
@@ -86,9 +94,10 @@ def main():
     # (SURVEY.md 3.1 marks energy logging optional).
     from chan_vese_tpu.models.multiphase import segment_multiphase
     u = jnp.asarray(rng.uniform(0, 255, (512, 512)), jnp.float32)
-    secs = _t(lambda: segment_multiphase(
-        u, p, m_sets=2, fixed=True, max_iter=iters_small),
-        lambda o: o.phis[0, 0, 0])
+    secs = _t(jax.jit(
+        lambda u, r: segment_multiphase(
+            u + r, p, m_sets=2, fixed=True,
+            max_iter=iters_small).phis[0, 0, 0]), u)
     report("3: multiphase 512^2 (2 phis, fused mp2 resident)", 512 * 512,
            iters_small, secs)
 
@@ -112,9 +121,11 @@ def main():
     u = jnp.asarray(rng.uniform(0, 255, (2160, 3840)), jnp.float32)
     u = jax.device_put(u, NamedSharding(mesh, P("x", "y")))
     phi0 = _make_phi0(u.shape, p.init, u.dtype, mesh)
-    secs = _t(lambda: segment_sharded(u, p, mesh, phi0=phi0, max_iter=iters,
-                                      fixed=True, comm_k=8),
-              lambda o: o.phi[0, 0])
+    with jax.set_mesh(mesh):  # outer-jitted segment_sharded contract
+        secs = _t(jax.jit(
+            lambda u, phi0, r: segment_sharded(
+                u + r, p, mesh, phi0=phi0, max_iter=iters, fixed=True,
+                comm_k=8).phi[0, 0]), u, phi0)
     report(f"4: 4K sharded {nx}x{ny} mesh, comm_k=8 banded kernel per "
            f"shard{tag}", 2160 * 3840, iters, secs)
 
@@ -124,9 +135,11 @@ def main():
     # label says so explicitly.
     tag_a = (" (1x1 -> delegated to fused driver)" if nx * ny == 1
              else "")
-    secs = _t(lambda: segment_sharded(u, p, mesh, phi0=phi0,
-                                      max_iter=iters, fixed=True),
-              lambda o: o.phi[0, 0])
+    with jax.set_mesh(mesh):
+        secs = _t(jax.jit(
+            lambda u, phi0, r: segment_sharded(
+                u + r, p, mesh, phi0=phi0, max_iter=iters,
+                fixed=True).phi[0, 0]), u, phi0)
     report(f"4a: 4K sharded {nx}x{ny} per-iteration halos{tag_a}",
            2160 * 3840, iters, secs)
 
@@ -140,8 +153,9 @@ def main():
     # on a real multi-device mesh.
     from chan_vese_tpu.models.banded import segment_banded_fixed
     u_single = jax.device_put(np.asarray(u), jax.devices()[0])
-    secs = _t(lambda: segment_banded_fixed(u_single, p, iters=iters, k=8),
-              lambda o: o[0][0, 0])
+    secs = _t(jax.jit(
+        lambda u, r: segment_banded_fixed(u + r, p, iters=iters,
+                                          k=8)[0][0, 0]), u_single)
     report("4b: 4K single-chip banded k=8 Pallas (auto: packed "
            "parity-plane)", 2160 * 3840, iters, secs)
 
@@ -152,8 +166,11 @@ def main():
     it5 = 10 if args.quick else 30
     dmesh = make_data_mesh()
     stack = jnp.asarray(rng.uniform(0, 255, (frames, 512, 512)), jnp.float32)
-    secs = _t(lambda: segment_stack_sharded(stack, p, dmesh, iters=it5),
-              lambda o: o[0][0, 0, 0])
+    with jax.set_mesh(dmesh):
+        secs = _t(jax.jit(
+            lambda s, r: segment_stack_sharded(s + r, p, dmesh,
+                                               iters=it5)[0][0, 0, 0]),
+                  stack)
     report(f"5: stack {frames}x512^2 vmap+data-mesh", frames * 512 * 512,
            it5, secs)
 

@@ -65,16 +65,25 @@ _MXU_G = 256  # lane-deinterleave block; supports_packed demands W % 256
 
 
 @functools.lru_cache(maxsize=None)
-def _perm_matrix(dtype_name: str):
+def _perm_matrix_np(dtype_name: str):
     """(G, G) 0/1 deinterleave permutation: output lane j < G/2 selects
     input lane 2j (even columns), j >= G/2 selects 2(j - G/2) + 1 (odd).
-    Used from both sides: x @ P deinterleaves, y @ P^T re-interleaves."""
+    Used from both sides: x @ P deinterleaves, y @ P^T re-interleaves.
+
+    Returns NUMPY, converted per call site: caching the jnp array would
+    capture a DynamicJaxprTracer when the first call happens inside an
+    outer jit trace and leak it into every later trace (hit by
+    bench_configs r4). XLA dedupes the repeated constant."""
     import numpy as np
     g = _MXU_G
     m = np.zeros((g, g), np.dtype(dtype_name))
     m[2 * np.arange(g // 2), np.arange(g // 2)] = 1
     m[2 * np.arange(g // 2) + 1, g // 2 + np.arange(g // 2)] = 1
-    return jnp.asarray(m)
+    return m
+
+
+def _perm_matrix(dtype_name: str):
+    return jnp.asarray(_perm_matrix_np(dtype_name))
 
 
 def _pack(x):

@@ -11,6 +11,7 @@ per-frame while_loop under vmap).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional
 
@@ -50,8 +51,14 @@ def segment_stack_sharded(u0, p: CVParams = CVParams(), mesh: Mesh = None,
         raise ValueError("segment_stack_sharded needs a mesh "
                          "(parallel.mesh.make_data_mesh)")
     u0 = shard_stack(u0, mesh)
+    # Under an outer jit trace set_mesh is forbidden - the CALLER must
+    # hold `with jax.set_mesh(mesh):` open around the jitted call (same
+    # contract as segment_sharded; bench_configs' single-dispatch
+    # timing relies on it).
+    mesh_ctx = (contextlib.nullcontext() if isinstance(u0, jax.core.Tracer)
+                else jax.set_mesh(mesh))
     if iters is None:
-        with jax.set_mesh(mesh):
+        with mesh_ctx:
             return segment_batch(u0, p)
     if use_pallas is None:
         from ..ops import pallas_sweep
@@ -59,10 +66,10 @@ def segment_stack_sharded(u0, p: CVParams = CVParams(), mesh: Mesh = None,
                       and pallas_sweep.supports(*u0.shape[1:3])
                       and u0.ndim == 3)
     if not use_pallas:
-        with jax.set_mesh(mesh):
+        with mesh_ctx:
             return segment_stack_fixed(u0, p, iters=iters)
     run = _build_fused_stack(p, mesh, iters, interpret)
-    with jax.set_mesh(mesh):
+    with mesh_ctx:
         return run(u0)
 
 

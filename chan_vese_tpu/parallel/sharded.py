@@ -1358,8 +1358,22 @@ def segment_sharded(u0, p: CVParams = CVParams(), mesh: Optional[Mesh] = None,
                          bool(packed))
 
     spec = NamedSharding(mesh, P("x", "y", None) if vec else P("x", "y"))
-    u0 = jax.device_put(u0, spec)
     phi_spec = NamedSharding(mesh, P("x", "y"))
+    if isinstance(u0, jax.core.Tracer):
+        # Called inside an outer jit trace (a larger jitted pipeline,
+        # or bench_configs' single-dispatch timing): jax forbids
+        # set_mesh under jit, so the CALLER must hold
+        # `with jax.set_mesh(mesh):` open around the jitted call.
+        # device_put lowers to a sharding constraint here; phi0 must be
+        # supplied (checkerboard init builds via shard_map + set_mesh).
+        if phi0 is None:
+            raise ValueError(
+                "segment_sharded under an outer jit needs an explicit "
+                "phi0 (init_phi runs its own set_mesh)")
+        phi, c1, c2, iters, delta = run(jax.device_put(u0, spec),
+                                        jax.device_put(phi0, phi_spec))
+        return SegResult(phi, phi >= 0, iters, delta, c1, c2)
+    u0 = jax.device_put(u0, spec)
     if phi0 is None:
         phi0 = _make_phi0((H, W), p.init, u0.dtype, mesh)
     else:

@@ -37,6 +37,30 @@ def test_pack_unpack_roundtrip():
                                           xn[a::2, b::2])
 
 
+def test_pack_inside_jit_does_not_leak_tracer():
+    """_perm_matrix's lru_cache must hold NUMPY, not a traced jnp
+    constant: when the first _pack of a session happens inside an outer
+    jit trace, a cached jnp array is a DynamicJaxprTracer and poisons
+    every later trace (UnexpectedTracerError — hit by the round-4
+    bench_configs re-record, where config 1's outer-jitted packed
+    resident solve leaked into config 2's trace)."""
+    pp._perm_matrix_np.cache_clear()
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(0, 255, (32, 256)), F32)
+
+    @jax.jit
+    def first(x):  # populates the cache while tracing
+        return pp._unpack(pp._pack(x))
+
+    @jax.jit
+    def second(x):  # distinct trace must not see the first trace's value
+        return pp._unpack(pp._pack(x + 1.0)) - 1.0
+
+    np.testing.assert_allclose(np.asarray(first(x)), np.asarray(x))
+    np.testing.assert_allclose(np.asarray(second(x)), np.asarray(x),
+                               rtol=0, atol=1e-4)
+
+
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64])
 def test_pack_mxu_matches_legacy(dtype):
     """W % 256 == 0 dispatches _pack/_unpack to the MXU permutation
