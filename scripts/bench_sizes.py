@@ -6,7 +6,9 @@ Measures the auto-config banded driver (scalar) and the vector driver
 solve + scalar probe inside the program — docs/BENCHMARKS.md round-4
 methodology; the tunnel costs ~25 ms per dispatch).
 
-Run: python scripts/bench_sizes.py [iters]   (default 200)
+Run: python scripts/bench_sizes.py [iters] [name-substring ...]
+(default 200 iters, all four sizes; name substrings filter the sweep,
+e.g. `bench_sizes.py 200 "8K RGB"` re-runs one leg after a timeout)
 """
 
 
@@ -34,6 +36,7 @@ def timeit(run, *args, reps=3):
 
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    only = [a.lower() for a in sys.argv[2:]]
     print(f"backend={jax.default_backend()} iters={iters}", flush=True)
     rng = np.random.default_rng(0)
     p = CVParams()
@@ -47,6 +50,8 @@ def main():
                         ("8K gray", (4320, 7680)),
                         ("4K RGB", (2160, 3840, 3)),
                         ("8K RGB", (4320, 7680, 3))]:
+        if only and not any(s in name.lower() for s in only):
+            continue
         u = jnp.asarray(rng.uniform(0, 255, shape).astype(np.float32))
         cfg = (auto_config(*shape, k=8) if len(shape) == 2
                else auto_config_mc(shape[0], shape[1], shape[2], k=8))
