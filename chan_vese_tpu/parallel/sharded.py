@@ -51,6 +51,17 @@ from .halo import exchange_halo2d, exchange_halo2d_batched
 
 _D = 4  # halo depth
 
+# canvas-area threshold for auto fused-j in the sharded chunk kernels.
+# inf = auto OFF (measured 2026-08-19, artifacts/ab_sharded_fusej
+# _2026-08-19.out): the fused sharded-canvas kernel runs +4.7% at 4K
+# 1x1 comm_k=8 (10407-10488 vs 9801-10033 alternating same-session) but
+# costs a 2576 s Mosaic compile vs 218 s unfused (the per-iteration
+# rim-resync select chains inside the fori_loop body blow up kernel
+# compilation) - unshippable as a default; fuse=True stays available on
+# banded_chunk_sharded/_mc for cached-geometry deployments, and tests
+# lower this to exercise the driver plumbing on small canvases.
+_FUSE_AREA = float("inf")
+
 
 def _global_coords(shape, ix, iy, h, w, pad=_D):
     """(g_i, g_j) int32 grids for a block padded by ``pad`` on each side."""
@@ -710,7 +721,7 @@ def _sharded_chunk_jnp(phi, u0_padk, c1, c2, p: CVParams, k, ix, iy,
 
 def _sharded_chunk_pallas(phi, pallas_env, c1, c2, p: CVParams, k, h, w,
                           n_pix, sum_u, halo="ppermute", interpret=False,
-                          unroll=4, lambdas=None):
+                          unroll=4, lambdas=None, fuse=None):
     """Communication-avoiding chunk with the banded Pallas kernel per
     shard (VERDICT r2 item 1): ONE 4*comm_k-deep halo exchange, then k
     frozen-means iterations run by ops/pallas_banded.banded_chunk_sharded
@@ -721,6 +732,15 @@ def _sharded_chunk_pallas(phi, pallas_env, c1, c2, p: CVParams, k, h, w,
     per-half-sweep replica-rim resync at global edges, and crop-windowed
     partials). ``pallas_env`` carries the loop-invariant
     (u0_canvas, parity, edges) built once by _run_sharded.
+
+    fuse (None = auto, currently always OFF — _FUSE_AREA = inf):
+    collapse the per-band j grid into the in-kernel fori_loop
+    (ops/pallas_banded._banded_kernel_fusej, which carries the
+    rim-resync crop/edge machinery). The round-4 sharded profile
+    (artifacts/profile_sharded_2026-08-18.out) showed the comm
+    machinery is ~free on-device and the whole 1x1 tax is the kernel
+    body, so fused-j was measured here: +4.7% at 4K comm_k=8 but a
+    2576 s Mosaic compile (vs 218 s) — see _FUSE_AREA for the verdict.
     """
     from ..ops import pallas_banded
 
@@ -736,12 +756,15 @@ def _sharded_chunk_pallas(phi, pallas_env, c1, c2, p: CVParams, k, h, w,
     wc = u0_canvas.shape[-1]
     canvas = jnp.pad(pad, ((0, 0), (0, wc - pad.shape[1])), mode="edge")
     un = unroll if k % unroll == 0 else 1
+    if fuse is None:
+        fuse = (un == 4 and k <= 8
+                and canvas.shape[0] * canvas.shape[1] >= _FUSE_AREA)
     if vec:
         c = u0_canvas.shape[0]
         l1, l2 = lambdas if lambdas is not None else (None, None)
         canvas_new, parts = pallas_banded.banded_chunk_mc_sharded(
             canvas, u0_canvas, c1, c2, p, k=k, parity=parity, edges=edges,
-            crop=crop, unroll=un, lambda1=l1, lambda2=l2,
+            crop=crop, unroll=un, lambda1=l1, lambda2=l2, fuse=fuse,
             interpret=interpret)
         parts = lax.psum(parts[:c + 4], ("x", "y"))
         new = canvas_new[D: D + h, D: D + w]
@@ -750,7 +773,7 @@ def _sharded_chunk_pallas(phi, pallas_env, c1, c2, p: CVParams, k, h, w,
         return new, c1n, c2n, delta
     canvas_new, parts = pallas_banded.banded_chunk_sharded(
         canvas, u0_canvas, c1, c2, p, k=k, parity=parity, edges=edges,
-        crop=crop, unroll=un, interpret=interpret)
+        crop=crop, unroll=un, fuse=fuse, interpret=interpret)
     parts = lax.psum(parts[:5], ("x", "y"))
     new = canvas_new[D: D + h, D: D + w]
     c1n, c2n = means_from_sums(parts[0], parts[1], sum_u, n_pix)

@@ -383,3 +383,53 @@ def test_commk_packed_fuzz(grid_mesh, trial):
     np.testing.assert_allclose(np.asarray(a.phi), np.asarray(b.phi),
                                rtol=1e-11, atol=1e-11 * scale,
                                err_msg=f"h={h} w={w} k={k} p={p}")
+
+
+@pytest.mark.parametrize("vec", [False, True])
+def test_commk_fusej_auto_plumbs(grid_mesh, monkeypatch, vec):
+    """The sharded chunk fuses the j grid at >= _FUSE_AREA canvases
+    (inf in production: fusej measured +4.7% at 4K 1x1 but a 2576 s
+    Mosaic compile — docs/BENCHMARKS.md round-4). Lowering the
+    threshold must route the SAME program through the fusej kernel
+    bitwise-identically — and the spy proves the flag actually reached
+    the kernel (the dropped-flag bug class of commit e30b6fb)."""
+    from chan_vese_tpu.ops import pallas_banded
+    from chan_vese_tpu.parallel import sharded as sh
+
+    img, _ = two_disks(48, 256, noise=6.0)
+    u0 = jnp.asarray(img)  # f64
+    if vec:
+        u0 = jnp.stack([u0, 0.8 * u0 + 10.0, 255.0 - u0], axis=-1)
+    p = CVParams()
+    phi0 = init_phi((48, 256), p.init, u0.dtype)
+
+    def run():
+        return segment_sharded(u0, p, grid_mesh, fixed=True, max_iter=8,
+                               comm_k=4, phi0=phi0, use_pallas=True,
+                               interpret=True)
+
+    fuse_seen = []
+    orig = (pallas_banded.banded_chunk_mc_sharded if vec
+            else pallas_banded.banded_chunk_sharded)
+    name = ("banded_chunk_mc_sharded" if vec else "banded_chunk_sharded")
+
+    def spy(*a, **kw):
+        fuse_seen.append(kw.get("fuse", False))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pallas_banded, name, spy)
+    sh._build_program.cache_clear()
+    base = run()
+    assert fuse_seen and not any(fuse_seen)  # default: small canvas, off
+
+    fuse_seen.clear()
+    monkeypatch.setattr(sh, "_FUSE_AREA", 1)
+    sh._build_program.cache_clear()
+    fused = run()
+    assert fuse_seen and all(fuse_seen)
+
+    sh._build_program.cache_clear()  # drop the spying closures
+    np.testing.assert_array_equal(np.asarray(fused.phi),
+                                  np.asarray(base.phi))
+    np.testing.assert_array_equal(np.asarray(fused.mask),
+                                  np.asarray(base.mask))
