@@ -12,9 +12,13 @@ import sys
 import time
 
 
-def _tpu_mpixel_iters(iters=200, reps=3):
-    # iters amortizes the ~25 ms per-dispatch host<->device latency of the
-    # tunneled dev chip (at 200 iters it is <15% of the measurement).
+def _tpu_mpixel_iters(iters=800, reps=3):
+    # iters amortizes the fixed per-dispatch cost of the tunneled dev
+    # chip, measured at 28.0 ms by the iteration sweep fit
+    # (scripts/bench_iters.py, artifacts/bench_iters_2026-08-19.out:
+    # t(I) = 0.293 ms * I + 28 ms, asymptote 28.3 G). At 800 iters the
+    # fixed share is ~10%; the metric (BASELINE.json:2) is steady-state
+    # throughput, with no pinned iteration count.
     # Solver: the banded multi-iteration kernel (ops/pallas_banded.py,
     # k = 8 iterations per HBM pass; frozen-means-per-chunk trajectory
     # class, same fixed point - see models/banded.py docstring).

@@ -46,12 +46,20 @@ def main():
         phi, _ = segment_banded_fixed(u + r, p, iters=iters, k=8)
         return phi[0, 0]
 
+    # 16K is not a BASELINE config; it is the dispatch-amortization probe:
+    # at ~0.9 s of in-kernel work per dispatch the ~25 ms tunnel cost is
+    # <3%, so the measured rate should converge to the ~28.9 G in-kernel
+    # ceiling the profile recorded (docs/BENCHMARKS.md). Run it via the
+    # name filter ("16K") — its first compile is slow, keep it solo.
     for name, shape in [("4K gray", (2160, 3840)),
                         ("8K gray", (4320, 7680)),
                         ("4K RGB", (2160, 3840, 3)),
-                        ("8K RGB", (4320, 7680, 3))]:
+                        ("8K RGB", (4320, 7680, 3)),
+                        ("16K gray", (8640, 15360))]:
         if only and not any(s in name.lower() for s in only):
             continue
+        if name == "16K gray" and not only:
+            continue  # opt-in only: huge first compile, not a BASELINE size
         u = jnp.asarray(rng.uniform(0, 255, shape).astype(np.float32))
         cfg = (auto_config(*shape, k=8) if len(shape) == 2
                else auto_config_mc(shape[0], shape[1], shape[2], k=8))
