@@ -126,27 +126,57 @@ def _pack(x):
             .transpose(1, 3, 0, 2))
 
 
-def _pack_mc(ucf):
-    """(C, H, W) channels-first -> (C, 2, 2, H/2, W/2): a static Python
-    loop over channels so each pack keeps the rank-2 fusion (see _pack
-    for why vmap here OOMs at 8K).
+def _pack_n(xn):
+    """(N, H, W) -> (N, 2, 2, H/2, W/2), O(1) trace size.
 
-    Trace cost is deliberately N-linear: each leading slice unrolls one
-    reshape+transpose pair into the jaxpr, so a batched caller
-    (packed_resident_iterations_batch at config-5 scale, N=256) grows
-    program size/compile time linearly around the kernel call. Accepted
-    trade-off (ADVICE r3): the safe rank-preserving alternative — one
-    (N, H/2, 2, W/2, 2) reshape+transpose — still carries a trailing
-    length-2 lane dim, the exact shape class measured as the 64x tiled-
-    layout HBM transient under vmap; do not switch without re-measuring
-    that transient at 8K."""
-    return jnp.stack([_pack(c) for c in ucf])
+    The MXU-permutation form of _pack batches cleanly: its lane
+    deinterleave is a dot_general whose minor dims are 256/128 (never
+    the trailing length-2 lane dim that makes the vmapped LEGACY
+    reshape a 64x tiled-layout HBM transient — see _pack), and the row
+    split is the same major-dim transpose with the minor dim intact.
+    One batched matmul + transpose replaces the former static per-frame
+    Python loop, whose trace/program size grew linearly with N around
+    the kernel call (ADVICE r3: N=256 at config-5 scale). Measured
+    on-chip 2026-08-19 (artifacts/ab_pack_batch_2026-08-19.out):
+    config-5-scale compile+first 274.7 s -> 5.9 s (46x), throughput
+    identical (24.1 G both), 8K RGB pack+unpack round-trip ~5 ms
+    device time (no 64x transient). Non-MXU widths keep the per-frame loop
+    (odd sharded local shapes are never batched at scale)."""
+    N, H, W = xn.shape
+    if W % _MXU_G == 0:
+        pm = _perm_matrix(xn.dtype.name)
+        xb = xn.reshape(N, H, W // _MXU_G, _MXU_G)
+        y = jax.lax.dot_general(xb, pm, (((3,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST)
+        ye = y[..., :_MXU_G // 2].reshape(N, H, W // 2)
+        yo = y[..., _MXU_G // 2:].reshape(N, H, W // 2)
+        pe = ye.reshape(N, H // 2, 2, W // 2).transpose(0, 2, 1, 3)
+        po = yo.reshape(N, H // 2, 2, W // 2).transpose(0, 2, 1, 3)
+        return jnp.stack([pe, po], axis=2)
+    return jnp.stack([_pack(c) for c in xn])
+
+
+def _pack_mc(ucf):
+    """(C, H, W) channels-first -> (C, 2, 2, H/2, W/2). Alias of
+    _pack_n (a channel axis is just a batch axis for the pack)."""
+    return _pack_n(ucf)
 
 
 def _unpack_n(planes_n):
-    """(N, 2, 2, H/2, W/2) -> (N, H, W): static per-slice loop (the
-    vmap'd unpack has the same 64x trailing-length-2 tiled-layout
-    transient as the vmap'd pack - see _pack)."""
+    """(N, 2, 2, H/2, W/2) -> (N, H, W). Inverse of _pack_n: batched
+    MXU re-interleave when W % 256 == 0, per-slice loop otherwise."""
+    N, _, _, Hp, Wp = planes_n.shape
+    H, W = 2 * Hp, 2 * Wp
+    if W % _MXU_G == 0:
+        pm = _perm_matrix(planes_n.dtype.name)
+        ye = planes_n[:, :, 0].transpose(0, 2, 1, 3).reshape(N, H, Wp)
+        yo = planes_n[:, :, 1].transpose(0, 2, 1, 3).reshape(N, H, Wp)
+        y = jnp.concatenate([ye.reshape(N, H, W // _MXU_G, _MXU_G // 2),
+                             yo.reshape(N, H, W // _MXU_G, _MXU_G // 2)],
+                            axis=-1)
+        xb = jax.lax.dot_general(y, pm, (((3,), (1,)), ((), ())),
+                                 precision=jax.lax.Precision.HIGHEST)
+        return xb.reshape(N, H, W)
     return jnp.stack([_unpack(pl) for pl in planes_n])
 
 
@@ -1582,15 +1612,8 @@ def packed_resident_iterations_batch(phis, u0s, p: CVParams, iters: int,
         mu=p.mu, nu=p.nu, l1=p.lambda1, l2=p.lambda2, dt=p.dt, eps=p.eps,
         eta2=p.eta2, n_pix=float(H * W))
     scr = (2, 2, H // 2, W // 2)
-    # _pack_mc/_unpack_n unroll a static per-frame loop, so trace/program
-    # size grows linearly with N around the kernel call (~2 fused
-    # reshape+transpose pairs per frame). Accepted: at the config-5 scale
-    # (N=256, 512^2) compile time stays in the normal axon range, and the
-    # rank-2-per-frame shape is what keeps each pack a single fused
-    # copy (the vmapped/rank-4 alternatives hit the 64x tiled-layout
-    # transient documented in _pack).
     out, partials = _resident_call(
-        kernel, _pack_mc(phis), _pack_mc(u0s), (N,) + scr, (N, 8),
+        kernel, _pack_n(phis), _pack_n(u0s), (N,) + scr, (N, 8),
         (N, steps),
         [pltpu.VMEM(scr, phis.dtype), pltpu.VMEM(scr, phis.dtype)],
         interpret)
