@@ -69,11 +69,23 @@ def auto_config(H, W, k=None, unroll=None, packed=None, fuse=None):
     measured 2026-08-18 clean session (scripts/ab_fusej.py,
     artifacts/ab_fusej_2026-08-18.out): +7.1% on packed u4 at 8K
     (17.15 -> 18.36 G, the new 8K default), +3.6-6.9% on flat u4 at
-    4K/8K, -2% on packed u1 at 4K (stays unfused), and a compile-time
-    VMEM OOM at k=16 x unroll=4 flat (69M register spills) — so auto
-    turns fuse on exactly for the unroll=4, k <= 8, >= 4K-area regimes
-    where it measured ahead: never with the spill-prone deep-k
-    geometry, and not below 4K area where it is unmeasured.
+    4K/8K, -2% on packed u1 at 4K, and a compile-time VMEM OOM at
+    k=16 x unroll=4 flat (69M register spills) — so auto turns fuse on
+    exactly for the unroll=4, k <= 8, >= 4K-area regimes where it
+    measured ahead: never with the spill-prone deep-k geometry, and
+    not below 4K area where it is unmeasured.
+
+    2026-08-19 (scripts/ab_4k_bp_unroll.py, asymptotic 800-it
+    protocol, artifacts/ab_4k_bp_unroll_2026-08-19.out + confirm
+    session): packed u4+fusej BEATS packed u1 at 4K too (25727 vs
+    24845, then 25811 vs 25399 — +1.6-3.5% across two sessions), and
+    the round-3 "packed spills at unroll >= 2" does not hold for the
+    fused-j form at bp <= 96 (compiles in 40-156 s). Packed unroll is
+    therefore 4 wherever fuse will engage AND the band geometry is
+    inside the measured envelope (bp <= 96, i.e. W >= 3840; taller
+    bands at narrower widths are unmeasured VMEM territory); u1
+    otherwise. Shorter forced bands lose (u4 bp64 fusej 24697,
+    bp48 22407 — redundancy tax), so bp stays at band_rows_packed.
     """
     from ..ops import pallas_packed
 
@@ -83,10 +95,16 @@ def auto_config(H, W, k=None, unroll=None, packed=None, fuse=None):
         packed = (H * W >= 2160 * 3840
                   and pallas_packed.supports_packed_banded(H, W, k))
     if unroll is None:
-        # packed prefers unroll=1 up to 4K area (spills beyond u=1) but
-        # unroll=4 at 8K where the VMEM-squeezed flat bands flip the
-        # balance; flat wants 4 everywhere (measured tables)
-        unroll = 4 if (not packed or H * W > 2160 * 3840) else 1
+        if packed:
+            # u4 pays ONLY via fused-j (u4 unfused measured below u1:
+            # 22969 vs 24845); pick it only where fuse will engage.
+            bp, _, _ = pallas_packed.band_rows_packed(H, W, k)
+            will_fuse = (fuse is True
+                         or (fuse is None and k <= 8
+                             and H * W >= 2160 * 3840))
+            unroll = 4 if (will_fuse and k % 4 == 0 and bp <= 96) else 1
+        else:
+            unroll = 4  # flat wants 4 everywhere (measured tables)
     if fuse is None:
         fuse = unroll == 4 and k <= 8 and H * W >= 2160 * 3840
     return k, unroll, packed, fuse
