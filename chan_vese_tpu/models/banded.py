@@ -347,11 +347,9 @@ def _segment_banded_mc_fixed(u0, p, iters, k, phi0, lambda1, lambda2,
         phi, c1, c2 = carry
         un = unroll if size % unroll == 0 else 1
         if use_packed:
-            # the packed mc kernel has no fusej variant (packed mc is a
-            # measured loss and not the default - auto_config_mc)
             phi, parts = pallas_packed.packed_banded_chunk_mc(
-                phi, u0_st, c1, c2, p, size, unroll=un, lambda1=lambda1,
-                lambda2=lambda2, interpret=interpret)
+                phi, u0_st, c1, c2, p, size, unroll=un, fuse=fuse,
+                lambda1=lambda1, lambda2=lambda2, interpret=interpret)
         else:
             phi, parts = pallas_banded.banded_chunk_mc(
                 phi, u0_st, c1, c2, p, size, unroll=un, lambda1=lambda1,
@@ -410,10 +408,9 @@ def _segment_banded_mc(u0, p, phi0, k, lambda1, lambda2, unroll,
         phi, c1, c2, n, _, streak = state
         un = unroll if size % unroll == 0 else 1
         if use_packed:
-            # no packed-mc fusej variant (see _segment_banded_mc_fixed)
             phi, parts = pallas_packed.packed_banded_chunk_mc(
-                phi, u0_st, c1, c2, p, size, unroll=un, lambda1=lambda1,
-                lambda2=lambda2, interpret=interpret)
+                phi, u0_st, c1, c2, p, size, unroll=un, fuse=fuse,
+                lambda1=lambda1, lambda2=lambda2, interpret=interpret)
         else:
             phi, parts = pallas_banded.banded_chunk_mc(
                 phi, u0_st, c1, c2, p, size, unroll=un, lambda1=lambda1,

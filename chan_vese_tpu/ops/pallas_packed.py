@@ -1086,10 +1086,147 @@ def _packed_banded_mc_kernel(c_ref, phi_hbm, u0_hbm, out_hbm, part_ref,
             store_dma(i - 1, (i - 1) % 2).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("p", "k", "unroll", "lambda1",
-                                             "lambda2", "interpret"))
+def _packed_banded_mc_kernel_fusej(c_ref, phi_hbm, u0_hbm, out_hbm,
+                                   part_ref, phi_scr, u0_scr, f_scr,
+                                   work_scr, sems,
+                                   *, Hp, Wp, C, bp, k, upp, dnp, mu, nu,
+                                   l1, l2, dt, eps, eta2, unroll=1):
+    """Fused-j variant of _packed_banded_mc_kernel: grid (nbands,), all
+    k in-band iterations inside one grid program via a fori_loop whose
+    state round-trips through ``work_scr`` refs (the scalar
+    _packed_banded_kernel_fusej scheme — tile-sized loop carries are
+    what makes Mosaic spill; the ref round-trip keeps the live set at
+    one step's worth). Built after the 2026-08-19 4K sweep showed
+    packed unroll pays only THROUGH fused-j; the mc kernel had never
+    been measured fused (round-3 A/B predates the fusej form)."""
+    Tp = bp + upp + dnp
+    i = pl.program_id(0)
+    nbands = pl.num_programs(0)
+
+    def window(ii):
+        g0 = pl.multiple_of(jnp.minimum(ii * bp, Hp - bp), 8)
+        s = pl.multiple_of(jnp.clip(g0 - upp, 0, Hp - Tp), 8)
+        return g0, s
+
+    def load_dmas(ii, slot):
+        _, s = window(ii)
+        return (pltpu.make_async_copy(
+                    phi_hbm.at[:, :, pl.ds(s, Tp), :],
+                    phi_scr.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    u0_hbm.at[:, :, :, pl.ds(s, Tp), :],
+                    u0_scr.at[slot], sems.at[slot, 1]))
+
+    def store_dma(ii, slot):
+        g0, s = window(ii)
+        o = pl.multiple_of(g0 - s, 8)
+        return pltpu.make_async_copy(
+            work_scr.at[slot].at[:, :, pl.ds(o, bp), :],
+            out_hbm.at[:, :, pl.ds(g0, bp), :], sems.at[slot, 2])
+
+    slot = i % 2
+
+    @pl.when(i == 0)
+    def _():
+        for dma in load_dmas(i, slot):
+            dma.start()
+
+    @pl.when(i + 1 < nbands)
+    def _():
+        for dma in load_dmas(i + 1, (i + 1) % 2):
+            dma.start()
+
+    for dma in load_dmas(i, slot):
+        dma.wait()
+
+    @pl.when(i >= 2)
+    def _():
+        store_dma(i - 2, slot).wait()
+
+    for a in (0, 1):
+        for b in (0, 1):
+            f = jnp.full((Tp, Wp), -nu, dtype=phi_scr.dtype)
+            for ch in range(C):
+                u = u0_scr[slot, ch, a, b]
+                d1 = u - c_ref[0, ch]
+                d2 = u - c_ref[0, C + ch]
+                f = (f + (l2[ch] / C) * (d2 * d2)
+                     - (l1[ch] / C) * (d1 * d1))
+            f_scr[slot, a, b] = f
+    work_scr[slot] = phi_scr[slot]
+
+    def step():
+        p = [[work_scr[slot, 0, 0], work_scr[slot, 0, 1]],
+             [work_scr[slot, 1, 0], work_scr[slot, 1, 1]]]
+        f = [[f_scr[slot, 0, 0], f_scr[slot, 0, 1]],
+             [f_scr[slot, 1, 0], f_scr[slot, 1, 1]]]
+        prev = p
+        for _ in range(unroll):
+            prev = p
+            p = _packed_iteration(p, f, mu, dt, eps, eta2)
+        return p, prev
+
+    def body(jj, carry):
+        p, _ = step()
+        for a in (0, 1):
+            for b in (0, 1):
+                work_scr[slot, a, b] = p[a][b]
+        return carry
+
+    jax.lax.fori_loop(0, k // unroll - 1, body, 0, unroll=False)
+    p, prev = step()
+    for a in (0, 1):
+        for b in (0, 1):
+            work_scr[slot, a, b] = p[a][b]
+
+    store_dma(i, slot).start()
+
+    _, s = window(i)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Tp, Wp), 0)
+    grow = rows + s
+    hi = jnp.minimum((i + 1) * bp, Hp)
+    m = ((grow >= i * bp) & (grow < hi)).astype(f_scr.dtype)
+    suh = [0.0] * C
+    sh = 0.0
+    sd2 = 0.0
+    fl = 0.0
+    sad = 0.0
+    for a in (0, 1):
+        for b in (0, 1):
+            h_eps = _heaviside(p[a][b], eps)
+            hm = h_eps * m
+            d = p[a][b] - prev[a][b]
+            for ch in range(C):
+                suh[ch] += jnp.sum(u0_scr[slot, ch, a, b] * hm)
+            sh += jnp.sum(hm)
+            sd2 += jnp.sum(d * d * m)
+            fl += jnp.sum(((p[a][b] >= 0) != (prev[a][b] >= 0))
+                          .astype(d.dtype) * m)
+            sad += jnp.sum(jnp.abs(d) * m)
+    for ch in range(C):
+        part_ref[i, ch] = suh[ch]
+    part_ref[i, C] = sh
+    part_ref[i, C + 1] = sd2
+    part_ref[i, C + 2] = fl
+    part_ref[i, C + 3] = sad
+    for t in range(C + 4, 16):
+        part_ref[i, t] = 0.0
+
+    @pl.when(i == nbands - 1)
+    def _():
+        store_dma(i, slot).wait()
+
+    @pl.when((i == nbands - 1) & (nbands >= 2))
+    def _():
+        store_dma(i - 1, (i - 1) % 2).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("p", "k", "unroll", "fuse",
+                                             "lambda1", "lambda2",
+                                             "interpret"))
 def packed_banded_chunk_mc(phi_planes, u0_planes, c1, c2, p: CVParams,
                            k: int = 8, unroll: int = 1,
+                           fuse: bool = False,
                            lambda1=None, lambda2=None,
                            interpret: bool = False
                            ) -> Tuple[jax.Array, jax.Array]:
@@ -1098,6 +1235,8 @@ def packed_banded_chunk_mc(phi_planes, u0_planes, c1, c2, p: CVParams,
     ops/pallas_banded.banded_chunk_mc: c1, c2 (C,) means; returns
     (phi_planes_new, partials (16,)) = [s_uH per channel..., s_H,
     s_dphi2, flips, s_absdphi, 0...] of the last iteration's transition.
+    fuse=True collapses the j grid into an in-kernel fori_loop
+    (_packed_banded_mc_kernel_fusej), bitwise the same program.
     """
     from .pallas_banded import _banded_mc_smem_row
 
@@ -1117,15 +1256,17 @@ def packed_banded_chunk_mc(phi_planes, u0_planes, c1, c2, p: CVParams,
     nbands = pl.cdiv(Hp, bp)
     c = _banded_mc_smem_row(c1, c2, C, phi_planes.dtype)
 
+    kern = (_packed_banded_mc_kernel_fusej if fuse
+            else _packed_banded_mc_kernel)
     kernel = functools.partial(
-        _packed_banded_mc_kernel, Hp=Hp, Wp=Wp, C=C, bp=bp, k=k, upp=upp,
+        kern, Hp=Hp, Wp=Wp, C=C, bp=bp, k=k, upp=upp,
         dnp=dnp, mu=p.mu, nu=p.nu, l1=l1, l2=l2, dt=p.dt, eps=p.eps,
         eta2=p.eta2, unroll=unroll)
 
     Tp = bp + upp + dnp
     out, partials = pl.pallas_call(
         kernel,
-        grid=(nbands, k // unroll),
+        grid=(nbands,) if fuse else (nbands, k // unroll),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -1147,7 +1288,8 @@ def packed_banded_chunk_mc(phi_planes, u0_planes, c1, c2, p: CVParams,
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",) if fuse
+            else ("arbitrary", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(c, phi_planes, u0_planes)

@@ -8,11 +8,13 @@ removed the per-call pack cost, (b) the scalar sweep showed unroll only
 pays THROUGH fused-j, and the packed-mc kernel was never measured
 fused. This script measures, same-session and asymptotically (800 it):
 
-  flat auto (u4+fusej)  vs  packed u1 / u2 / u4 (no fusej variant yet)
+  flat auto (u4+fusej)  vs  packed u1/u2/u4 unfused and u1/u4 fused-j
 
-at 4K RGB. If packed u4 unfused lands within the scalar fusej uplift
-(~+12%: 22969 -> 25727) of flat-fusej, a _packed_banded_mc_kernel_fusej
-is worth building; if it is >20% behind, the round-3 verdict stands.
+at 4K RGB (_packed_banded_mc_kernel_fusej built 2026-08-19 on the
+scalar-sweep evidence that packed unroll pays only through fused-j).
+If the best packed leg beats flat auto, auto_config_mc flips its 4K
+default; otherwise the round-3 flat verdict stands with the fused
+form now also measured.
 
 Run solo on the real chip: python scripts/ab_mc_packed.py [iters] [filter]
 """
@@ -69,6 +71,8 @@ def main():
         ("packed u1         ", dict(packed=True, unroll=1, fuse=False)),
         ("packed u2         ", dict(packed=True, unroll=2, fuse=False)),
         ("packed u4         ", dict(packed=True, unroll=4, fuse=False)),
+        ("packed u1 fusej   ", dict(packed=True, unroll=1, fuse=True)),
+        ("packed u4 fusej   ", dict(packed=True, unroll=4, fuse=True)),
     ]
     for name, kw in legs:
         if only and not any(s in name.lower() for s in only):

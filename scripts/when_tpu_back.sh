@@ -9,8 +9,14 @@
 #   nohup scripts/when_tpu_back.sh >/tmp/when_tpu_back.nohup 2>&1 &
 #
 # Progress lands in /tmp/tpu_back.log; measurement outputs in
-# /tmp/ab_fusej.out, /tmp/bench_configs_rerecord.out, /tmp/bench_final.out.
+# /tmp/ab_mc_packed.out, /tmp/tpu_tests.out, /tmp/bench_final.out.
 # Stop it with `kill $(cat /tmp/when_tpu_back.pid)` (NEVER pkill -f).
+#
+# Queue history: round-4 first arming ran ab_fusej -> profile_banded ->
+# bench_configs -> bench (all landed 2026-08-18, committed under
+# artifacts/). Current queue = the packed-mc A/B (fusej variants built
+# 2026-08-19), the tpu-marked suite (covers the new fused mc kernel
+# compiled), and a bench.py confirmation.
 #
 # Probe = real jax device init in a timed subprocess, NOT an HTTP GET:
 # after the 2026-08-18 box reboot the relay LISTENED on 8083 but never
@@ -26,19 +32,17 @@ for i in $(seq 1 2000); do
     echo "tunnel back at $(date)" > /tmp/tpu_back.log
     sleep 30
     cd /root/repo
-    timeout 3600 python scripts/ab_fusej.py > /tmp/ab_fusej.out 2>&1
-    echo "fusej exit=$?" >> /tmp/tpu_back.log
-    timeout 3600 python scripts/profile_banded.py > /tmp/profile_banded.out 2>&1
-    echo "profile exit=$?" >> /tmp/tpu_back.log
-    timeout 3600 python bench_configs.py > /tmp/bench_configs_rerecord.out 2>&1
-    echo "configs exit=$?" >> /tmp/tpu_back.log
-    timeout 1200 python bench.py > /tmp/bench_final.out 2>&1
+    timeout 5400 python scripts/ab_mc_packed.py > /tmp/ab_mc_packed.out 2>&1
+    echo "ab_mc_packed exit=$?" >> /tmp/tpu_back.log
+    timeout 5400 env RUN_TPU_TESTS=1 python -m pytest tests/ -m tpu -q \
+        > /tmp/tpu_tests.out 2>&1
+    echo "tpu_tests exit=$?" >> /tmp/tpu_back.log
+    timeout 1800 python bench.py > /tmp/bench_final.out 2>&1
     echo "bench exit=$?" >> /tmp/tpu_back.log
     # mirror the raw outputs into the repo so the end-of-round
     # auto-commit preserves them even if nobody analyzes them in time
     mkdir -p /root/repo/artifacts
-    cp -f /tmp/ab_fusej.out /tmp/profile_banded.out \
-          /tmp/bench_configs_rerecord.out /tmp/bench_final.out \
+    cp -f /tmp/ab_mc_packed.out /tmp/tpu_tests.out /tmp/bench_final.out \
           /tmp/tpu_back.log /root/repo/artifacts/ 2>/dev/null
     echo "ALL DONE $(date)" >> /tmp/tpu_back.log
     cp -f /tmp/tpu_back.log /root/repo/artifacts/ 2>/dev/null

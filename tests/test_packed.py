@@ -426,6 +426,67 @@ def test_packed_banded_mc_per_channel_lambdas():
                                np.asarray(want), rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.parametrize("k,unroll", [(3, 1), (8, 1), (8, 4)])
+def test_packed_banded_mc_fusej_matches_unfused(k, unroll):
+    """fuse=True packed mc (in-kernel fori_loop over j) is the SAME
+    program as the j-grid packed mc kernel: bitwise planes."""
+    rng = np.random.default_rng(13)
+    H, W, C = 64, 256, 3
+    u0 = jnp.asarray(rng.uniform(0, 255, (H, W, C)), F32)
+    phi = jnp.asarray(rng.standard_normal((H, W)) * 5, F32)
+    p = CVParams()
+    c1, c2 = region_means(u0, phi, p.eps)
+    ucf = jnp.transpose(u0, (2, 0, 1))
+    a, pa = pp.packed_banded_chunk_mc(
+        pp._pack(phi), pp._pack_mc(ucf), c1, c2, p, k,
+        unroll=unroll, interpret=True)
+    b, pb = pp.packed_banded_chunk_mc(
+        pp._pack(phi), pp._pack_mc(ucf), c1, c2, p, k,
+        unroll=unroll, fuse=True, interpret=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                               rtol=1e-5, atol=0.5)
+
+
+def test_packed_banded_mc_driver_plumbs_fusej():
+    """segment_banded_fixed(packed=True, fuse=True) on RGB routes the
+    fuse flag into the packed mc kernel and matches the flat driver
+    (f64). Guards the driver plumbing both ways (the round-3 fused-j
+    rows were invalidated by exactly this class of dropped-flag bug)."""
+    from chan_vese_tpu.models.banded import segment_banded_fixed
+
+    rng = np.random.default_rng(14)
+    H, W, C = 64, 256, 3
+    u0 = jnp.asarray(rng.uniform(0, 255, (H, W, C)), jnp.float64)
+    p = CVParams()
+    a, _ = segment_banded_fixed(u0, p, 10, k=4, unroll=1, packed=False,
+                                fuse=False, interpret=True)
+    b, _ = segment_banded_fixed(u0, p, 10, k=4, unroll=1, packed=True,
+                                fuse=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.tpu
+def test_packed_banded_mc_fusej_compiled_tpu():
+    """Compiled packed fused-j mc kernel on the chip vs the flat mc
+    kernel."""
+    rng = np.random.default_rng(15)
+    H, W, C = 256, 256, 3
+    u0 = jnp.asarray(rng.uniform(0, 255, (H, W, C)), F32)
+    phi = jnp.asarray(rng.standard_normal((H, W)), F32)
+    p = CVParams()
+    c1, c2 = region_means(u0, phi, p.eps)
+    ucf = jnp.transpose(u0, (2, 0, 1))
+    want, wparts = pallas_banded.banded_chunk_mc(phi, ucf, c1, c2, p, 8)
+    got, gparts = pp.packed_banded_chunk_mc(
+        pp._pack(phi), pp._pack_mc(ucf), c1, c2, p, 8, fuse=True)
+    np.testing.assert_allclose(np.asarray(pp._unpack(got)),
+                               np.asarray(want), rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gparts)[:4],
+                               np.asarray(wparts)[:4], rtol=1e-4)
+
+
 @pytest.mark.tpu
 def test_packed_banded_mc_compiled_tpu():
     """Compiled packed mc kernel on the chip vs the flat mc kernel."""
