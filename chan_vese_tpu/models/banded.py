@@ -287,32 +287,48 @@ def segment_banded(u0, p: CVParams = CVParams(),
 def auto_config_mc(H, W, C, k=None, unroll=None, packed=None, fuse=None):
     """(k, unroll, packed, fuse) for the multichannel banded drivers.
 
-    Unlike the scalar flagship (where packed parity planes win from 4K
-    area up — auto_config), the mc kernel defaults to the FLAT layout at
-    every size: same-session alternating A/B measured flat k8u4 ahead at
-    both 4K RGB (9.7-9.9 G vs packed 7.6-7.9 G) and 8K RGB (10.0-10.2 G
-    vs packed 6.5 G) — the C-times-larger u0 scratch shrinks the packed
-    band height until per-grid-step overhead dominates, and deeper still
-    at 8K. packed=True remains available explicitly (parity-proven).
+    Round-4 flip (2026-08-19, scripts/ab_mc_packed.py, asymptotic
+    800-it single-dispatch protocol, artifacts/ab_mc_packed*_2026-08-19
+    .out): the packed parity-plane mc kernel now WINS at both RGB
+    sizes once it runs unroll=4 + fused-j — 4K RGB packed u4+fusej
+    24585 vs flat auto 17634 (+39%), 8K RGB 23630 vs 14037 (+68%;
+    packed RGB ~= packed gray 23.1 G — the channel surcharge almost
+    vanishes in plane space). The round-3 "flat stays the mc default"
+    verdict was an artifact of the pre-MXU-pack, pre-fused-j,
+    3-dispatch protocol. Unlike the scalar kernel, mc packed unroll=4
+    pays even UNFUSED (22047 vs u1's 15595 at 4K): the C-times-smaller
+    bands (bp=80/40 at 4K/8K vs scalar 96/48) leave VMEM headroom.
+    Measured ladder at 4K RGB: u1 15595, u2 18067, u4 22047,
+    u1+fusej 22967, u4+fusej 24585. Auto therefore picks packed from
+    4K area up (where the H % 16 / W % 256 / band-fit envelope
+    allows), unroll=4 where k % 4 == 0 and bp <= 96 (the measured
+    scalar+mc envelope), and fuse on the packed kernel for k <= 8
+    (both u1 and u4 fused legs measured ahead; compiles 20-218 s).
 
-    fuse (in-kernel fori_loop over j, flat kernel only): measured
-    2026-08-18 clean session (scripts/ab_fusej_mc.py,
-    artifacts/ab_fusej_mc_2026-08-18.out): +18.7% at 4K RGB flat u4
-    (8.50 -> 10.09 G) and +7.2% at 8K RGB flat u4 (11.30 -> 12.11 G) —
-    the new mc defaults at those sizes. unroll=1 x fusej is a
-    compile-time VMEM OOM at 4K RGB (63M register spills: the fused
-    k*u=8 trip count spills where u4's in-loop trip of 2 does not) and
-    measured behind u4-fusej at 8K RGB, so auto never pairs fuse with
-    unroll=1; below 4K area fusej is unmeasured and stays off."""
+    Flat-path policy unchanged (scripts/ab_fusej_mc.py 2026-08-18):
+    u4+fusej at >= 4K area (+18.7%/+7.2% vs unfused at 4K/8K RGB);
+    flat u1 x fusej is a compile-time VMEM OOM (63M register spills:
+    the fused k*u=8 trip count spills where u4's in-loop trip of 2
+    does not), so the flat path never pairs fuse with unroll=1;
+    below 4K area fusej is unmeasured and stays off."""
+    from ..ops import pallas_packed
+
     if k is None:
         k = 8
     if packed is None:
-        packed = False
+        packed = (H * W >= 2160 * 3840
+                  and pallas_packed.supports_packed_banded_mc(H, W, k, C))
     if unroll is None:
-        unroll = 1 if packed else 4
+        if packed:
+            bp, _, _ = pallas_packed.band_rows_packed_mc(H, W, k, C)
+            unroll = 4 if (k % 4 == 0 and bp <= 96) else 1
+        else:
+            unroll = 4
     if fuse is None:
-        fuse = (not packed and unroll == 4 and k <= 8
-                and H * W >= 2160 * 3840)
+        if packed:
+            fuse = k <= 8 and H * W >= 2160 * 3840
+        else:
+            fuse = unroll == 4 and k <= 8 and H * W >= 2160 * 3840
     return k, unroll, packed, fuse
 
 

@@ -16,9 +16,12 @@ If the best packed leg beats flat auto, auto_config_mc flips its 4K
 default; otherwise the round-3 flat verdict stands with the fused
 form now also measured.
 
-Run solo on the real chip: python scripts/ab_mc_packed.py [iters] [filter]
+Run solo on the real chip:
+    python scripts/ab_mc_packed.py [iters] [filter...]
+    AB_SIZE=8k python scripts/ab_mc_packed.py 800   # 8K RGB legs
 """
 
+import os
 import sys
 import time
 
@@ -29,7 +32,9 @@ import numpy as np
 from chan_vese_tpu.params import CVParams
 from chan_vese_tpu.models.banded import segment_banded_fixed
 
-H, W, C = 2160, 3840, 3
+_SIZES = {"4k": (2160, 3840), "8k": (4320, 7680)}
+H, W = _SIZES[os.environ.get("AB_SIZE", "4k").lower()]
+C = 3
 
 
 def leg(name, iters, reps=3, **kw):

@@ -546,3 +546,31 @@ def test_driver_forwards_fuse(monkeypatch, fuse):
                             interpret=True)
     mb.segment_banded_fixed.clear_cache()
     assert seen and all(f is fuse for f in seen)
+
+
+def test_auto_config_pins_measured_defaults():
+    """Pin the shipped auto selections at the benchmark sizes (the
+    measured tables in docs/BENCHMARKS.md; scripts/ab_4k_bp_unroll.py,
+    scripts/ab_mc_packed.py). A refactor that silently changes what a
+    default-flag user runs must trip this."""
+    from chan_vese_tpu.models.banded import auto_config, auto_config_mc
+
+    # scalar: packed u4+fusej from 4K area up; flat u4+fusej never auto
+    assert auto_config(2160, 3840) == (8, 4, True, True)
+    assert auto_config(4320, 7680) == (8, 4, True, True)
+    assert auto_config(8640, 15360) == (8, 4, True, True)
+    # below 4K area: flat u4, no fuse
+    assert auto_config(1080, 1920) == (8, 4, False, False)
+    # explicit fuse=False keeps packed at u1 (u4 unfused measured loss)
+    assert auto_config(2160, 3840, fuse=False) == (8, 1, True, False)
+
+    # mc: round-4 flip - packed u4+fusej at 4K/8K RGB
+    assert auto_config_mc(2160, 3840, 3) == (8, 4, True, True)
+    assert auto_config_mc(4320, 7680, 3) == (8, 4, True, True)
+    # below 4K area: flat u4, no fuse
+    assert auto_config_mc(1080, 1920, 3) == (8, 4, False, False)
+    # off the packed envelope (W % 256 != 0): flat u4+fusej at 4K area
+    assert auto_config_mc(2160, 3848, 3) == (8, 4, False, True)
+    # flat path must never pair fuse with unroll=1 (compile-time OOM)
+    k, u, pk, fz = auto_config_mc(2160, 3848, 3, unroll=1)
+    assert (u, pk, fz) == (1, False, False)
