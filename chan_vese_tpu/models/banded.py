@@ -304,6 +304,10 @@ def auto_config_mc(H, W, C, k=None, unroll=None, packed=None, fuse=None):
     allows), unroll=4 where k % 4 == 0 and bp <= 96 (the measured
     scalar+mc envelope), and fuse on the packed kernel for k <= 8
     (both u1 and u4 fused legs measured ahead; compiles 20-218 s).
+    At 16K RGB the pick is a measured WASH (packed 15784 vs flat
+    15732 at 400 it): mc bp halves per size doubling (80/40/16) so
+    the band-halo redundancy tax reaches 2.5x there — packed stays
+    the auto for uniformity, not for margin.
 
     Flat-path policy unchanged (scripts/ab_fusej_mc.py 2026-08-18):
     u4+fusej at >= 4K area (+18.7%/+7.2% vs unfused at 4K/8K RGB);

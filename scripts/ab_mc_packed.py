@@ -32,7 +32,7 @@ import numpy as np
 from chan_vese_tpu.params import CVParams
 from chan_vese_tpu.models.banded import segment_banded_fixed
 
-_SIZES = {"4k": (2160, 3840), "8k": (4320, 7680)}
+_SIZES = {"4k": (2160, 3840), "8k": (4320, 7680), "16k": (8640, 15360)}
 H, W = _SIZES[os.environ.get("AB_SIZE", "4k").lower()]
 C = 3
 
