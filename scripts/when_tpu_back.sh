@@ -13,10 +13,11 @@
 # Stop it with `kill $(cat /tmp/when_tpu_back.pid)` (NEVER pkill -f).
 #
 # Queue history: round-4 first arming ran ab_fusej -> profile_banded ->
-# bench_configs -> bench (all landed 2026-08-18, committed under
-# artifacts/). Current queue = the packed-mc A/B (fusej variants built
-# 2026-08-19), the tpu-marked suite (covers the new fused mc kernel
-# compiled), and a bench.py confirmation.
+# bench_configs -> bench (all landed 2026-08-18); second arming ran the
+# packed-mc A/B + suite + bench (landed 2026-08-19 09:0x-10:5x, by hand
+# after a reboot ate the watcher). Current queue = the tpu-marked suite
+# and a bench.py confirmation (keeps a fresh on-chip record near the
+# round close in case the driver's own bench run hits a dead relay).
 #
 # Probe = real jax device init in a timed subprocess, NOT an HTTP GET:
 # after the 2026-08-18 box reboot the relay LISTENED on 8083 but never
@@ -32,8 +33,6 @@ for i in $(seq 1 2000); do
     echo "tunnel back at $(date)" > /tmp/tpu_back.log
     sleep 30
     cd /root/repo
-    timeout 5400 python scripts/ab_mc_packed.py > /tmp/ab_mc_packed.out 2>&1
-    echo "ab_mc_packed exit=$?" >> /tmp/tpu_back.log
     timeout 5400 env RUN_TPU_TESTS=1 python -m pytest tests/ -m tpu -q \
         > /tmp/tpu_tests.out 2>&1
     echo "tpu_tests exit=$?" >> /tmp/tpu_back.log
@@ -42,7 +41,7 @@ for i in $(seq 1 2000); do
     # mirror the raw outputs into the repo so the end-of-round
     # auto-commit preserves them even if nobody analyzes them in time
     mkdir -p /root/repo/artifacts
-    cp -f /tmp/ab_mc_packed.out /tmp/tpu_tests.out /tmp/bench_final.out \
+    cp -f /tmp/tpu_tests.out /tmp/bench_final.out \
           /tmp/tpu_back.log /root/repo/artifacts/ 2>/dev/null
     echo "ALL DONE $(date)" >> /tmp/tpu_back.log
     cp -f /tmp/tpu_back.log /root/repo/artifacts/ 2>/dev/null
