@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "Gauss-Seidel; parity mode)")
     ap.add_argument("--color", action="store_true",
                     help="vector-valued (RGB) energy on color images")
+    ap.add_argument("--pyramid", type=int, default=0, metavar="L",
+                    help="coarse-to-fine multiscale: segment an L-times "
+                         "2x-decimated copy first and refine upward "
+                         "(tolerance mode, single chip; -1 = auto depth)")
     ap.add_argument("--multiphase", type=int, default=0, metavar="M",
                     help="use M coupled level sets (2^M phases)")
     ap.add_argument("--smooth", type=int, default=0, metavar="STEPS",
@@ -163,6 +167,14 @@ def main(argv=None) -> int:
     fixed = args.iters is not None
     log = (lambda *a: None) if args.quiet else (
         lambda *a: print(*a, file=sys.stderr))
+
+    if args.pyramid and (args.multiphase or args.mesh is not None or fixed):
+        # the coarse-to-fine warm start is a tolerance-mode single-chip
+        # surface; fixed-iteration counts and sharded meshes keep their
+        # exact-schedule semantics
+        warn_dropped("fixed-iteration/sharded/multiphase",
+                     ("--pyramid", True))
+        args.pyramid = 0
 
     if args.multiphase:
         if args.mesh is not None:
@@ -438,7 +450,15 @@ def main(argv=None) -> int:
                 frames.append(np.asarray(phi))
             image_io.save_evolution_gif(args.evolution_gif, img, frames)
     else:
-        if args.color:
+        if args.pyramid:
+            from .models.pyramid import segment_pyramid
+
+            res = segment_pyramid(
+                u0, p, levels=(None if args.pyramid < 0 else args.pyramid),
+                lambda1=lam1, lambda2=lam2)
+            log(f"pyramid per-level iters (coarse -> fine): "
+                f"{res.level_iters}")
+        elif args.color:
             res = segment_vector(u0, p, lambda1=lam1, lambda2=lam2)
         elif (not args.no_fused) and jax.default_backend() == "tpu" \
                 and args.order == "redblack":

@@ -8,6 +8,7 @@ from .batched import (segment_batch, segment_stack_fixed,
                       segment_stack_fused_fixed)
 from .fused import segment_fused, segment_fused_fixed
 from .banded import segment_banded, segment_banded_fixed
+from .pyramid import PyramidResult, segment_pyramid
 
 __all__ = [
     "segment", "segment_fixed", "step", "SegResult", "SegTrace",
@@ -17,4 +18,5 @@ __all__ = [
     "segment_batch", "segment_stack_fixed", "segment_stack_fused_fixed",
     "segment_fused", "segment_fused_fixed",
     "segment_banded", "segment_banded_fixed",
+    "segment_pyramid", "PyramidResult",
 ]

@@ -1,0 +1,155 @@
+"""Coarse-to-fine (multiscale pyramid) Chan-Vese driver.
+
+Classic multiscale acceleration for level-set segmentation (the published
+Chan-Vese lineage routinely uses multiresolution warm starts; the empty
+reference mount publishes none - SURVEY.md Section 0 - so this is a
+rebuild-side capability on top of the L3 drivers): segment a 2x-decimated
+copy of the image first, upsample the converged level set, and use it as
+the initialization one level finer. The contour at each finer level only
+needs LOCAL refinement (a few pixels around the upsampled interface), so
+the expensive full-resolution level runs a handful of iterations instead
+of the full from-scratch schedule - on large images the total wall clock
+drops by whatever fraction of iterations the warm start saves, while the
+fixed point it lands on is the same basin (per-level convergence is the
+standard tol/patience machinery of the underlying drivers).
+
+TPU-first structure: each level is ONE device program (the banded /
+fused / jnp driver chain of models/banded.py, with its size-aware kernel
+auto-config and transparent fallbacks), so a pyramid run is L back-to-back
+device programs with only the level-set handed across - no host work in
+between beyond the (jitted) resize. Decimation is exact 2x2 mean pooling
+(a reshape-reduce XLA fuses into one pass); level-set upsampling is
+bilinear via jax.image.resize with a x2 value scale, preserving the
+|grad phi| ~ O(1) magnitude an SDF-like phi carries so the semi-implicit
+step's curvature regularization starts at the right scale.
+
+Level planning: ``levels=None`` decimates while both dimensions stay
+even and min(H, W) stays >= ``min_dim`` (default 128 - below that the
+per-level latency floor, ~30 us/iteration on the tunnel, dominates and
+extra levels stop paying; docs/BENCHMARKS.md "latency-bound" section).
+
+Works for grayscale (H, W) and vector-valued (H, W, C) images; multiphase
+is not wired (its label coupling needs per-phase upsampling - use the
+multiphase drivers directly).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.reinit import reinit as _reinit
+from ..params import CVParams
+from .banded import segment_banded
+
+
+class PyramidResult(NamedTuple):
+    phi: jax.Array          # final full-resolution level set (H, W)
+    mask: jax.Array         # phi >= 0 (bool)
+    iters: jax.Array        # iterations run at the FINEST level (the
+                            # full-resolution work; compare to a direct
+                            # run's SegResult.iters)
+    delta: jax.Array        # finest level's final update norm
+    c1: jax.Array           # final inside mean(s)
+    c2: jax.Array           # final outside mean(s)
+    level_iters: Tuple[int, ...]  # per-level iterations, coarse -> fine
+
+
+def plan_levels(H: int, W: int, levels: Optional[int] = None,
+                min_dim: int = 128) -> int:
+    """Number of 2x decimations to use (0 = no pyramid).
+
+    Auto (levels=None): decimate while both dims remain even and
+    min(H, W) stays >= min_dim. An explicit ``levels`` is clipped to
+    the divisibility limit (odd intermediate dims are never produced).
+    """
+    max_div = 0
+    h, w = H, W
+    while h % 2 == 0 and w % 2 == 0 and min(h, w) >= 2 * min_dim:
+        h, w = h // 2, w // 2
+        max_div += 1
+    if levels is None:
+        return max_div
+    return max(0, min(levels, max_div))
+
+
+def downsample2x(u0: jax.Array) -> jax.Array:
+    """Exact 2x2 mean pooling; (H, W) or (H, W, C), H and W even."""
+    H, W = u0.shape[:2]
+    if H % 2 or W % 2:
+        raise ValueError(f"downsample2x needs even dims, got {u0.shape}")
+    x = u0.reshape((H // 2, 2, W // 2, 2) + u0.shape[2:])
+    return x.mean(axis=(1, 3))
+
+
+def upsample_phi2x(phi: jax.Array) -> jax.Array:
+    """Bilinear 2x upsample of a level set, values scaled by 2.
+
+    The value scale keeps an SDF-like phi's gradient magnitude ~1 in the
+    finer grid's pixel units (distances double in pixels), so the
+    curvature term |grad phi| regularization starts at the scale the
+    coarse level converged with. Only the sign matters for the region
+    means, so this is a conditioning choice, not a correctness one.
+    """
+    H, W = phi.shape
+    return jax.image.resize(phi, (2 * H, 2 * W), "linear") * 2.0
+
+
+_pool = jax.jit(downsample2x)
+_redistance = jax.jit(_reinit, static_argnums=(1,))
+
+
+def segment_pyramid(u0, p: CVParams = CVParams(),
+                    levels: Optional[int] = None,
+                    phi0: Optional[jax.Array] = None,
+                    lambda1: Optional[Sequence[float]] = None,
+                    lambda2: Optional[Sequence[float]] = None,
+                    min_dim: int = 128) -> PyramidResult:
+    """Coarse-to-fine segmentation to convergence.
+
+    Each level runs models/banded.segment_banded (tolerance mode, with
+    its transparent kernel/jnp fallbacks), so on TPU the big levels get
+    the banded/packed Pallas kernels and small levels the fused kernel.
+    ``phi0`` (optional) seeds the COARSEST level (mean-pooled down).
+    Per-channel lambda tuples follow the vector-valued convention
+    (models/vector.py).
+    """
+    if u0.ndim == 3:
+        lambda1, lambda2 = p.channel_lambdas(u0.shape[-1], lambda1,
+                                             lambda2)
+    L = plan_levels(*u0.shape[:2], levels=levels, min_dim=min_dim)
+
+    # image pyramid, fine -> coarse (exact mean pooling, jitted)
+    images = [u0]
+    for _ in range(L):
+        images.append(_pool(images[-1]))
+
+    phi = None
+    if phi0 is not None:
+        phi = phi0
+        for _ in range(L):
+            # distances halve in the coarser grid's pixel units
+            phi = _pool(phi) * 0.5
+
+    level_iters = []
+    res = None
+    for lvl, u in enumerate(reversed(images)):  # coarse -> fine
+        res = segment_banded(u, p, phi0=phi,
+                             lambda1=lambda1, lambda2=lambda2)
+        level_iters.append(int(res.iters))
+        if lvl < L:
+            # Redistance the upsampled level set before refining: the
+            # converged coarse phi has grown to O(100+) amplitude (the
+            # semi-implicit flow's ~t^(1/3) drift, CLAUDE.md invariants),
+            # so its near-interface slope is huge and the fine level's
+            # data force could barely move the contour - MEASURED to make
+            # the warm start a net LOSS (finest level 28 iters vs 18 from
+            # scratch at 256^2). With the Sussman redistance the slope is
+            # ~1 within the delta_eps band and the finest level only pays
+            # for true local refinement.
+            phi = _redistance(upsample_phi2x(res.phi), p.reinit_steps)
+
+    return PyramidResult(res.phi, res.mask, res.iters, res.delta,
+                         res.c1, res.c2, tuple(level_iters))

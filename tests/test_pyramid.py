@@ -1,0 +1,160 @@
+"""Coarse-to-fine pyramid driver tests (models/pyramid.py).
+
+The pyramid is a rebuild-side capability (the empty reference mount
+publishes none - SURVEY.md Section 0): per-level convergence runs the
+standard L3 drivers, so these tests pin (a) the level-planning /
+resampling algebra exactly, (b) that the warm-started finest level lands
+in the same basin as a direct run (mask IoU), and (c) that the warm start
+actually SAVES finest-level iterations - the point of the feature.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chan_vese_tpu import CVParams
+from chan_vese_tpu.models.pyramid import (downsample2x, plan_levels,
+                                          segment_pyramid, upsample_phi2x)
+from chan_vese_tpu.models.scalar import segment
+from fixtures import colored_squares, iou, two_disks
+
+F64 = jnp.float64
+
+
+# ---------------------------------------------------------------- algebra
+
+def test_plan_levels_auto_respects_min_dim_and_divisibility():
+    assert plan_levels(512, 512, min_dim=128) == 2   # 512 -> 256 -> 128
+    assert plan_levels(512, 512, min_dim=256) == 1
+    assert plan_levels(2160, 3840, min_dim=128) == 4  # 2160/16=135 odd next
+    assert plan_levels(100, 100, min_dim=128) == 0    # already < 2*min_dim
+    # odd dimension blocks decimation entirely
+    assert plan_levels(511, 512, min_dim=4) == 0
+
+
+def test_plan_levels_explicit_is_clipped_not_trusted():
+    assert plan_levels(512, 512, levels=1, min_dim=128) == 1
+    assert plan_levels(512, 512, levels=99, min_dim=128) == 2
+    assert plan_levels(512, 512, levels=0, min_dim=128) == 0
+    assert plan_levels(512, 512, levels=-3, min_dim=128) == 0
+
+
+def test_downsample2x_is_exact_mean_pooling():
+    x = jnp.arange(4 * 6, dtype=F64).reshape(4, 6)
+    y = downsample2x(x)
+    assert y.shape == (2, 3)
+    expect = np.asarray(x).reshape(2, 2, 3, 2).mean(axis=(1, 3))
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=0, atol=0)
+
+
+def test_downsample2x_multichannel_and_odd_rejection():
+    x = jnp.ones((8, 8, 3), F64) * jnp.arange(3, dtype=F64)
+    y = downsample2x(x)
+    assert y.shape == (4, 4, 3)
+    np.testing.assert_allclose(np.asarray(y),
+                               np.ones((4, 4, 3)) * np.arange(3))
+    with pytest.raises(ValueError):
+        downsample2x(jnp.ones((7, 8), F64))
+
+
+def test_upsample_phi2x_doubles_shape_and_sdf_scale():
+    # an exact linear ramp (gradient-1 SDF analog) upsamples to the exact
+    # gradient-1 ramp of the finer grid up to the boundary half-cells
+    i = jnp.arange(16, dtype=F64)
+    phi = jnp.broadcast_to(i[:, None], (16, 16))
+    up = upsample_phi2x(phi)
+    assert up.shape == (32, 32)
+    interior = np.asarray(up)[2:-2, 2:-2]
+    d = np.diff(interior, axis=0)
+    np.testing.assert_allclose(d, 1.0, atol=1e-9)
+
+
+# ------------------------------------------------------------- end-to-end
+
+def test_pyramid_matches_direct_mask_two_disks():
+    # circle init pins the orientation of the phi -> -phi symmetric pair
+    # of fixed points at every level (the checkerboard can land either
+    # orientation, resolution-dependently - same convention as the other
+    # tolerance-mode gt tests)
+    img, gt = two_disks(256, 256, noise=8.0)
+    u = jnp.asarray(img, F64)
+    p = CVParams(init="circle")
+    direct = segment(u, p)
+    pyr = segment_pyramid(u, p, min_dim=32)
+    assert len(pyr.level_iters) >= 2
+    assert iou(np.asarray(pyr.mask), gt) >= 0.98
+    assert iou(np.asarray(pyr.mask), np.asarray(direct.mask)) >= 0.98
+
+
+def test_pyramid_saves_finest_level_iterations():
+    """The warm start must cut full-resolution work vs a cold start -
+    the reason the feature exists."""
+    img, _ = two_disks(256, 256, noise=8.0)
+    u = jnp.asarray(img, F64)
+    p = CVParams(init="circle")
+    direct = segment(u, p)
+    pyr = segment_pyramid(u, p, min_dim=32)
+    assert int(pyr.iters) < int(direct.iters)
+    # total fine-equivalent work (level pixels weighted) is also lower
+    total = sum(n * 0.25 ** lvl
+                for lvl, n in enumerate(reversed(pyr.level_iters)))
+    assert total < int(direct.iters)
+
+
+def test_pyramid_levels_zero_is_plain_segment():
+    img, _ = two_disks(64, 64, noise=5.0)
+    u = jnp.asarray(img, F64)
+    p = CVParams(init="circle")
+    direct = segment(u, p)
+    pyr = segment_pyramid(u, p, levels=0)
+    assert pyr.level_iters == (int(direct.iters),)
+    np.testing.assert_array_equal(np.asarray(pyr.mask),
+                                  np.asarray(direct.mask))
+
+
+def test_pyramid_vector_rgb():
+    img, gt = colored_squares(128, 128, noise=5.0)
+    u = jnp.asarray(img, F64)
+    p = CVParams(init="circle")
+    pyr = segment_pyramid(u, p, min_dim=32,
+                          lambda1=(1.0, 1.2, 0.8))
+    assert pyr.c1.shape == (3,)
+    assert len(pyr.level_iters) >= 2
+    assert iou(np.asarray(pyr.mask), gt) >= 0.98
+
+
+def test_pyramid_phi0_seeds_coarsest_level():
+    """A user phi0 at full resolution must thread down to the coarsest
+    level: seeding with the DIRECT run's converged phi must leave the
+    coarsest level strictly less to do than the cold checkerboard/circle
+    start (if phi0 were silently dropped the two would tie)."""
+    img, _ = two_disks(128, 128, noise=5.0)
+    u = jnp.asarray(img, F64)
+    p = CVParams(init="circle")
+    direct = segment(u, p)
+    cold = segment_pyramid(u, p, min_dim=32)
+    seeded = segment_pyramid(u, p, min_dim=32, phi0=direct.phi)
+    assert seeded.level_iters[0] < cold.level_iters[0]
+    assert iou(np.asarray(seeded.mask), np.asarray(direct.mask)) >= 0.99
+
+
+def test_pyramid_cli_flag(tmp_path):
+    """--pyramid -1 runs the coarse-to-fine path end-to-end; the flag is
+    dropped (with a warning) in fixed mode."""
+    from chan_vese_tpu.cli import main
+    from chan_vese_tpu.utils import image_io
+
+    img, gt = two_disks(256, 256, noise=5.0)
+    src = tmp_path / "in.npy"
+    np.save(src, img.astype(np.float32))
+    out = tmp_path / "mask.png"
+    rc = main([str(src), "-o", str(out), "--pyramid", "-1", "--f64",
+               "--init", "circle"])
+    assert rc == 0 and out.exists()
+    mask = image_io.load_image(str(out)) > 127
+    assert iou(mask, gt) >= 0.98
+    # fixed mode: flag warned away, still succeeds
+    rc = main([str(src), "-o", str(out), "--pyramid", "2", "--iters", "40",
+               "--init", "circle"])
+    assert rc == 0
