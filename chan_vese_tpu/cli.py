@@ -168,11 +168,11 @@ def main(argv=None) -> int:
     log = (lambda *a: None) if args.quiet else (
         lambda *a: print(*a, file=sys.stderr))
 
-    if args.pyramid and (args.multiphase or args.mesh is not None or fixed):
+    if args.pyramid and (args.mesh is not None or fixed):
         # the coarse-to-fine warm start is a tolerance-mode single-chip
         # surface; fixed-iteration counts and sharded meshes keep their
         # exact-schedule semantics
-        warn_dropped("fixed-iteration/sharded/multiphase",
+        warn_dropped("fixed-iteration/sharded",
                      ("--pyramid", True))
         args.pyramid = 0
 
@@ -291,6 +291,17 @@ def main(argv=None) -> int:
                                             tr.delta)
             if diverged_exit(iters, tr.energy[-1]):
                 return 1
+        elif args.pyramid:
+            from .models.pyramid import segment_pyramid_multiphase
+
+            lv = None if args.pyramid < 0 else args.pyramid
+            res = segment_pyramid_multiphase(u0, p,
+                                             m_sets=args.multiphase,
+                                             levels=lv)
+            labels, iters = res.labels, int(res.iters)
+            if diverged_exit(iters, res.cs, res.delta):
+                return 1
+            log(f"pyramid levels: {res.level_iters} iters coarse->fine")
         else:
             res = mp.segment_multiphase(u0, p, m_sets=args.multiphase)
             labels, iters = res.labels, int(res.iters)

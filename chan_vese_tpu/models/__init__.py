@@ -8,7 +8,8 @@ from .batched import (segment_batch, segment_stack_fixed,
                       segment_stack_fused_fixed)
 from .fused import segment_fused, segment_fused_fixed
 from .banded import segment_banded, segment_banded_fixed
-from .pyramid import PyramidResult, segment_pyramid
+from .pyramid import (MultiphasePyramidResult, PyramidResult,
+                      segment_pyramid, segment_pyramid_multiphase)
 
 __all__ = [
     "segment", "segment_fixed", "step", "SegResult", "SegTrace",
@@ -19,4 +20,5 @@ __all__ = [
     "segment_fused", "segment_fused_fixed",
     "segment_banded", "segment_banded_fixed",
     "segment_pyramid", "PyramidResult",
+    "segment_pyramid_multiphase", "MultiphasePyramidResult",
 ]

@@ -28,9 +28,11 @@ even and min(H, W) stays >= ``min_dim`` (default 128 - below that the
 per-level latency floor, ~30 us/iteration on the tunnel, dominates and
 extra levels stop paying; docs/BENCHMARKS.md "latency-bound" section).
 
-Works for grayscale (H, W) and vector-valued (H, W, C) images; multiphase
-is not wired (its label coupling needs per-phase upsampling - use the
-multiphase drivers directly).
+Works for grayscale (H, W) and vector-valued (H, W, C) images via
+``segment_pyramid``; the multiphase family (M coupled level sets,
+2^M phases) gets the same treatment in ``segment_pyramid_multiphase``
+(each phi is independently upsampled + redistanced - the coupling lives
+entirely in the per-level solves).
 """
 
 from __future__ import annotations
@@ -153,3 +155,60 @@ def segment_pyramid(u0, p: CVParams = CVParams(),
 
     return PyramidResult(res.phi, res.mask, res.iters, res.delta,
                          res.c1, res.c2, tuple(level_iters))
+
+
+class MultiphasePyramidResult(NamedTuple):
+    phis: jax.Array      # (M, H, W) final full-resolution level sets
+    labels: jax.Array    # (H, W) int32 phase labels (bit m = phi_m >= 0)
+    iters: jax.Array     # iterations run at the FINEST level
+    delta: jax.Array     # finest level's final label-flip fraction
+    cs: jax.Array        # (2^M, ...) phase means
+    level_iters: Tuple[int, ...]  # per-level iterations, coarse -> fine
+
+
+def segment_pyramid_multiphase(u0, p: CVParams = CVParams(),
+                               m_sets: int = 2,
+                               levels: Optional[int] = None,
+                               phis0: Optional[jax.Array] = None,
+                               min_dim: int = 128
+                               ) -> MultiphasePyramidResult:
+    """Coarse-to-fine multiphase (Vese-Chan) segmentation to convergence.
+
+    Same structure as segment_pyramid, with models/multiphase's
+    segment_multiphase (fused mp2 kernels on TPU where they apply) as the
+    per-level solver. The M level sets are coupled only through the
+    per-level solves; across levels each phi is upsampled and redistanced
+    independently, which preserves the phase-label assignment (labels are
+    sign patterns, and bilinear upsampling preserves signs away from the
+    interface). ``phis0`` (optional, (M, H, W) at full resolution) seeds
+    the coarsest level, mirroring segment_pyramid's phi0.
+    """
+    from .multiphase import segment_multiphase
+
+    L = plan_levels(*u0.shape[:2], levels=levels, min_dim=min_dim)
+
+    images = [u0]
+    for _ in range(L):
+        images.append(_pool(images[-1]))
+
+    phis = None
+    if phis0 is not None:
+        phis = phis0
+        for _ in range(L):
+            phis = jax.vmap(downsample2x)(phis) * 0.5
+
+    level_iters = []
+    res = None
+    for lvl, u in enumerate(reversed(images)):  # coarse -> fine
+        res = segment_multiphase(u, p, m_sets=m_sets, phis0=phis)
+        level_iters.append(int(res.iters))
+        if lvl < L:
+            # same redistance rationale as the scalar driver above: the
+            # converged coarse phis carry O(100+) amplitudes whose steep
+            # near-interface slopes would freeze the fine-level contours
+            phis = jnp.stack([
+                _redistance(upsample_phi2x(res.phis[m]), p.reinit_steps)
+                for m in range(m_sets)])
+
+    return MultiphasePyramidResult(res.phis, res.labels, res.iters,
+                                   res.delta, res.cs, tuple(level_iters))

@@ -15,9 +15,11 @@ import pytest
 
 from chan_vese_tpu import CVParams
 from chan_vese_tpu.models.pyramid import (downsample2x, plan_levels,
-                                          segment_pyramid, upsample_phi2x)
+                                          segment_pyramid,
+                                          segment_pyramid_multiphase,
+                                          upsample_phi2x)
 from chan_vese_tpu.models.scalar import segment
-from fixtures import colored_squares, iou, two_disks
+from fixtures import colored_squares, four_regions, iou, two_disks
 
 F64 = jnp.float64
 
@@ -137,6 +139,75 @@ def test_pyramid_phi0_seeds_coarsest_level():
     seeded = segment_pyramid(u, p, min_dim=32, phi0=direct.phi)
     assert seeded.level_iters[0] < cold.level_iters[0]
     assert iou(np.asarray(seeded.mask), np.asarray(direct.mask)) >= 0.99
+
+
+def test_pyramid_multiphase_matches_direct_labels():
+    from chan_vese_tpu.models import multiphase as mp
+    from test_multiphase import label_accuracy
+
+    img, gt = four_regions(128, 128, noise=4.0)
+    u = jnp.asarray(img, F64)
+    p = CVParams(mu=0.003 * 255.0 ** 2, max_iter=300)
+    direct = mp.segment_multiphase(u, p, m_sets=2)
+    pyr = segment_pyramid_multiphase(u, p, min_dim=32)
+    assert len(pyr.level_iters) >= 2
+    assert label_accuracy(np.asarray(pyr.labels), gt) >= 0.97
+    assert label_accuracy(np.asarray(pyr.labels),
+                          np.asarray(direct.labels)) >= 0.97
+    # NOTE: no work-saving assertion here - the default checkerboard
+    # init puts zero contours everywhere, so the direct solve is already
+    # ~size-independent (it converged in 10 iters at 128^2); the pyramid
+    # pays when iterations scale with contour travel (circles, below)
+
+
+def test_pyramid_multiphase_saves_work_circles_init():
+    """With a localized (circles) init the direct solve's iterations
+    scale with contour travel distance; the pyramid must cut the
+    fine-equivalent total work - the reason the feature exists."""
+    from chan_vese_tpu.models import multiphase as mp
+    from chan_vese_tpu.models.multiphase import init_multiphase
+
+    img, _ = four_regions(128, 128, noise=4.0)
+    u = jnp.asarray(img, F64)
+    p = CVParams(mu=0.003 * 255.0 ** 2, max_iter=500)
+    phis0 = init_multiphase((128, 128), 2, kind="circles", dtype=F64)
+    direct = mp.segment_multiphase(u, p, m_sets=2, phis0=phis0)
+    pyr = segment_pyramid_multiphase(u, p, min_dim=32, phis0=phis0)
+    assert int(pyr.iters) < int(direct.iters)
+    total = sum(n * 0.25 ** lvl
+                for lvl, n in enumerate(reversed(pyr.level_iters)))
+    assert total < int(direct.iters)
+
+
+def test_pyramid_multiphase_phis0_seeds_coarsest_level():
+    from chan_vese_tpu.models import multiphase as mp
+
+    img, _ = four_regions(128, 128, noise=4.0)
+    u = jnp.asarray(img, F64)
+    p = CVParams(mu=0.003 * 255.0 ** 2, max_iter=300)
+    direct = mp.segment_multiphase(u, p, m_sets=2)
+    cold = segment_pyramid_multiphase(u, p, min_dim=32)
+    seeded = segment_pyramid_multiphase(u, p, min_dim=32,
+                                        phis0=direct.phis)
+    assert seeded.level_iters[0] < cold.level_iters[0]
+
+
+def test_pyramid_multiphase_cli_flag(tmp_path):
+    from chan_vese_tpu.cli import main
+    from chan_vese_tpu.utils import image_io
+    from test_multiphase import label_accuracy
+
+    img, gt = four_regions(128, 128, noise=4.0)
+    src = tmp_path / "in.npy"
+    np.save(src, img.astype(np.float32))
+    out = tmp_path / "labels.png"
+    rc = main([str(src), "--multiphase", "2", "--pyramid", "-1",
+               "--mu", "195", "--f64", "-o", str(out), "--quiet"])
+    assert rc == 0 and out.exists()
+    lab = image_io.load_image(str(out))
+    # save_labels spreads {0..3} over [0,255]; undo the spread
+    lab = np.rint(lab / 85.0).astype(np.int32)
+    assert label_accuracy(lab, gt) >= 0.97
 
 
 def test_pyramid_cli_flag(tmp_path):
