@@ -168,11 +168,12 @@ def main(argv=None) -> int:
     log = (lambda *a: None) if args.quiet else (
         lambda *a: print(*a, file=sys.stderr))
 
-    if args.pyramid and (args.mesh is not None or fixed):
-        # the coarse-to-fine warm start is a tolerance-mode single-chip
-        # surface; fixed-iteration counts and sharded meshes keep their
-        # exact-schedule semantics
-        warn_dropped("fixed-iteration/sharded",
+    if args.pyramid and (fixed or (args.mesh is not None
+                                   and args.multiphase)):
+        # the coarse-to-fine warm start is a tolerance-mode surface;
+        # fixed-iteration counts keep their exact-schedule semantics,
+        # and the sharded multiphase driver has no pyramid composition
+        warn_dropped("fixed-iteration/sharded-multiphase",
                      ("--pyramid", True))
         args.pyramid = 0
 
@@ -332,9 +333,21 @@ def main(argv=None) -> int:
                          ("--trace-energy", args.trace_energy),
                          ("--evolution-gif", args.evolution_gif),
                          ("--checkpoint-dir", args.checkpoint_dir))
-            res = segment_sharded(u0, p, mesh, fixed=False, lambda1=lam1,
-                                  lambda2=lam2, use_pallas=up,
-                                  halo=args.halo, comm_k=args.comm_k)
+            if args.pyramid:
+                from .models.pyramid import segment_pyramid_sharded
+
+                res = segment_pyramid_sharded(
+                    u0, p, mesh,
+                    levels=(None if args.pyramid < 0 else args.pyramid),
+                    lambda1=lam1, lambda2=lam2, use_pallas=up,
+                    halo=args.halo, comm_k=args.comm_k)
+                log(f"pyramid per-level iters (coarse -> fine): "
+                    f"{res.level_iters}")
+            else:
+                res = segment_sharded(u0, p, mesh, fixed=False,
+                                      lambda1=lam1, lambda2=lam2,
+                                      use_pallas=up, halo=args.halo,
+                                      comm_k=args.comm_k)
             mask, iters, c1, c2 = res.mask, int(res.iters), res.c1, res.c2
         elif args.trace_energy:
             # the trace program has no comm_k variant (there is no

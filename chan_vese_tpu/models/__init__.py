@@ -9,7 +9,8 @@ from .batched import (segment_batch, segment_stack_fixed,
 from .fused import segment_fused, segment_fused_fixed
 from .banded import segment_banded, segment_banded_fixed
 from .pyramid import (MultiphasePyramidResult, PyramidResult,
-                      segment_pyramid, segment_pyramid_multiphase)
+                      segment_pyramid, segment_pyramid_multiphase,
+                      segment_pyramid_sharded)
 
 __all__ = [
     "segment", "segment_fixed", "step", "SegResult", "SegTrace",
@@ -21,4 +22,5 @@ __all__ = [
     "segment_banded", "segment_banded_fixed",
     "segment_pyramid", "PyramidResult",
     "segment_pyramid_multiphase", "MultiphasePyramidResult",
+    "segment_pyramid_sharded",
 ]

@@ -212,3 +212,88 @@ def segment_pyramid_multiphase(u0, p: CVParams = CVParams(),
 
     return MultiphasePyramidResult(res.phis, res.labels, res.iters,
                                    res.delta, res.cs, tuple(level_iters))
+
+
+def plan_levels_sharded(H: int, W: int, nx: int, ny: int,
+                        levels: Optional[int] = None, min_dim: int = 128,
+                        comm_k: int = 1, halo: str = "ppermute") -> int:
+    """plan_levels with the sharded drivers' coarsest-level constraints.
+
+    Every level must keep H % nx == 0 and W % ny == 0, shards deep
+    enough for comm_k's 4k halos, and >= 16x16 under halo='overlap'.
+    All constraints are monotone in level size (finer levels have
+    strictly larger, equally divisible dims), so only the coarsest
+    level needs checking - L is walked down until it satisfies them.
+    """
+    L = plan_levels(H, W, levels=levels, min_dim=min_dim)
+
+    def ok(h, w):
+        if h % nx or w % ny:
+            return False
+        sh, sw = h // nx, w // ny
+        if comm_k > 1 and 4 * comm_k > min(sh, sw):
+            return False
+        if halo == "overlap" and min(sh, sw) < 16:
+            return False
+        return True
+
+    while L > 0 and not ok(H >> L, W >> L):
+        L -= 1
+    return L
+
+
+def segment_pyramid_sharded(u0, p: CVParams = CVParams(), mesh=None,
+                            levels: Optional[int] = None,
+                            phi0: Optional[jax.Array] = None,
+                            lambda1: Optional[Sequence[float]] = None,
+                            lambda2: Optional[Sequence[float]] = None,
+                            min_dim: int = 128,
+                            use_pallas: Optional[bool] = None,
+                            interpret: bool = False,
+                            halo: str = "ppermute",
+                            comm_k: int = 1) -> PyramidResult:
+    """Coarse-to-fine segmentation sharded over a 2D device mesh.
+
+    Each level is one parallel/sharded.segment_sharded tolerance-mode
+    solve on the SAME mesh (the coarse levels are small, but staying on
+    the mesh avoids any host gather of multi-chip-sized arrays); the
+    between-level resample/redistance ops are plain jnp on the global
+    sharded arrays, partitioned by GSPMD. Level planning adds the
+    sharded constraints (divisibility by the mesh, comm_k halo depth,
+    overlap rim minimum) - see plan_levels_sharded.
+    """
+    from ..parallel.sharded import segment_sharded
+
+    if mesh is None:
+        raise ValueError("segment_pyramid_sharded needs a mesh "
+                         "(parallel.mesh.make_grid_mesh)")
+    nx, ny = mesh.shape["x"], mesh.shape["y"]
+    L = plan_levels_sharded(*u0.shape[:2], nx, ny, levels=levels,
+                            min_dim=min_dim, comm_k=comm_k, halo=halo)
+    if u0.ndim == 3:
+        lambda1, lambda2 = p.channel_lambdas(u0.shape[-1], lambda1,
+                                             lambda2)
+
+    images = [u0]
+    for _ in range(L):
+        images.append(_pool(images[-1]))
+
+    phi = None
+    if phi0 is not None:
+        phi = phi0
+        for _ in range(L):
+            phi = _pool(phi) * 0.5
+
+    level_iters = []
+    res = None
+    for lvl, u in enumerate(reversed(images)):  # coarse -> fine
+        res = segment_sharded(u, p, mesh, phi0=phi, lambda1=lambda1,
+                              lambda2=lambda2, use_pallas=use_pallas,
+                              interpret=interpret, halo=halo,
+                              comm_k=comm_k)
+        level_iters.append(int(res.iters))
+        if lvl < L:
+            phi = _redistance(upsample_phi2x(res.phi), p.reinit_steps)
+
+    return PyramidResult(res.phi, res.mask, res.iters, res.delta,
+                         res.c1, res.c2, tuple(level_iters))

@@ -24,6 +24,14 @@ from fixtures import colored_squares, four_regions, iou, two_disks
 F64 = jnp.float64
 
 
+@pytest.fixture(scope="module")
+def grid_mesh():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 (fake) devices")
+    from chan_vese_tpu.parallel import mesh as meshmod
+    return meshmod.make_grid_mesh(2, 4)
+
+
 # ---------------------------------------------------------------- algebra
 
 def test_plan_levels_auto_respects_min_dim_and_divisibility():
@@ -141,6 +149,70 @@ def test_pyramid_phi0_seeds_coarsest_level():
     assert iou(np.asarray(seeded.mask), np.asarray(direct.mask)) >= 0.99
 
 
+def test_plan_levels_sharded_clips_on_mesh_constraints():
+    from chan_vese_tpu.models.pyramid import plan_levels_sharded
+
+    # unconstrained: same as plan_levels
+    assert plan_levels_sharded(512, 512, 1, 1, min_dim=32) == \
+        plan_levels(512, 512, min_dim=32)
+    # divisibility: 512 >> 4 = 32, 32 % 4 == 0 fine; nx=3 blocks all
+    # levels whose dims aren't multiples of 3 (512 never is -> L=0...
+    # but plan_levels_sharded only walks DOWN from the unsharded plan,
+    # and level 0 = the input itself, whose divisibility segment_sharded
+    # checks; the planner only guards the DECIMATED levels)
+    assert plan_levels_sharded(512, 512, 4, 4, min_dim=32) >= 1
+    # comm_k halo depth: coarsest shard must hold 4k-deep halos.
+    # 256 with min_dim=32 -> L=3 unsharded (coarsest 32); on a 2x4 mesh
+    # with comm_k=8 the coarsest shard must have min dim >= 32, so
+    # 32x32 levels (shard 16x8) are clipped away
+    L = plan_levels_sharded(256, 256, 2, 4, min_dim=32, comm_k=8)
+    sh = (256 >> L) // 2, (256 >> L) // 4
+    assert min(sh) >= 32
+    # overlap rim: shards >= 16x16 at the coarsest level
+    L = plan_levels_sharded(256, 256, 2, 4, min_dim=32, halo="overlap")
+    assert min((256 >> L) // 2, (256 >> L) // 4) >= 16
+
+
+def test_pyramid_sharded_matches_single_chip(grid_mesh):
+    img, gt = two_disks(256, 256, noise=8.0)
+    u = jnp.asarray(img, F64)
+    p = CVParams(init="circle")
+    from chan_vese_tpu.models.pyramid import segment_pyramid_sharded
+
+    single = segment_pyramid(u, p, min_dim=32)
+    shard = segment_pyramid_sharded(u, p, grid_mesh, min_dim=32)
+    assert len(shard.level_iters) >= 2
+    assert iou(np.asarray(shard.mask), gt) >= 0.98
+    assert iou(np.asarray(shard.mask), np.asarray(single.mask)) >= 0.99
+
+
+def test_pyramid_sharded_comm_k(grid_mesh):
+    img, gt = two_disks(256, 256, noise=8.0)
+    u = jnp.asarray(img, F64)
+    p = CVParams(init="circle")
+    from chan_vese_tpu.models.pyramid import segment_pyramid_sharded
+
+    res = segment_pyramid_sharded(u, p, grid_mesh, min_dim=32, comm_k=4)
+    assert iou(np.asarray(res.mask), gt) >= 0.98
+
+
+def test_pyramid_sharded_cli_flag(tmp_path):
+    from chan_vese_tpu.cli import main
+    from chan_vese_tpu.utils import image_io
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 (fake) devices")
+    img, gt = two_disks(256, 256, noise=5.0)
+    src = tmp_path / "in.npy"
+    np.save(src, img.astype(np.float32))
+    out = tmp_path / "mask.png"
+    rc = main([str(src), "-o", str(out), "--pyramid", "-1", "--mesh",
+               "2", "4", "--f64", "--init", "circle", "--quiet"])
+    assert rc == 0 and out.exists()
+    mask = image_io.load_image(str(out)) > 127
+    assert iou(mask, gt) >= 0.98
+
+
 def test_pyramid_multiphase_matches_direct_labels():
     from chan_vese_tpu.models import multiphase as mp
     from test_multiphase import label_accuracy
@@ -208,6 +280,25 @@ def test_pyramid_multiphase_cli_flag(tmp_path):
     # save_labels spreads {0..3} over [0,255]; undo the spread
     lab = np.rint(lab / 85.0).astype(np.int32)
     assert label_accuracy(lab, gt) >= 0.97
+
+
+@pytest.mark.tpu
+def test_pyramid_tpu_compiled_levels():
+    """On TPU every pyramid level is one compiled device program (the
+    banded/fused/resident auto of models/banded.py at that level's
+    size); the warm-started finest level must land in the direct
+    solve's basin and save iterations, with compiled (not interpreted)
+    kernels doing the work."""
+    from chan_vese_tpu.models.scalar import segment as segment_direct
+
+    img, gt = two_disks(512, 512, noise=6.0, dtype=np.float32)
+    u = jnp.asarray(img, jnp.float32)
+    p = CVParams(init="circle")
+    direct = segment_direct(u, p)
+    pyr = segment_pyramid(u, p)   # default min_dim=128 -> 2 levels
+    assert len(pyr.level_iters) >= 2
+    assert iou(np.asarray(pyr.mask), gt) >= 0.97
+    assert int(pyr.iters) < int(direct.iters)
 
 
 def test_pyramid_cli_flag(tmp_path):
