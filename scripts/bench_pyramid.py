@@ -42,9 +42,15 @@ def main():
     # checkerboard lands either, resolution-dependently) so IoU-vs-gt
     # is meaningful at every size
     p = CVParams(init="circle")
+    # The direct leg needs a cap that lets it actually converge: at 4K
+    # the circle-init contour travels O(1000) px at O(1) px/iter, far
+    # past the default max_iter=500 (first on-chip record: direct hit
+    # the cap at IoU 0.16 while the pyramid converged to IoU 1.0). An
+    # uncapped-in-practice direct leg prices the pyramid's win honestly.
+    p_direct = CVParams(init="circle", max_iter=20000)
 
     def direct(u):
-        res = segment_banded(u, p)
+        res = segment_banded(u, p_direct)
         return res
 
     def pyramid(u):
