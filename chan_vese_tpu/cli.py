@@ -66,6 +66,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "(tolerance mode, single chip; -1 = auto depth)")
     ap.add_argument("--multiphase", type=int, default=0, metavar="M",
                     help="use M coupled level sets (2^M phases)")
+    ap.add_argument("--morph", action="store_true",
+                    help="morphological Chan-Vese (MorphACWE): binary "
+                         "level set with sup-inf/inf-sup curvature "
+                         "smoothing instead of the PDE - unconditionally "
+                         "stable, ~10 elementwise passes per iteration; "
+                         "gray or --color; --mu/--dt/--eps unused")
+    ap.add_argument("--morph-smoothing", type=int, default=1, metavar="S",
+                    help="SI/IS smoothing cycles per --morph iteration")
     ap.add_argument("--smooth", type=int, default=0, metavar="STEPS",
                     help="Perona-Malik pre-smoothing steps")
     ap.add_argument("--smooth-kappa", type=float, default=10.0)
@@ -176,6 +184,12 @@ def main(argv=None) -> int:
         warn_dropped("fixed-iteration/sharded-multiphase",
                      ("--pyramid", True))
         args.pyramid = 0
+
+    if args.morph and args.multiphase:
+        # the morphological scheme is two-phase; M coupled level sets
+        # stay on the PDE multiphase path
+        warn_dropped("multiphase", ("--morph", True))
+        args.morph = False
 
     if args.multiphase:
         if args.mesh is not None:
@@ -318,6 +332,53 @@ def main(argv=None) -> int:
 
     lam1 = tuple(args.lambda1) if args.color else None
     lam2 = tuple(args.lambda2) if args.color else None
+
+    if args.morph:
+        from .models.morph import segment_morph, segment_morph_fixed
+
+        if args.mesh is not None or args.pyramid or args.checkpoint_dir:
+            warn_dropped("morphological",
+                         ("--mesh", args.mesh is not None),
+                         ("--pyramid", args.pyramid),
+                         ("--checkpoint-dir", args.checkpoint_dir))
+        s = args.morph_smoothing
+        if fixed:
+            tr = segment_morph_fixed(u0, p, iters=args.iters, smoothing=s,
+                                     lambda1=lam1, lambda2=lam2)
+            mask, iters = tr.mask, args.iters
+            c1, c2 = tr.c1[-1], tr.c2[-1]
+            if args.trace_energy:
+                trace_util.write_energy_csv(args.trace_energy, tr.energy,
+                                            tr.delta, tr.c1, tr.c2)
+            if args.evolution_gif:
+                # chunked re-run threading the level set; start_iter keeps
+                # the SIoIS/ISoSI alternation identical to the main run
+                frames, ls, n = [], None, 0
+                while n < args.iters:
+                    chunk = min(args.gif_every, args.iters - n)
+                    t = segment_morph_fixed(u0, p, iters=chunk, ls0=ls,
+                                            smoothing=s, lambda1=lam1,
+                                            lambda2=lam2, start_iter=n)
+                    ls = t.ls
+                    n += chunk
+                    frames.append(np.asarray(ls) - 0.5)
+                image_io.save_evolution_gif(args.evolution_gif, img,
+                                            frames)
+            delta = tr.delta[-1]
+        else:
+            res = segment_morph(u0, p, smoothing=s,
+                                lambda1=lam1, lambda2=lam2)
+            mask, iters = res.mask, int(res.iters)
+            c1, c2, delta = res.c1, res.c2, res.delta
+        if diverged_exit(iters, c1, c2, delta):
+            return 1
+        log(f"morphACWE: {iters} iters; c1={np.asarray(c1)}, "
+            f"c2={np.asarray(c2)}")
+        if args.output:
+            image_io.save_mask(args.output, np.asarray(mask))
+        if args.overlay:
+            image_io.save_overlay(args.overlay, img, np.asarray(mask))
+        return 0
 
     if args.mesh is not None:
         from .parallel.mesh import make_grid_mesh

@@ -1,9 +1,12 @@
-"""Drop-in convenience entry point.
+"""Drop-in convenience entry points.
 
 ``chan_vese(image, ...)`` mirrors the argument surface users know from the
 reference CLI and the scikit-image function of the same name, returning
 the binary mask (and optionally the full result). Dispatches to the fused
-TPU path automatically.
+TPU path automatically. ``morphological_chan_vese(image, num_iter, ...)``
+mirrors the sibling scikit-image function (the MorphACWE scheme,
+models/morph.py), with ``checkerboard_level_set`` / ``disk_level_set``
+named inits implemented to the published definitions.
 
 Note the intensity convention: this framework's canonical operating point
 is [0, 255] (see CVParams); pass ``normalize='255'`` (default) to rescale
@@ -92,3 +95,90 @@ def chan_vese(image,
     if extended_output:
         return mask, np.asarray(res.phi), res
     return mask
+
+def checkerboard_level_set(image_shape, square_size: int = 5):
+    """Binary checkerboard of square_size x square_size tiles (int8),
+    the published MorphACWE default init: XOR of per-axis tile parities."""
+    i, j = np.ogrid[:image_shape[0], :image_shape[1]]
+    return np.int8(((i // square_size) + (j // square_size)) % 2)
+
+
+def disk_level_set(image_shape, center=None, radius=None):
+    """Binary disk (int8); defaults: centered, radius = 3/8 min(shape)."""
+    if center is None:
+        center = tuple(s // 2 for s in image_shape[:2])
+    if radius is None:
+        radius = min(image_shape[:2]) * 3.0 / 8.0
+    i, j = np.ogrid[:image_shape[0], :image_shape[1]]
+    r2 = (i - center[0]) ** 2 + (j - center[1]) ** 2
+    return np.int8(r2 < radius * radius)
+
+
+def morphological_chan_vese(image, num_iter: int,
+                            init_level_set="checkerboard",
+                            smoothing: int = 1,
+                            lambda1=1.0, lambda2=1.0,
+                            iter_callback=None):
+    """MorphACWE with the scikit-image argument surface (models/morph.py).
+
+    Runs EXACTLY ``num_iter`` iterations (no convergence test - matching
+    the mirrored signature; use models.morph.segment_morph for the
+    tolerance-mode driver) and returns the int8 binary level set.
+    Intensity normalization is unnecessary here: the discrete force only
+    contributes its SIGN, which is scale-invariant. Accepts (H, W) or,
+    as an extension, (H, W, C) images with per-channel lambda sequences.
+    Edge convention: replica/Neumann (module docstring of ops/morph.py)
+    rather than ndimage's border_value=0 frame erosion.
+
+    ``iter_callback(level_set)`` (optional) is invoked on the init and
+    after every iteration with the current int8 level set - this forces
+    one device round trip per iteration; omit it for the single-program
+    fast path.
+    """
+    import jax.numpy as jnp
+
+    from .models.morph import segment_morph_fixed
+    from .params import CVParams
+
+    img = np.asarray(image, np.float32)
+    vector = img.ndim == 3
+    l1 = tuple(np.atleast_1d(lambda1).astype(float)) if vector else float(
+        np.atleast_1d(lambda1)[0])
+    l2 = tuple(np.atleast_1d(lambda2).astype(float)) if vector else float(
+        np.atleast_1d(lambda2)[0])
+    if vector and len(l1) == 1:
+        l1 = l1 * img.shape[-1]
+    if vector and len(l2) == 1:
+        l2 = l2 * img.shape[-1]
+
+    if isinstance(init_level_set, str):
+        if init_level_set == "checkerboard":
+            ls = checkerboard_level_set(img.shape)
+        elif init_level_set in ("circle", "disk"):
+            ls = disk_level_set(img.shape)
+        else:
+            raise ValueError(f"unknown init_level_set {init_level_set!r}")
+    else:
+        ls = np.asarray(init_level_set)
+        if ls.shape != img.shape[:2]:
+            raise ValueError(
+                f"init_level_set shape {ls.shape} does not match image "
+                f"spatial shape {img.shape[:2]}")
+    ls = jnp.asarray(np.asarray(ls, np.float32))
+
+    # floats (gray) and tuples (per-channel) are both hashable, so they
+    # pass straight through the drivers' static lambda arguments
+    kw = dict(p=CVParams(), smoothing=int(smoothing),
+              lambda1=l1, lambda2=l2)
+    u0 = jnp.asarray(img)
+
+    if iter_callback is None:
+        res = segment_morph_fixed(u0, iters=int(num_iter), ls0=ls, **kw)
+        return np.asarray(res.ls, np.int8)
+
+    iter_callback(np.asarray(ls, np.int8))
+    for n in range(int(num_iter)):
+        res = segment_morph_fixed(u0, iters=1, ls0=ls, start_iter=n, **kw)
+        ls = res.ls
+        iter_callback(np.asarray(ls, np.int8))
+    return np.asarray(ls, np.int8)

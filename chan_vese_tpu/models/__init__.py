@@ -11,6 +11,8 @@ from .banded import segment_banded, segment_banded_fixed
 from .pyramid import (MultiphasePyramidResult, PyramidResult,
                       segment_pyramid, segment_pyramid_multiphase,
                       segment_pyramid_sharded)
+from .morph import (MorphResult, MorphTrace, segment_morph,
+                    segment_morph_fixed)
 
 __all__ = [
     "segment", "segment_fixed", "step", "SegResult", "SegTrace",
@@ -23,4 +25,5 @@ __all__ = [
     "segment_pyramid", "PyramidResult",
     "segment_pyramid_multiphase", "MultiphasePyramidResult",
     "segment_pyramid_sharded",
+    "segment_morph", "segment_morph_fixed", "MorphResult", "MorphTrace",
 ]

@@ -15,11 +15,12 @@
 # Queue history: round-4 first arming ran ab_fusej -> profile_banded ->
 # bench_configs -> bench (all landed 2026-08-18); second arming ran the
 # packed-mc A/B + suite + bench (landed 2026-08-19 09:0x-10:5x, by hand
-# after a reboot ate the watcher). Current queue (armed 2026-08-19 ~22:00
-# after the relay died again) = pyramid time-to-convergence A/B (never
-# measured on-chip) -> the tpu-marked suite -> a bench.py confirmation
-# (keeps a fresh on-chip record near the round close in case the
-# driver's own bench run hits a dead relay).
+# after a reboot ate the watcher); third arming ran the pyramid A/B +
+# suite + bench (landed 2026-08-19 22:xx-23:5x). Current queue (armed
+# 2026-08-20, relay half-dead again: HTTP answers 404 but device init
+# hangs >300 s) = the tpu-marked suite (picks up whatever new tpu tests
+# are in the working tree, e.g. the morph family) -> a bench.py
+# confirmation near the round close.
 #
 # Probe = real jax device init in a timed subprocess, NOT an HTTP GET:
 # after the 2026-08-18 box reboot the relay LISTENED on 8083 but never
@@ -35,8 +36,6 @@ for i in $(seq 1 2000); do
     echo "tunnel back at $(date)" > /tmp/tpu_back.log
     sleep 30
     cd /root/repo
-    timeout 3600 python scripts/bench_pyramid.py > /tmp/bench_pyramid.out 2>&1
-    echo "bench_pyramid exit=$?" >> /tmp/tpu_back.log
     timeout 5400 env RUN_TPU_TESTS=1 python -m pytest tests/ -m tpu -q \
         > /tmp/tpu_tests.out 2>&1
     echo "tpu_tests exit=$?" >> /tmp/tpu_back.log
@@ -45,7 +44,7 @@ for i in $(seq 1 2000); do
     # mirror the raw outputs into the repo so the end-of-round
     # auto-commit preserves them even if nobody analyzes them in time
     mkdir -p /root/repo/artifacts
-    cp -f /tmp/bench_pyramid.out /tmp/tpu_tests.out /tmp/bench_final.out \
+    cp -f /tmp/tpu_tests.out /tmp/bench_final.out \
           /tmp/tpu_back.log /root/repo/artifacts/ 2>/dev/null
     echo "ALL DONE $(date)" >> /tmp/tpu_back.log
     cp -f /tmp/tpu_back.log /root/repo/artifacts/ 2>/dev/null
