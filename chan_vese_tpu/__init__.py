@@ -17,14 +17,15 @@ from .models.batched import segment_batch, segment_stack_fixed
 from .models.fused import segment_fused, segment_fused_fixed
 from .models.resident import segment_resident, segment_resident_fixed
 from .models.banded import segment_banded, segment_banded_fixed
-from .models.morph import segment_morph, segment_morph_fixed
+from .models.morph import (segment_morph, segment_morph_fixed,
+                           segment_morph_sharded)
 from .compat import (chan_vese, checkerboard_level_set, disk_level_set,
                      morphological_chan_vese)
 
 __all__ = [
     "chan_vese", "morphological_chan_vese",
     "checkerboard_level_set", "disk_level_set",
-    "segment_morph", "segment_morph_fixed",
+    "segment_morph", "segment_morph_fixed", "segment_morph_sharded",
     "CVParams", "DEFAULTS",
     "segment", "segment_fixed", "step", "SegResult", "SegTrace",
     "segment_vector", "segment_vector_fixed",

@@ -334,16 +334,34 @@ def main(argv=None) -> int:
     lam2 = tuple(args.lambda2) if args.color else None
 
     if args.morph:
-        from .models.morph import segment_morph, segment_morph_fixed
+        from .models.morph import (segment_morph, segment_morph_fixed,
+                                   segment_morph_sharded)
 
-        if args.mesh is not None or args.pyramid or args.checkpoint_dir:
+        if args.pyramid or args.checkpoint_dir:
             warn_dropped("morphological",
-                         ("--mesh", args.mesh is not None),
                          ("--pyramid", args.pyramid),
                          ("--checkpoint-dir", args.checkpoint_dir))
         s = args.morph_smoothing
+        mesh = None
+        if args.mesh is not None:
+            # GSPMD path: place the inputs on the grid mesh; the same
+            # jitted drivers compile sharded (segment_morph_sharded's
+            # docstring explains why morph needs no shard_map)
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            from .models.morph import _init_ls
+            from .parallel.mesh import make_grid_mesh
+
+            mesh = make_grid_mesh(*args.mesh)
+            if fixed:
+                spec = _P("x", "y") if u0.ndim == 2 else _P("x", "y", None)
+                ls_seed = jax.device_put(
+                    _init_ls(u0, p, None), NamedSharding(mesh, _P("x", "y")))
+                u0 = jax.device_put(u0, NamedSharding(mesh, spec))
         if fixed:
-            tr = segment_morph_fixed(u0, p, iters=args.iters, smoothing=s,
+            ls_seed = ls_seed if mesh is not None else None
+            tr = segment_morph_fixed(u0, p, iters=args.iters, ls0=ls_seed,
+                                     smoothing=s,
                                      lambda1=lam1, lambda2=lam2)
             mask, iters = tr.mask, args.iters
             c1, c2 = tr.c1[-1], tr.c2[-1]
@@ -353,7 +371,7 @@ def main(argv=None) -> int:
             if args.evolution_gif:
                 # chunked re-run threading the level set; start_iter keeps
                 # the SIoIS/ISoSI alternation identical to the main run
-                frames, ls, n = [], None, 0
+                frames, ls, n = [], ls_seed, 0
                 while n < args.iters:
                     chunk = min(args.gif_every, args.iters - n)
                     t = segment_morph_fixed(u0, p, iters=chunk, ls0=ls,
@@ -365,6 +383,11 @@ def main(argv=None) -> int:
                 image_io.save_evolution_gif(args.evolution_gif, img,
                                             frames)
             delta = tr.delta[-1]
+        elif mesh is not None:
+            res = segment_morph_sharded(u0, p, mesh=mesh, smoothing=s,
+                                        lambda1=lam1, lambda2=lam2)
+            mask, iters = res.mask, int(res.iters)
+            c1, c2, delta = res.c1, res.c2, res.delta
         else:
             res = segment_morph(u0, p, smoothing=s,
                                 lambda1=lam1, lambda2=lam2)

@@ -165,3 +165,47 @@ def segment_morph_fixed(u0, p: CVParams = CVParams(), iters: int = 100,
         body, (ls_init, jnp.asarray(start_iter, jnp.int32)), None,
         length=iters)
     return MorphTrace(ls, ls >= 0.5, es, ds, c1s, c2s)
+
+
+def segment_morph_sharded(u0, p: CVParams = CVParams(), mesh=None,
+                          ls0: Optional[jax.Array] = None,
+                          smoothing: int = 1,
+                          lambda1=None, lambda2=None) -> MorphResult:
+    """MorphACWE spatially sharded over a 2D ('x', 'y') device mesh.
+
+    TPU-first design note: unlike the PDE family - whose semi-implicit
+    kernels need shard_map, per-shard Pallas calls, deep halos and
+    replica-rim resync (parallel/sharded.py) - the morphological
+    iteration is ONLY neighbor shifts (concat/slice) + global mean
+    reductions + elementwise min/max. That is exactly the program class
+    GSPMD partitions automatically and well: with (x, y)-sharded inputs
+    the jitted while_loop compiles to per-shard elementwise work, halo
+    collective-permutes for the shifts, and all-reduces for the means -
+    the same comm pattern the explicit paths implement by hand, chosen
+    here by the compiler. So the sharded driver IS segment_morph on
+    sharded arrays; this wrapper just pins the placements (and seeds the
+    level set on the host so the loop state starts sharded rather than
+    replicated).
+
+    Equivalence to the unsharded driver is exact on the binary state up
+    to mean-reduction order (a force-sign tie within one reduction-order
+    ulp of zero could in principle flip a pixel; tests pin exactness on
+    seeded images). Works for (H, W) and (H, W, C); H % nx == 0 and
+    W % ny == 0 are required so shards are uniform.
+    """
+    from ..parallel.mesh import NamedSharding, P
+
+    if mesh is None:
+        raise ValueError("segment_morph_sharded needs a mesh "
+                         "(parallel.mesh.make_grid_mesh)")
+    nx, ny = mesh.shape["x"], mesh.shape["y"]
+    H, W = u0.shape[:2]
+    if H % nx or W % ny:
+        raise ValueError(f"image {H}x{W} not divisible by mesh "
+                         f"{nx}x{ny}")
+    img_spec = P("x", "y") if u0.ndim == 2 else P("x", "y", None)
+    u0s = jax.device_put(u0, NamedSharding(mesh, img_spec))
+    ls = _init_ls(u0, p, ls0)
+    lss = jax.device_put(ls, NamedSharding(mesh, P("x", "y")))
+    return segment_morph(u0s, p, ls0=lss, smoothing=smoothing,
+                         lambda1=lambda1, lambda2=lambda2)

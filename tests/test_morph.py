@@ -300,3 +300,57 @@ def test_cli_morph(tmp_path):
     rc = main([str(src), "--morph", "--multiphase", "2", "-o", str(out),
                "--f64", "--quiet"])
     assert rc == 0
+
+
+# --------------------------------------------------------------------------
+# sharded (GSPMD over the fake 8-device mesh)
+# --------------------------------------------------------------------------
+
+def test_sharded_matches_unsharded_exact():
+    """segment_morph_sharded == segment_morph exactly on the binary state
+    (2x4 mesh; only a force-sign tie within one reduction-order ulp could
+    differ, absent on the seeded image), with the result still sharded
+    over every device."""
+    from chan_vese_tpu.models.morph import segment_morph_sharded
+    from chan_vese_tpu.parallel.mesh import make_grid_mesh
+
+    img, gt = two_disks(96, 96, noise=8.0)
+    mesh = make_grid_mesh(2, 4)
+    want = segment_morph(jnp.asarray(img), CVParams(max_iter=200))
+    got = segment_morph_sharded(jnp.asarray(img), CVParams(max_iter=200),
+                                mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(got.ls), np.asarray(want.ls))
+    assert int(got.iters) == int(want.iters)
+    assert len(got.ls.sharding.device_set) == 8
+
+    imgc = np.stack([img, 0.5 * img + 30.0, 255.0 - img], axis=-1)
+    wc = segment_morph(jnp.asarray(imgc), CVParams(max_iter=200))
+    gc = segment_morph_sharded(jnp.asarray(imgc), CVParams(max_iter=200),
+                               mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(gc.ls), np.asarray(wc.ls))
+
+    with pytest.raises(ValueError):
+        segment_morph_sharded(jnp.asarray(img[:95]), CVParams(), mesh=mesh)
+    with pytest.raises(ValueError):
+        segment_morph_sharded(jnp.asarray(img), CVParams())
+
+
+def test_cli_morph_mesh(tmp_path):
+    from chan_vese_tpu.cli import main
+    from chan_vese_tpu.utils import image_io
+
+    img, gt = two_disks(96, 96, noise=6.0)
+    src = tmp_path / "in.npy"
+    np.save(src, img.astype(np.float32))
+    out = tmp_path / "mask.png"
+    rc = main([str(src), "--morph", "--mesh", "2", "4", "-o", str(out),
+               "--f64", "--quiet"])
+    assert rc == 0
+    mask = image_io.load_image(str(out)) > 127
+    assert _iou_sym(mask, gt) >= 0.97
+    # fixed mode on the mesh (trace written from the sharded run)
+    csv = tmp_path / "t.csv"
+    rc = main([str(src), "--morph", "--mesh", "2", "4", "--iters", "15",
+               "--trace-energy", str(csv), "-o", str(out), "--f64",
+               "--quiet"])
+    assert rc == 0 and csv.exists()
