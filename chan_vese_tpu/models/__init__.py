@@ -12,7 +12,8 @@ from .pyramid import (MultiphasePyramidResult, PyramidResult,
                       segment_pyramid, segment_pyramid_multiphase,
                       segment_pyramid_sharded)
 from .morph import (MorphResult, MorphTrace, segment_morph,
-                    segment_morph_fixed, segment_morph_sharded)
+                    segment_morph_fixed, segment_morph_iterations,
+                    segment_morph_sharded)
 
 __all__ = [
     "segment", "segment_fixed", "step", "SegResult", "SegTrace",
@@ -26,5 +27,6 @@ __all__ = [
     "segment_pyramid_multiphase", "MultiphasePyramidResult",
     "segment_pyramid_sharded",
     "segment_morph", "segment_morph_fixed", "segment_morph_sharded",
+    "segment_morph_iterations",
     "MorphResult", "MorphTrace",
 ]

@@ -209,3 +209,36 @@ def segment_morph_sharded(u0, p: CVParams = CVParams(), mesh=None,
     lss = jax.device_put(ls, NamedSharding(mesh, P("x", "y")))
     return segment_morph(u0s, p, ls0=lss, smoothing=smoothing,
                          lambda1=lambda1, lambda2=lambda2)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "iters", "smoothing",
+                                             "lambda1", "lambda2"))
+def segment_morph_iterations(u0, p: CVParams = CVParams(),
+                             iters: int = 100,
+                             ls0: Optional[jax.Array] = None,
+                             smoothing: int = 1,
+                             lambda1=None, lambda2=None,
+                             start_iter: int = 0) -> MorphResult:
+    """Lean fixed-iteration MorphACWE: no per-iteration trace.
+
+    segment_morph_fixed pays two extra full-array reductions per
+    iteration for the energy trace; this fori_loop twin runs only the
+    iteration itself (means + force + smoothing) - the raw-throughput
+    entry point (scripts/bench_morph.py) and the right call when
+    chunk-driving without diagnostics. Same trajectory as the other
+    drivers (shared morph_step; start_iter offsets the alternation
+    counter exactly like segment_morph_fixed).
+    """
+    l1, l2 = _lambdas(u0, p, lambda1, lambda2)
+    ls_init = _init_ls(u0, p, ls0)
+    s = int(smoothing)
+    s0 = jnp.asarray(start_iter, jnp.int32)
+
+    def body(n, ls):
+        ls_new, _, _, _ = morph_step(ls, u0, l1, l2, (s0 + n) * s, s)
+        return ls_new
+
+    ls = jax.lax.fori_loop(0, iters, body, ls_init)
+    c1, c2 = binary_means(u0, ls)
+    flips = jnp.asarray(jnp.nan, u0.dtype)  # not tracked on this path
+    return MorphResult(ls, ls >= 0.5, jnp.int32(iters), flips, c1, c2)

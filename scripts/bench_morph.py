@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""MorphACWE throughput at headline sizes (round-4 capability bench).
+
+Measures the lean fixed-iteration driver (segment_morph_iterations - no
+trace reductions) at 4K/8K gray and RGB with the single-dispatch timing
+discipline of bench_sizes.py (perturb + solve + scalar probe inside ONE
+jitted program; the tunneled dev chip costs ~25 ms per dispatch). The
+morphological iteration is ~10 fusable elementwise passes + 2 mean
+reductions - expect it to be HBM-bound, i.e. well above the PDE kernels
+in Mpix-it/s; the interesting number is the ratio to the packed banded
+PDE rate at the same size (README headline table).
+
+Run: python scripts/bench_morph.py [iters] [name-substring ...]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chan_vese_tpu.models.morph import segment_morph_iterations
+from chan_vese_tpu.params import CVParams
+
+
+def timeit(run, *args, reps=3):
+    _ = float(run(*args, jnp.float32(0)))  # compile + warm
+    best = float("inf")
+    for r in range(reps):
+        t0 = time.perf_counter()
+        _ = float(run(*args, jnp.float32(r + 1)))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 800
+    only = [a.lower() for a in sys.argv[2:]]
+    print(f"backend={jax.default_backend()} iters={iters}", flush=True)
+    rng = np.random.default_rng(0)
+    p = CVParams()
+
+    @jax.jit
+    def run(u, r):
+        res = segment_morph_iterations(u + r, p, iters=iters, smoothing=1)
+        return res.ls[0, 0]
+
+    for name, shape in [("4K gray", (2160, 3840)),
+                        ("8K gray", (4320, 7680)),
+                        ("4K RGB", (2160, 3840, 3)),
+                        ("8K RGB", (4320, 7680, 3))]:
+        if only and not any(s in name.lower() for s in only):
+            continue
+        u = jnp.asarray(rng.uniform(0, 255, shape).astype(np.float32))
+        t = timeit(run, u)
+        mpix = shape[0] * shape[1] * iters / t / 1e6
+        print(f"{name:8s} morph smoothing=1: {mpix:9.1f} Mpix-it/s "
+              f"({t:.4f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -354,3 +354,16 @@ def test_cli_morph_mesh(tmp_path):
                "--trace-energy", str(csv), "-o", str(out), "--f64",
                "--quiet"])
     assert rc == 0 and csv.exists()
+
+
+def test_lean_iterations_driver_matches_traced():
+    """segment_morph_iterations (the bench/raw-throughput path) runs the
+    exact trajectory of segment_morph_fixed, including the alternation
+    offset."""
+    from chan_vese_tpu.models.morph import segment_morph_iterations
+
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(0, 255, (48, 64)))
+    a = segment_morph_iterations(img, CVParams(), iters=11, start_iter=3)
+    b = segment_morph_fixed(img, CVParams(), iters=11, start_iter=3)
+    np.testing.assert_array_equal(np.asarray(a.ls), np.asarray(b.ls))
