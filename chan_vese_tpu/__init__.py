@@ -19,13 +19,18 @@ from .models.resident import segment_resident, segment_resident_fixed
 from .models.banded import segment_banded, segment_banded_fixed
 from .models.morph import (segment_morph, segment_morph_fixed,
                            segment_morph_sharded)
+from .models.morph_gac import (segment_gac, segment_gac_fixed,
+                               segment_gac_sharded)
 from .compat import (chan_vese, checkerboard_level_set, disk_level_set,
-                     morphological_chan_vese)
+                     inverse_gaussian_gradient, morphological_chan_vese,
+                     morphological_geodesic_active_contour)
 
 __all__ = [
     "chan_vese", "morphological_chan_vese",
+    "morphological_geodesic_active_contour", "inverse_gaussian_gradient",
     "checkerboard_level_set", "disk_level_set",
     "segment_morph", "segment_morph_fixed", "segment_morph_sharded",
+    "segment_gac", "segment_gac_fixed", "segment_gac_sharded",
     "CVParams", "DEFAULTS",
     "segment", "segment_fixed", "step", "SegResult", "SegTrace",
     "segment_vector", "segment_vector_fixed",

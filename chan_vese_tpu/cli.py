@@ -74,6 +74,23 @@ def build_parser() -> argparse.ArgumentParser:
                          "gray or --color; --mu/--dt/--eps unused")
     ap.add_argument("--morph-smoothing", type=int, default=1, metavar="S",
                     help="SI/IS smoothing cycles per --morph iteration")
+    ap.add_argument("--morph-gac", action="store_true",
+                    help="morphological geodesic active contours "
+                         "(MorphGAC): segments the inverse-Gaussian-"
+                         "gradient edge map of the image with balloon + "
+                         "edge-attraction forces and the morphological "
+                         "smoothing; use --balloon/--gac-* to steer; "
+                         "--init disk seeds the contour")
+    ap.add_argument("--balloon", type=int, default=0, metavar="B",
+                    help="MorphGAC balloon force: +1 grow, -1 shrink, "
+                         "0 off")
+    ap.add_argument("--gac-alpha", type=float, default=100.0,
+                    help="inverse-Gaussian-gradient steepness")
+    ap.add_argument("--gac-sigma", type=float, default=5.0,
+                    help="inverse-Gaussian-gradient blur width")
+    ap.add_argument("--gac-threshold", default="auto",
+                    help="balloon activation threshold on the edge map "
+                         "('auto' = 40th percentile)")
     ap.add_argument("--smooth", type=int, default=0, metavar="STEPS",
                     help="Perona-Malik pre-smoothing steps")
     ap.add_argument("--smooth-kappa", type=float, default=10.0)
@@ -185,11 +202,12 @@ def main(argv=None) -> int:
                      ("--pyramid", True))
         args.pyramid = 0
 
-    if args.morph and args.multiphase:
-        # the morphological scheme is two-phase; M coupled level sets
+    if (args.morph or args.morph_gac) and args.multiphase:
+        # the morphological schemes are two-phase; M coupled level sets
         # stay on the PDE multiphase path
-        warn_dropped("multiphase", ("--morph", True))
-        args.morph = False
+        warn_dropped("multiphase", ("--morph", args.morph),
+                     ("--morph-gac", args.morph_gac))
+        args.morph = args.morph_gac = False
 
     if args.multiphase:
         if args.mesh is not None:
@@ -332,6 +350,57 @@ def main(argv=None) -> int:
 
     lam1 = tuple(args.lambda1) if args.color else None
     lam2 = tuple(args.lambda2) if args.color else None
+
+    if args.morph_gac:
+        from .models.morph_gac import (segment_gac, segment_gac_fixed,
+                                       segment_gac_sharded)
+        from .ops.morph import inverse_gaussian_gradient
+
+        if args.pyramid or args.checkpoint_dir or args.trace_energy:
+            warn_dropped("morphological-GAC",
+                         ("--pyramid", args.pyramid),
+                         ("--checkpoint-dir", args.checkpoint_dir),
+                         ("--trace-energy", args.trace_energy))
+        s = args.morph_smoothing
+        g = inverse_gaussian_gradient(u0, args.gac_alpha, args.gac_sigma)
+        thr = (float(np.percentile(np.asarray(g), 40))
+               if args.gac_threshold == "auto"
+               else float(args.gac_threshold))
+        kw = dict(smoothing=s, balloon=args.balloon, threshold=thr)
+        if fixed:
+            tr = segment_gac_fixed(g, p, iters=args.iters, **kw)
+            mask, iters, delta = tr.mask, args.iters, tr.delta[-1]
+            if args.evolution_gif:
+                # chunked re-run threading the level set; start_iter
+                # keeps the SIoIS/ISoSI alternation of the main run
+                frames, ls, n = [], None, 0
+                while n < args.iters:
+                    chunk = min(args.gif_every, args.iters - n)
+                    t = segment_gac_fixed(g, p, iters=chunk, ls0=ls,
+                                          start_iter=n, **kw)
+                    ls = t.ls
+                    n += chunk
+                    frames.append(np.asarray(ls) - 0.5)
+                image_io.save_evolution_gif(args.evolution_gif, img,
+                                            frames)
+        elif args.mesh is not None:
+            from .parallel.mesh import make_grid_mesh
+
+            res = segment_gac_sharded(g, p, mesh=make_grid_mesh(*args.mesh),
+                                      **kw)
+            mask, iters, delta = res.mask, int(res.iters), res.delta
+        else:
+            res = segment_gac(g, p, **kw)
+            mask, iters, delta = res.mask, int(res.iters), res.delta
+        if diverged_exit(iters, delta):
+            return 1
+        log(f"morphGAC: {iters} iters; balloon={args.balloon}, "
+            f"threshold={thr:.4g}")
+        if args.output:
+            image_io.save_mask(args.output, np.asarray(mask))
+        if args.overlay:
+            image_io.save_overlay(args.overlay, img, np.asarray(mask))
+        return 0
 
     if args.morph:
         from .models.morph import (segment_morph, segment_morph_fixed,

@@ -182,3 +182,81 @@ def morphological_chan_vese(image, num_iter: int,
         ls = res.ls
         iter_callback(np.asarray(ls, np.int8))
     return np.asarray(ls, np.int8)
+
+
+def inverse_gaussian_gradient(image, alpha: float = 100.0,
+                              sigma: float = 5.0):
+    """Edge-stopping map 1/sqrt(1 + alpha*|grad(G_sigma*image)|) as a
+    float32 numpy array (the MorphGAC preprocessor; mirrors the
+    scikit-image function of the same name). Computed on-device
+    (ops/morph.py): Gaussian blur = scipy-identical discretized kernel
+    with replica edges; gradient = central differences of the blurred
+    plane (scikit-image uses derivative-of-Gaussian filters - same
+    scale, interior values agree to the filters' commutation error).
+    Accepts (H, W) or (H, W, C) (per-channel gradients' RSS)."""
+    import jax.numpy as jnp
+
+    from .ops.morph import inverse_gaussian_gradient as _igg
+
+    img = jnp.asarray(np.asarray(image, np.float32))
+    return np.asarray(_igg(img, float(alpha), float(sigma)))
+
+
+def morphological_geodesic_active_contour(gimage, num_iter: int,
+                                          init_level_set="disk",
+                                          smoothing: int = 1,
+                                          threshold="auto",
+                                          balloon: int = 0,
+                                          iter_callback=None):
+    """MorphGAC with the scikit-image argument surface
+    (models/morph_gac.py). ``gimage`` is the PREPROCESSED edge map
+    (inverse_gaussian_gradient), not the raw image. Runs EXACTLY
+    ``num_iter`` iterations and returns the int8 binary level set;
+    threshold='auto' = the 40th percentile of gimage (the published
+    default). Edge convention: replica/Neumann throughout (module
+    docstring of ops/morph.py) rather than ndimage's border_value=0.
+
+    ``iter_callback(level_set)`` (optional) is invoked on the init and
+    after every iteration (one device round trip each; omit for the
+    single-program fast path)."""
+    import jax.numpy as jnp
+
+    from .models.morph_gac import segment_gac_fixed
+    from .params import CVParams
+
+    g = np.asarray(gimage, np.float32)
+    if g.ndim != 2:
+        raise ValueError("gimage must be a 2D edge map "
+                         "(inverse_gaussian_gradient output)")
+    thr = float(np.percentile(g, 40)) if threshold == "auto" \
+        else float(threshold)
+
+    if isinstance(init_level_set, str):
+        if init_level_set in ("circle", "disk"):
+            ls = disk_level_set(g.shape)
+        elif init_level_set == "checkerboard":
+            ls = checkerboard_level_set(g.shape)
+        else:
+            raise ValueError(f"unknown init_level_set {init_level_set!r}")
+    else:
+        ls = np.asarray(init_level_set)
+        if ls.shape != g.shape:
+            raise ValueError(
+                f"init_level_set shape {ls.shape} does not match gimage "
+                f"shape {g.shape}")
+    ls = jnp.asarray(np.asarray(ls, np.float32))
+    gj = jnp.asarray(g)
+
+    kw = dict(p=CVParams(), smoothing=int(smoothing),
+              balloon=int(balloon), threshold=thr)
+
+    if iter_callback is None:
+        res = segment_gac_fixed(gj, iters=int(num_iter), ls0=ls, **kw)
+        return np.asarray(res.ls, np.int8)
+
+    iter_callback(np.asarray(ls, np.int8))
+    for n in range(int(num_iter)):
+        res = segment_gac_fixed(gj, iters=1, ls0=ls, start_iter=n, **kw)
+        ls = res.ls
+        iter_callback(np.asarray(ls, np.int8))
+    return np.asarray(ls, np.int8)

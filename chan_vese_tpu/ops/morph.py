@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .numerics import shift_down, shift_left, shift_right, shift_up
 
@@ -148,3 +149,99 @@ def acwe_energy(img, u, c_in, c_out, lambda1, lambda2):
     e2 = lambda2 * (img - c_out) ** 2 * ((1.0 - u)[..., None]
                                          if img.ndim == 3 else (1.0 - u))
     return jnp.sum(e) + jnp.sum(e2)
+
+
+# ---------------------------------------------------------------------------
+# MorphGAC (morphological geodesic active contours) operators
+# ---------------------------------------------------------------------------
+
+def gaussian_blur(img, sigma: float, truncate: float = 4.0):
+    """Separable Gaussian blur with replica (edge) boundary handling.
+
+    Kernel = the discretized Gaussian scipy.ndimage uses (exp(-x^2 /
+    (2 sigma^2)) over x in [-r, r], r = int(truncate*sigma + 0.5),
+    normalized to sum 1), applied per axis as a weighted sum of slices
+    of an edge-padded plane. sigma/truncate are trace-time constants, so
+    the whole blur unrolls into 2(2r+1) fused multiply-adds - no gather,
+    no conv op needed, and the replica pad matches scipy's
+    mode='nearest' exactly (tests pin this against scipy). Works on
+    (H, W) planes; vmap/loop per channel for multichannel."""
+    sigma = float(sigma)
+    if sigma <= 0:
+        return img
+    r = int(truncate * sigma + 0.5)
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    w = np.exp(-0.5 * (x / sigma) ** 2)
+    w = (w / w.sum()).astype(np.float64)
+    H, W = img.shape
+    pad = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
+    out = sum(jnp.asarray(w[d + r], img.dtype) * pad[d + r:d + r + H]
+              for d in range(-r, r + 1))
+    pad = jnp.pad(out, ((0, 0), (r, r)), mode="edge")
+    return sum(jnp.asarray(w[d + r], img.dtype) * pad[:, d + r:d + r + W]
+               for d in range(-r, r + 1))
+
+
+def inverse_gaussian_gradient(img, alpha: float = 100.0,
+                              sigma: float = 5.0):
+    """Edge-stopping map g = 1/sqrt(1 + alpha*|grad(G_sigma * img)|).
+
+    The MorphGAC preprocessor (the function scikit-image ships under the
+    same name): close to 1 in flat regions, close to 0 on strong edges.
+    Gradient = central differences of the blurred plane with replica
+    edges (vs scipy's derivative-of-Gaussian filters - same scale, the
+    framework's one convention; compat docstring notes the difference).
+    (H, W, C) images take the per-channel blurred gradients' root sum of
+    squares, so any channel's edge stops the contour."""
+    if img.ndim == 3:
+        mag2 = 0.0
+        for c in range(img.shape[-1]):
+            s = gaussian_blur(img[..., c], sigma)
+            gx = 0.5 * (shift_down(s) - shift_up(s))
+            gy = 0.5 * (shift_right(s) - shift_left(s))
+            mag2 = mag2 + gx * gx + gy * gy
+    else:
+        s = gaussian_blur(img, sigma)
+        gx = 0.5 * (shift_down(s) - shift_up(s))
+        gy = 0.5 * (shift_right(s) - shift_left(s))
+        mag2 = gx * gx + gy * gy
+    return 1.0 / jnp.sqrt(1.0 + alpha * jnp.sqrt(mag2))
+
+
+def dilate8(u):
+    """Binary dilation by the full 3x3 structuring element (max over the
+    pixel and its 8 replica-clamped neighbors) - the balloon-force
+    structure of the published MorphGAC scheme."""
+    up, dn, lf, rt, ul, ur, dl, dr = _neighbors8(u)
+    m = jnp.maximum
+    return m(m(m(up, dn), m(lf, rt)), m(m(ul, ur), m(m(dl, dr), u)))
+
+
+def erode8(u):
+    """Binary erosion by the full 3x3 structuring element (min dual)."""
+    up, dn, lf, rt, ul, ur, dl, dr = _neighbors8(u)
+    m = jnp.minimum
+    return m(m(m(up, dn), m(lf, rt)), m(m(ul, ur), m(m(dl, dr), u)))
+
+
+def gac_step(u, dgx, dgy, balloon_mask, balloon: int):
+    """One MorphGAC force iteration (balloon + attraction), no smoothing.
+
+    balloon is a STATIC sign (+1 grow / -1 shrink / 0 off): the balloon
+    term dilates (grows) or erodes (shrinks) the binary region, applied
+    only where ``balloon_mask`` is 1 (pixels whose edge map is above
+    threshold/|balloon| - far from edges, where the attraction force has
+    nothing to act on). The attraction term moves contour pixels along
+    the edge map's gradient: aux = dg . du (central differences, replica
+    edges); aux > 0 -> inside, aux < 0 -> outside, ties keep their
+    value. Smoothing (the shared cycle_op) is applied by the drivers."""
+    if balloon > 0:
+        u = jnp.where(balloon_mask > 0, dilate8(u), u)
+    elif balloon < 0:
+        u = jnp.where(balloon_mask > 0, erode8(u), u)
+    dux = 0.5 * (shift_down(u) - shift_up(u))
+    duy = 0.5 * (shift_right(u) - shift_left(u))
+    aux = dgx * dux + dgy * duy
+    one = jnp.ones((), u.dtype)
+    zero = jnp.zeros((), u.dtype)
+    return jnp.where(aux > 0, one, jnp.where(aux < 0, zero, u))

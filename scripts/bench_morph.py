@@ -58,6 +58,28 @@ def main():
         print(f"{name:8s} morph smoothing=1: {mpix:9.1f} Mpix-it/s "
               f"({t:.4f}s)", flush=True)
 
+    # MorphGAC: the reduction-free sibling (balloon + attraction +
+    # smoothing, zero reductions in the loop body) on a precomputed
+    # synthetic edge map - the perturbation keeps XLA from folding it
+    from chan_vese_tpu.models.morph_gac import segment_gac_iterations
+
+    @jax.jit
+    def run_gac(g, r):
+        res = segment_gac_iterations(g + 1e-6 * r, p, iters=iters,
+                                     smoothing=1, balloon=1,
+                                     threshold=0.3)
+        return res.ls[0, 0]
+
+    for name, shape in [("4K gac", (2160, 3840)),
+                        ("8K gac", (4320, 7680))]:
+        if only and not any(s in name.lower() for s in only):
+            continue
+        g = jnp.asarray(rng.uniform(0.05, 1.0, shape).astype(np.float32))
+        t = timeit(run_gac, g)
+        mpix = shape[0] * shape[1] * iters / t / 1e6
+        print(f"{name:8s} gac balloon=1 smoothing=1: {mpix:9.1f} "
+              f"Mpix-it/s ({t:.4f}s)", flush=True)
+
 
 if __name__ == "__main__":
     main()
