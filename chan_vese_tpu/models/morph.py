@@ -211,14 +211,28 @@ def segment_morph_sharded(u0, p: CVParams = CVParams(), mesh=None,
                          lambda1=lambda1, lambda2=lambda2)
 
 
+def _force_plane(u0, ls, l1, l2):
+    """The frozen ACWE data force f = l1*(u0-c_in)^2 - l2*(u0-c_out)^2
+    (summed over channels) from the CURRENT level set - one fused jnp
+    pass, the per-chunk invariant of the banded kernel."""
+    c_in, c_out = binary_means(u0, ls)
+    f = l1 * (u0 - c_in) ** 2 - l2 * (u0 - c_out) ** 2
+    return jnp.sum(f, axis=-1) if u0.ndim == 3 else f
+
+
 @functools.partial(jax.jit, static_argnames=("p", "iters", "smoothing",
-                                             "lambda1", "lambda2"))
+                                             "lambda1", "lambda2",
+                                             "start_iter", "use_pallas",
+                                             "k", "interpret"))
 def segment_morph_iterations(u0, p: CVParams = CVParams(),
                              iters: int = 100,
                              ls0: Optional[jax.Array] = None,
                              smoothing: int = 1,
                              lambda1=None, lambda2=None,
-                             start_iter: int = 0) -> MorphResult:
+                             start_iter: int = 0,
+                             use_pallas: Optional[bool] = None,
+                             k: Optional[int] = None,
+                             interpret: bool = False) -> MorphResult:
     """Lean fixed-iteration MorphACWE: no per-iteration trace.
 
     segment_morph_fixed pays two extra full-array reductions per
@@ -228,17 +242,46 @@ def segment_morph_iterations(u0, p: CVParams = CVParams(),
     chunk-driving without diagnostics. Same trajectory as the other
     drivers (shared morph_step; start_iter offsets the alternation
     counter exactly like segment_morph_fixed).
+
+    On TPU (auto; ``use_pallas``/``k`` override) this routes to the
+    banded Pallas kernel (ops/pallas_morph.morph_chunk): region means
+    (and therefore the data force) are FROZEN across each k-iteration
+    chunk and refreshed between chunks - the same frozen-means-per-
+    chunk trajectory class as the banded PDE kernel (models/banded.py);
+    k=1 reproduces the published per-iteration-means scheme bitwise.
     """
+    from .morph_gac import _route_kernel
+
     l1, l2 = _lambdas(u0, p, lambda1, lambda2)
     ls_init = _init_ls(u0, p, ls0)
     s = int(smoothing)
-    s0 = jnp.asarray(start_iter, jnp.int32)
+    use_k, kk = _route_kernel(u0.shape[:2], k, s, "acwe", use_pallas,
+                              interpret)
 
-    def body(n, ls):
-        ls_new, _, _, _ = morph_step(ls, u0, l1, l2, (s0 + n) * s, s)
-        return ls_new
+    if use_k:
+        from ..ops.pallas_morph import morph_chunk
 
-    ls = jax.lax.fori_loop(0, iters, body, ls_init)
+        parity0 = (int(start_iter) * s) % 2
+        full, rem = divmod(int(iters), kk)
+
+        def chunk(ls, kc):
+            f = _force_plane(u0, ls, l1, l2)
+            return morph_chunk(ls, f, k=kc, smoothing=s, parity0=parity0,
+                               interpret=interpret)
+
+        ls = jax.lax.fori_loop(0, full, lambda _, ls: chunk(ls, kk),
+                               ls_init)
+        if rem:
+            # remainder parity == parity0 because (k*s) % 2 == 0
+            ls = chunk(ls, rem)
+    else:
+        s0 = jnp.asarray(start_iter, jnp.int32)
+
+        def body(n, ls):
+            ls_new, _, _, _ = morph_step(ls, u0, l1, l2, (s0 + n) * s, s)
+            return ls_new
+
+        ls = jax.lax.fori_loop(0, iters, body, ls_init)
     c1, c2 = binary_means(u0, ls)
     flips = jnp.asarray(jnp.nan, u0.dtype)  # not tracked on this path
     return MorphResult(ls, ls >= 0.5, jnp.int32(iters), flips, c1, c2)

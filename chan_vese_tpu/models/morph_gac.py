@@ -184,14 +184,40 @@ def segment_gac_sharded(g, p: CVParams = CVParams(), mesh=None,
                        balloon=balloon, threshold=threshold)
 
 
+def _route_kernel(shape, k, smoothing, kind, use_pallas, interpret):
+    """Resolve (use_kernel, k) for the banded morphological kernel.
+
+    Auto (None): on TPU (or in interpret mode), with supported geometry,
+    k defaulting to 8 - even, so (k*smoothing) % 2 == 0 keeps the
+    SIoIS/ISoSI chunk parity compile-time static (ops/pallas_morph.py).
+    """
+    from ..ops.pallas_morph import supports_morph_banded
+
+    kk = 8 if k is None else int(k)
+    ok = (supports_morph_banded(*shape, kk, smoothing, kind)
+          and (kk * smoothing) % 2 == 0
+          and (interpret or jax.default_backend() == "tpu"))
+    if use_pallas is None:
+        return ok, kk
+    if use_pallas and not ok:
+        raise ValueError(f"banded morph kernel unsupported for {shape}, "
+                         f"k={kk}, smoothing={smoothing}")
+    return bool(use_pallas), kk
+
+
 @functools.partial(jax.jit, static_argnames=("p", "iters", "smoothing",
-                                             "balloon", "threshold"))
+                                             "balloon", "threshold",
+                                             "start_iter", "use_pallas",
+                                             "k", "interpret"))
 def segment_gac_iterations(g, p: CVParams = CVParams(), iters: int = 100,
                            ls0: Optional[jax.Array] = None,
                            smoothing: int = 1,
                            balloon: int = 0,
                            threshold: float = 0.5,
-                           start_iter: int = 0) -> GACResult:
+                           start_iter: int = 0,
+                           use_pallas: Optional[bool] = None,
+                           k: Optional[int] = None,
+                           interpret: bool = False) -> GACResult:
     """Lean fixed-iteration MorphGAC: no per-iteration trace.
 
     The raw-throughput twin of segment_gac_fixed (scripts/bench_morph.py
@@ -199,16 +225,41 @@ def segment_gac_iterations(g, p: CVParams = CVParams(), iters: int = 100,
     attraction select, smoothing - with not a single reduction anywhere
     in the program until the final (traced) mask. Same trajectory as the
     other drivers (shared gac_iteration; start_iter offsets the
-    alternation counter)."""
+    alternation counter).
+
+    On TPU (auto; ``use_pallas``/``k`` override) this routes to the
+    banded Pallas kernel (ops/pallas_morph.gac_chunk): k iterations per
+    HBM pass, trajectory-EXACT for any k because the GAC body has no
+    reductions - the chunks are bitwise the jnp trajectory (pinned in
+    tests/test_pallas_morph.py)."""
     ls_init = _init_ls(g, p, ls0)
     b = int(balloon)
     s = int(smoothing)
-    dgx, dgy, mask = _prep(g, b, float(threshold))
-    s0 = jnp.asarray(start_iter, jnp.int32)
+    use_k, kk = _route_kernel(g.shape, k, s, "gac", use_pallas, interpret)
 
-    def body(n, ls):
-        return gac_iteration(ls, dgx, dgy, mask, b, (s0 + n) * s, s)
+    if use_k:
+        from ..ops.pallas_morph import gac_chunk
 
-    ls = jax.lax.fori_loop(0, iters, body, ls_init)
+        parity0 = (int(start_iter) * s) % 2
+        kw = dict(smoothing=s, parity0=parity0, balloon=b,
+                  threshold=float(threshold), interpret=interpret)
+        full, rem = divmod(int(iters), kk)
+
+        def body(_, ls):
+            return gac_chunk(ls, g, k=kk, **kw)
+
+        ls = jax.lax.fori_loop(0, full, body, ls_init)
+        if rem:
+            # the remainder chunk starts at iteration start+full*k whose
+            # parity equals parity0 ((k*s) % 2 == 0 by construction)
+            ls = gac_chunk(ls, g, k=rem, **kw)
+    else:
+        dgx, dgy, mask = _prep(g, b, float(threshold))
+        s0 = jnp.asarray(start_iter, jnp.int32)
+
+        def body(n, ls):
+            return gac_iteration(ls, dgx, dgy, mask, b, (s0 + n) * s, s)
+
+        ls = jax.lax.fori_loop(0, iters, body, ls_init)
     flips = jnp.asarray(jnp.nan, g.dtype)  # not tracked on this path
     return GACResult(ls, ls >= 0.5, jnp.int32(iters), flips)

@@ -1,0 +1,332 @@
+"""Banded multi-iteration Pallas kernels for the morphological family.
+
+Why a kernel at all: the jnp morphological iteration is ~10 shift +
+min/max passes, and XLA materializes every concat-shift - measured
+2026-08-20 on v5e (artifacts/bench_morph_2026-08-20_jnp.out): 4.3 G
+(4K) / 2.4 G (8K) Mpix-it/s, ANTI-scaling with size, vs 25.7 G for the
+packed banded PDE kernel. The fix is the same banded
+k-iterations-per-HBM-pass scheme as ops/pallas_banded.py, and the
+morphological family is an even better fit:
+
+  * the loop body is pure min/max/select VPU arithmetic - no
+    transcendentals, tiny register pressure, fast Mosaic compiles;
+  * MorphGAC has NO reductions anywhere in its iteration, so a k-deep
+    chunk is trajectory-EXACT for any k (not a frozen-means class);
+  * MorphACWE's only reduction is the region means - frozen per chunk
+    exactly like the PDE banded kernel's c1/c2 (k=1 reproduces the
+    published per-iteration-means scheme bit-for-bit), and the frozen
+    data force f is then a per-chunk INVARIANT computed in one fused
+    jnp pass outside the kernel.
+
+Scheme (mirrors _banded_kernel_fusej's DMA schedule):
+
+    grid (nbands,); band i loads a (b + up + dn, W) window of the level
+    set + ONE auxiliary plane (ACWE: the frozen force f; GAC: the edge
+    map g - its gradients and balloon mask are recomputed per iteration
+    from the tile, cheaper than 3x the DMA traffic), runs k full
+    iterations in VMEM with the k-loop UNROLLED in Python (the
+    SIoIS/ISoSI alternation parity is then compile-time static - see
+    below), and stores the owned b rows. Double-buffered slots,
+    prefetch of band i+1 during band i, stores draining two bands
+    behind.
+
+Exactness: every operator in the family reads neighbors at distance 1,
+so one iteration has reach R = 1 + 2s (ACWE: force + s cycles of two
+ops) or R = 2 + 2s (GAC: balloon then attraction). After j in-tile
+iterations, tile rows [R*j, T - R*j) still carry the exact global
+trajectory; symmetric halos of ceil8(R*k) keep the owned band exact
+through all k iterations. Where the window clips at the image top or
+bottom the tile edge IS the image edge, so the in-tile clamped shifts
+equal the global replica/Neumann semantics exactly (the invariant of
+ops/pallas_sweep.py, symmetric here). The auxiliary plane's in-tile
+derivatives (GAC) are wrong only on the tile's outermost row, whose
+influence after k iterations stays strictly inside the discarded halo.
+
+Alternation parity: the smoothing-call counter of iteration n, cycle c
+is (n0 + n)*s + c. The kernel requires (k*s) % 2 == 0 (auto picks even
+k), which makes every chunk start at the same parity (start*s) % 2 -
+a compile-time constant, so the Python-unrolled body bakes the
+SIoIS/ISoSI sequence in with zero traced control flow.
+
+Values are binary {0.0, 1.0} floats and every operation is min/max/
+select, so kernel-vs-jnp equivalence is EXACT (bitwise) in any dtype -
+pinned in tests/test_pallas_morph.py for both families, plus the
+frozen-means trajectory semantics for ACWE at k > 1.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_sweep import _VMEM_LIMIT
+
+# declared scratch = 3 tiles x 2 slots; the morphological body's Mosaic
+# temporaries are the 8 shifted neighbor planes of the active op (far
+# lighter than the PDE sweep's ~16 spill tiles - no face-coefficient
+# chains, no transcendentals)
+_TILES = 18
+_VMEM_BUDGET = _VMEM_LIMIT  # tests shrink this to force multi-band layouts
+
+
+def _reach(kind: str, smoothing: int) -> int:
+    """Neighbor reach of ONE full iteration."""
+    return (1 if kind == "acwe" else 2) + 2 * smoothing
+
+
+def _halo_morph(k: int, smoothing: int, kind: str) -> int:
+    """Symmetric halo depth for k in-tile iterations, sublane-aligned."""
+    return -(-_reach(kind, smoothing) * k // 8) * 8
+
+
+def band_rows_morph(h: int, w: int, k: int, smoothing: int,
+                    kind: str) -> int:
+    """Largest multiple-of-8 band height fitting VMEM with k-deep halos."""
+    hal = _halo_morph(k, smoothing, kind)
+    per_row = w * 4 * _TILES
+    b = max(8, (_VMEM_BUDGET // per_row) // 8 * 8)
+    return min(b, max(8, ((h - 2 * hal) // 8) * 8))
+
+
+def supports_morph_banded(h: int, w: int, k: int, smoothing: int,
+                          kind: str = "acwe") -> bool:
+    """Geometry support. NOTE the jitted chunk-loop drivers additionally
+    require (k * smoothing) % 2 == 0 so the SIoIS/ISoSI parity at a
+    chunk's first iteration is chunk-invariant (parity0 is a
+    compile-time constant of the kernel); odd products are still usable
+    by alternating parity0 across chunks at the Python level (tests)."""
+    hal = _halo_morph(k, smoothing, kind)
+    return (w % 128 == 0 and h % 8 == 0 and 1 <= k <= 64
+            and band_rows_morph(h, w, k, smoothing, kind) + 2 * hal <= h)
+
+
+# ---------------------------------------------------------------------------
+# in-tile operators (clamped shifts == global replica at image edges)
+# ---------------------------------------------------------------------------
+
+def _su(x):
+    return jnp.concatenate([x[:1], x[:-1]], axis=0)
+
+
+def _sd(x):
+    return jnp.concatenate([x[1:], x[-1:]], axis=0)
+
+
+def _sl(x):
+    return jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+
+
+def _sr(x):
+    return jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+
+
+def _neighbors8_t(u):
+    up, dn, lf, rt = _su(u), _sd(u), _sl(u), _sr(u)
+    return up, dn, lf, rt, _sl(up), _sr(up), _sl(dn), _sr(dn)
+
+
+def _sup_inf_t(u):
+    up, dn, lf, rt, ul, ur, dl, dr = _neighbors8_t(u)
+    e_h = jnp.minimum(jnp.minimum(lf, rt), u)
+    e_v = jnp.minimum(jnp.minimum(up, dn), u)
+    e_d = jnp.minimum(jnp.minimum(ul, dr), u)
+    e_a = jnp.minimum(jnp.minimum(ur, dl), u)
+    return jnp.maximum(jnp.maximum(e_h, e_v), jnp.maximum(e_d, e_a))
+
+
+def _inf_sup_t(u):
+    up, dn, lf, rt, ul, ur, dl, dr = _neighbors8_t(u)
+    d_h = jnp.maximum(jnp.maximum(lf, rt), u)
+    d_v = jnp.maximum(jnp.maximum(up, dn), u)
+    d_d = jnp.maximum(jnp.maximum(ul, dr), u)
+    d_a = jnp.maximum(jnp.maximum(ur, dl), u)
+    return jnp.minimum(jnp.minimum(d_h, d_v), jnp.minimum(d_d, d_a))
+
+
+def _dilate8_t(u):
+    up, dn, lf, rt, ul, ur, dl, dr = _neighbors8_t(u)
+    m = jnp.maximum
+    return m(m(m(up, dn), m(lf, rt)), m(m(ul, ur), m(m(dl, dr), u)))
+
+
+def _erode8_t(u):
+    up, dn, lf, rt, ul, ur, dl, dr = _neighbors8_t(u)
+    m = jnp.minimum
+    return m(m(m(up, dn), m(lf, rt)), m(m(ul, ur), m(m(dl, dr), u)))
+
+
+def _iterate(u, aux, j, *, kind, smoothing, parity0, balloon, thr_b,
+             one, zero):
+    """One full morphological iteration (force + smoothing) on the tile.
+
+    ``j`` and all parameters are compile-time constants: the caller
+    unrolls the k-loop in Python, so the SIoIS/ISoSI parity at
+    iteration j, cycle c - parity0 + j*smoothing + c - is static."""
+    if kind == "acwe":
+        f = aux
+        gx = _sd(u) - _su(u)
+        gy = _sr(u) - _sl(u)
+        a = (jnp.abs(gx) + jnp.abs(gy)) * f
+        u = jnp.where(a < 0, one, jnp.where(a > 0, zero, u))
+    else:  # gac
+        g = aux
+        if balloon > 0:
+            u = jnp.where(g > thr_b, _dilate8_t(u), u)
+        elif balloon < 0:
+            u = jnp.where(g > thr_b, _erode8_t(u), u)
+        dgx = 0.5 * (_sd(g) - _su(g))
+        dgy = 0.5 * (_sr(g) - _sl(g))
+        dux = 0.5 * (_sd(u) - _su(u))
+        duy = 0.5 * (_sr(u) - _sl(u))
+        a = dgx * dux + dgy * duy
+        u = jnp.where(a > 0, one, jnp.where(a < 0, zero, u))
+    for c in range(smoothing):
+        if (parity0 + j * smoothing + c) % 2 == 0:
+            u = _sup_inf_t(_inf_sup_t(u))
+        else:
+            u = _inf_sup_t(_sup_inf_t(u))
+    return u
+
+
+def _morph_banded_kernel(ls_hbm, aux_hbm, out_hbm,
+                         ls_scr, aux_scr, work_scr, sems,
+                         *, H, W, b, k, hal, kind, smoothing, parity0,
+                         balloon, thr_b):
+    """Grid (nbands,): band i runs all k iterations Python-unrolled,
+    with a work_scr ref round-trip after every iteration so nothing
+    tile-sized stays live across iteration boundaries (the register-
+    pressure discipline of _banded_kernel_fusej's step())."""
+    T = b + 2 * hal
+    i = pl.program_id(0)
+    nbands = pl.num_programs(0)
+
+    def window(ii):
+        g0 = pl.multiple_of(jnp.minimum(ii * b, H - b), 8)
+        s = pl.multiple_of(jnp.clip(g0 - hal, 0, H - T), 8)
+        return g0, s
+
+    def load_dmas(ii, slot):
+        _, s = window(ii)
+        return (pltpu.make_async_copy(ls_hbm.at[pl.ds(s, T), :],
+                                      ls_scr.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(aux_hbm.at[pl.ds(s, T), :],
+                                      aux_scr.at[slot], sems.at[slot, 1]))
+
+    def store_dma(ii, slot):
+        g0, s = window(ii)
+        o = pl.multiple_of(g0 - s, 8)
+        return pltpu.make_async_copy(
+            work_scr.at[slot].at[pl.ds(o, b), :],
+            out_hbm.at[pl.ds(g0, b), :], sems.at[slot, 2])
+
+    slot = i % 2
+
+    @pl.when(i == 0)
+    def _():
+        for dma in load_dmas(i, slot):
+            dma.start()
+
+    @pl.when(i + 1 < nbands)
+    def _():
+        for dma in load_dmas(i + 1, (i + 1) % 2):
+            dma.start()
+
+    for dma in load_dmas(i, slot):
+        dma.wait()
+
+    @pl.when(i >= 2)
+    def _():
+        store_dma(i - 2, slot).wait()
+
+    work_scr[slot] = ls_scr[slot]
+    dt = ls_scr.dtype
+    it = functools.partial(_iterate, kind=kind, smoothing=smoothing,
+                           parity0=parity0, balloon=balloon, thr_b=thr_b,
+                           one=jnp.ones((), dt), zero=jnp.zeros((), dt))
+    for j in range(k):
+        work_scr[slot] = it(work_scr[slot], aux_scr[slot], j)
+
+    store_dma(i, slot).start()
+
+    @pl.when(i == nbands - 1)
+    def _():
+        store_dma(i, slot).wait()
+
+    @pl.when((i == nbands - 1) & (nbands >= 2))
+    def _():
+        store_dma(i - 1, (i - 1) % 2).wait()
+
+
+def _call_morph(ls, aux, *, k, smoothing, kind, parity0, balloon, thr_b,
+                interpret):
+    H, W = ls.shape
+    if not supports_morph_banded(H, W, k, smoothing, kind):
+        raise ValueError(f"morph banded path unsupported for "
+                         f"{ls.shape}, k={k}, smoothing={smoothing}")
+    hal = _halo_morph(k, smoothing, kind)
+    b = band_rows_morph(H, W, k, smoothing, kind)
+    nbands = pl.cdiv(H, b)
+    T = b + 2 * hal
+
+    kernel = functools.partial(
+        _morph_banded_kernel, H=H, W=W, b=b, k=k, hal=hal, kind=kind,
+        smoothing=smoothing, parity0=parity0, balloon=balloon,
+        thr_b=thr_b)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nbands,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(ls.shape, ls.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, T, W), ls.dtype),   # level-set tiles
+            pltpu.VMEM((2, T, W), ls.dtype),   # auxiliary plane tiles
+            pltpu.VMEM((2, T, W), ls.dtype),   # in-chunk iterate
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(ls, aux)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "smoothing", "parity0",
+                                             "interpret"))
+def morph_chunk(ls, f, k: int = 8, smoothing: int = 1, parity0: int = 0,
+                interpret: bool = False):
+    """k MorphACWE iterations against the FROZEN data force ``f`` in one
+    HBM pass. ``f`` = lambda1*(img-c_in)^2 - lambda2*(img-c_out)^2
+    (summed over channels), computed by the driver per chunk - region
+    means are frozen across the chunk exactly like the PDE banded
+    kernel's c1/c2 (k=1 == the published per-iteration-means scheme).
+    ``parity0`` = the smoothing-call parity at the chunk's first
+    iteration ((start_iter * smoothing) % 2; chunk-invariant because
+    (k*smoothing) % 2 == 0 is required)."""
+    return _call_morph(ls, f, k=k, smoothing=smoothing, kind="acwe",
+                       parity0=parity0, balloon=0, thr_b=0.0,
+                       interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "smoothing", "parity0",
+                                             "balloon", "threshold",
+                                             "interpret"))
+def gac_chunk(ls, g, k: int = 8, smoothing: int = 1, parity0: int = 0,
+              balloon: int = 0, threshold: float = 0.5,
+              interpret: bool = False):
+    """k MorphGAC iterations in one HBM pass - trajectory-EXACT for any
+    k (the GAC loop body has no reductions; the edge map g is a run
+    invariant). Gradients and the balloon mask are recomputed per
+    iteration from the g tile (cheap VPU work vs 3x the DMA traffic)."""
+    thr_b = threshold / abs(float(balloon)) if balloon else 0.0
+    return _call_morph(ls, g, k=k, smoothing=smoothing, kind="gac",
+                       parity0=parity0, balloon=int(balloon), thr_b=thr_b,
+                       interpret=interpret)

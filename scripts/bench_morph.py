@@ -41,44 +41,57 @@ def main():
     rng = np.random.default_rng(0)
     p = CVParams()
 
-    @jax.jit
-    def run(u, r):
-        res = segment_morph_iterations(u + r, p, iters=iters, smoothing=1)
-        return res.ls[0, 0]
+    def run_morph(up):
+        @jax.jit
+        def run(u, r):
+            res = segment_morph_iterations(u + r, p, iters=iters,
+                                           smoothing=1, use_pallas=up)
+            return res.ls[0, 0]
+        return run
 
-    for name, shape in [("4K gray", (2160, 3840)),
-                        ("8K gray", (4320, 7680)),
-                        ("4K RGB", (2160, 3840, 3)),
-                        ("8K RGB", (4320, 7680, 3))]:
-        if only and not any(s in name.lower() for s in only):
-            continue
-        u = jnp.asarray(rng.uniform(0, 255, shape).astype(np.float32))
-        t = timeit(run, u)
-        mpix = shape[0] * shape[1] * iters / t / 1e6
-        print(f"{name:8s} morph smoothing=1: {mpix:9.1f} Mpix-it/s "
-              f"({t:.4f}s)", flush=True)
+    # auto = banded Pallas kernel on TPU (frozen means per k=8 chunk);
+    # -jnp legs force the per-iteration jnp path for the A/B
+    for kind, up in [("", None), ("-jnp", False)]:
+        for base, shape in [("4K gray", (2160, 3840)),
+                            ("8K gray", (4320, 7680)),
+                            ("4K RGB", (2160, 3840, 3)),
+                            ("8K RGB", (4320, 7680, 3))]:
+            name = base + kind
+            if only and not any(s in name.lower() for s in only):
+                continue
+            u = jnp.asarray(rng.uniform(0, 255, shape).astype(np.float32))
+            t = timeit(run_morph(up), u)
+            mpix = shape[0] * shape[1] * iters / t / 1e6
+            print(f"{name:12s} morph smoothing=1: {mpix:9.1f} Mpix-it/s "
+                  f"({t:.4f}s)", flush=True)
 
     # MorphGAC: the reduction-free sibling (balloon + attraction +
     # smoothing, zero reductions in the loop body) on a precomputed
-    # synthetic edge map - the perturbation keeps XLA from folding it
+    # synthetic edge map - the perturbation keeps XLA from folding it.
+    # The kernel route is trajectory-exact (not a frozen class).
     from chan_vese_tpu.models.morph_gac import segment_gac_iterations
 
-    @jax.jit
-    def run_gac(g, r):
-        res = segment_gac_iterations(g + 1e-6 * r, p, iters=iters,
-                                     smoothing=1, balloon=1,
-                                     threshold=0.3)
-        return res.ls[0, 0]
+    def run_gac(up):
+        @jax.jit
+        def run(g, r):
+            res = segment_gac_iterations(g + 1e-6 * r, p, iters=iters,
+                                         smoothing=1, balloon=1,
+                                         threshold=0.3, use_pallas=up)
+            return res.ls[0, 0]
+        return run
 
-    for name, shape in [("4K gac", (2160, 3840)),
-                        ("8K gac", (4320, 7680))]:
-        if only and not any(s in name.lower() for s in only):
-            continue
-        g = jnp.asarray(rng.uniform(0.05, 1.0, shape).astype(np.float32))
-        t = timeit(run_gac, g)
-        mpix = shape[0] * shape[1] * iters / t / 1e6
-        print(f"{name:8s} gac balloon=1 smoothing=1: {mpix:9.1f} "
-              f"Mpix-it/s ({t:.4f}s)", flush=True)
+    for kind, up in [("", None), ("-jnp", False)]:
+        for base, shape in [("4K gac", (2160, 3840)),
+                            ("8K gac", (4320, 7680))]:
+            name = base + kind
+            if only and not any(s in name.lower() for s in only):
+                continue
+            g = jnp.asarray(rng.uniform(0.05, 1.0, shape)
+                            .astype(np.float32))
+            t = timeit(run_gac(up), g)
+            mpix = shape[0] * shape[1] * iters / t / 1e6
+            print(f"{name:12s} gac balloon=1 smoothing=1: {mpix:9.1f} "
+                  f"Mpix-it/s ({t:.4f}s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -20,7 +20,10 @@
 # 2026-08-20, relay half-dead again: HTTP answers 404 but device init
 # hangs >300 s) = the tpu-marked suite (picks up whatever new tpu tests
 # are in the working tree, e.g. the morph family) -> a bench.py
-# confirmation near the round close.
+# confirmation near the round close. Fourth arming (2026-08-20, relay
+# dead again): bench_morph kernel-vs-jnp A/B (the banded morph kernel's
+# first on-chip numbers) -> tpu suite (incl. test_pallas_morph compiled
+# tests) -> bench.
 #
 # Probe = real jax device init in a timed subprocess, NOT an HTTP GET:
 # after the 2026-08-18 box reboot the relay LISTENED on 8083 but never
@@ -36,6 +39,10 @@ for i in $(seq 1 2000); do
     echo "tunnel back at $(date)" > /tmp/tpu_back.log
     sleep 30
     cd /root/repo
+    timeout 3600 python scripts/bench_morph.py > /tmp/bench_morph.out 2>&1
+    echo "bench_morph exit=$?" >> /tmp/tpu_back.log
+    cp -f /tmp/bench_morph.out \
+          /root/repo/artifacts/bench_morph_kernel.out 2>/dev/null
     timeout 5400 env RUN_TPU_TESTS=1 python -m pytest tests/ -m tpu -q \
         > /tmp/tpu_tests.out 2>&1
     echo "tpu_tests exit=$?" >> /tmp/tpu_back.log
