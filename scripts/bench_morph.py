@@ -35,9 +35,19 @@ def timeit(run, *args, reps=3):
 
 
 def main():
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 800
-    only = [a.lower() for a in sys.argv[2:]]
-    print(f"backend={jax.default_backend()} iters={iters}", flush=True)
+    # args: [iters] [k=N] [name-substring ...]; k= overrides the kernel
+    # chunk depth on the kernel legs (A/B smaller unrolls if the k=8
+    # Python-unrolled body compiles pathologically on Mosaic)
+    rest = sys.argv[1:]
+    iters = int(rest.pop(0)) if rest and rest[0].isdigit() else 800
+    kk = None
+    for a in list(rest):
+        if a.startswith("k="):
+            kk = int(a[2:])
+            rest.remove(a)
+    only = [a.lower() for a in rest]
+    print(f"backend={jax.default_backend()} iters={iters} k={kk}",
+          flush=True)
     rng = np.random.default_rng(0)
     p = CVParams()
 
@@ -45,7 +55,8 @@ def main():
         @jax.jit
         def run(u, r):
             res = segment_morph_iterations(u + r, p, iters=iters,
-                                           smoothing=1, use_pallas=up)
+                                           smoothing=1, use_pallas=up,
+                                           k=kk if up is not False else None)
             return res.ls[0, 0]
         return run
 
@@ -76,7 +87,8 @@ def main():
         def run(g, r):
             res = segment_gac_iterations(g + 1e-6 * r, p, iters=iters,
                                          smoothing=1, balloon=1,
-                                         threshold=0.3, use_pallas=up)
+                                         threshold=0.3, use_pallas=up,
+                                         k=kk if up is not False else None)
             return res.ls[0, 0]
         return run
 
