@@ -116,12 +116,23 @@ def _sd(x):
     return jnp.concatenate([x[1:], x[-1:]], axis=0)
 
 
+def _col_ids(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+
 def _sl(x):
-    return jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+    # roll + edge re-select, NOT a lane-dim concat of 1-column slices:
+    # the concat form wedged the Mosaic compile on the real chip
+    # (2026-08-20: >39 min with no output even at k=1, while every
+    # roll-based PDE kernel compiles in minutes). Same clamped-shift
+    # values bitwise, so the kernel==jnp parity tests are unaffected.
+    r = pltpu.roll(x, 1, 1)
+    return jnp.where(_col_ids(x.shape) == 0, x, r)
 
 
 def _sr(x):
-    return jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+    r = pltpu.roll(x, x.shape[1] - 1, 1)  # roll left by 1 (shift >= 0)
+    return jnp.where(_col_ids(x.shape) == x.shape[1] - 1, x, r)
 
 
 def _neighbors8_t(u):
