@@ -221,7 +221,7 @@ def morphological_geodesic_active_contour(gimage, num_iter: int,
     single-program fast path)."""
     import jax.numpy as jnp
 
-    from .models.morph_gac import segment_gac_fixed
+    from .models.morph_gac import segment_gac_fixed, segment_gac_iterations
     from .params import CVParams
 
     g = np.asarray(gimage, np.float32)
@@ -251,7 +251,11 @@ def morphological_geodesic_active_contour(gimage, num_iter: int,
               balloon=int(balloon), threshold=thr)
 
     if iter_callback is None:
-        res = segment_gac_fixed(gj, iters=int(num_iter), ls0=ls, **kw)
+        # the lean driver auto-routes to the banded Pallas kernel on TPU;
+        # GAC chunks are trajectory-EXACT for any k (no reductions in
+        # the loop body), so this is bitwise the published scheme - the
+        # compat surface gets kernel speed at zero semantic cost
+        res = segment_gac_iterations(gj, iters=int(num_iter), ls0=ls, **kw)
         return np.asarray(res.ls, np.int8)
 
     iter_callback(np.asarray(ls, np.int8))

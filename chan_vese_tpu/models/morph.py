@@ -85,12 +85,68 @@ def morph_step(ls, u0, l1, l2, k, smoothing: int):
     return ls_new, c_in, c_out, flips
 
 
+def _route_morph_kernel(shape, k, smoothing, kind, use_pallas, interpret):
+    from .morph_gac import _route_kernel
+    return _route_kernel(shape, k, smoothing, kind, use_pallas, interpret)
+
+
+def _segment_morph_chunked(u0, p: CVParams, ls_init, s: int, l1, l2,
+                           kk: int, interpret: bool) -> MorphResult:
+    """Tolerance-mode MorphACWE through the banded kernel, k iterations
+    per chunk (see segment_morph docstring for the semantics)."""
+    from ..ops.pallas_morph import morph_chunk
+
+    def not_stopped(state):
+        _, n, delta, streak = state
+        done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
+        diverged = jnp.logical_and(n > 0,
+                                   jnp.logical_not(jnp.isfinite(delta)))
+        return jnp.logical_not(jnp.logical_or(done, diverged))
+
+    def run_chunk(state, size):
+        ls, n, _, streak = state
+        f = _force_plane(u0, ls, l1, l2)
+        # parity0 = 0: every chunk boundary sits at a multiple of k
+        # whose (iter*s) parity is 0 because (k*s) % 2 == 0
+        ls_new = morph_chunk(ls, f, k=size, smoothing=s, parity0=0,
+                             interpret=interpret)
+        # chunk flip fraction; NaN-poison via the force plane (a
+        # non-finite image/means makes f non-finite; binary selects
+        # against NaN would otherwise freeze the state and read 0 flips
+        # as convergence - same hazard as morph_step's poison)
+        flips = (jnp.mean((ls_new != ls).astype(ls.dtype))
+                 + 0.0 * jnp.sum(f))
+        streak = jnp.where(flips < p.tol, streak + size, 0)
+        return (ls_new, n + size, flips, streak)
+
+    full = (p.max_iter // kk) * kk
+    rem = p.max_iter - full
+
+    def cond(state):
+        return jnp.logical_and(state[1] < full, not_stopped(state))
+
+    init = (ls_init, jnp.int32(0), jnp.asarray(jnp.inf, u0.dtype),
+            jnp.int32(0))
+    state = jax.lax.while_loop(cond, lambda st: run_chunk(st, kk), init)
+    if rem:
+        state = jax.lax.cond(
+            jnp.logical_and(state[1] < p.max_iter, not_stopped(state)),
+            lambda st: run_chunk(st, rem), lambda st: st, state)
+    ls, iters, delta, _ = state
+    c1, c2 = binary_means(u0, ls)
+    return MorphResult(ls, ls >= 0.5, iters, delta, c1, c2)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("p", "smoothing", "lambda1", "lambda2"))
+                   static_argnames=("p", "smoothing", "lambda1", "lambda2",
+                                    "use_pallas", "k", "interpret"))
 def segment_morph(u0, p: CVParams = CVParams(),
                   ls0: Optional[jax.Array] = None,
                   smoothing: int = 1,
-                  lambda1=None, lambda2=None) -> MorphResult:
+                  lambda1=None, lambda2=None,
+                  use_pallas: Optional[bool] = None,
+                  k: Optional[int] = None,
+                  interpret: bool = False) -> MorphResult:
     """Segment to convergence (flip-fraction tol) or p.max_iter.
 
     Convergence is ALWAYS the mask-flip fraction here (the level set is
@@ -106,10 +162,29 @@ def segment_morph(u0, p: CVParams = CVParams(),
     2-cycle test restores a sound tolerance mode). ``ls0`` (optional) is
     any array whose >=0.5 threshold seeds the level set; otherwise
     p.init names the shape.
+
+    On TPU (auto; ``use_pallas``/``k`` override) the loop runs the
+    banded Pallas kernel in k-iteration chunks (ops/pallas_morph.
+    morph_chunk) - chunk-granular convergence exactly like the PDE
+    family's models/banded.py: region means (and the data force) are
+    frozen per chunk, the flip metric is the CHUNK flip fraction
+    (ls after k iterations vs before - with even k a period-2 limit
+    cycle reads EXACTLY 0, so the 2-cycle detector is subsumed rather
+    than approximated), a below-tol chunk credits its full k
+    iterations to the patience streak, and max_iter stays an exact cap
+    (full chunks in the while_loop + one static remainder). The chunk
+    metric over-counts a still-moving front by up to k vs the
+    per-iteration metric, so kernel-mode stopping is conservative
+    (never earlier than the jnp path, at most one chunk later).
     """
     l1, l2 = _lambdas(u0, p, lambda1, lambda2)
     ls_init = _init_ls(u0, p, ls0)
     s = int(smoothing)
+    use_k, kk = _route_morph_kernel(u0.shape[:2], k, s, "acwe",
+                                    use_pallas, interpret)
+    if use_k:
+        return _segment_morph_chunked(u0, p, ls_init, s, l1, l2, kk,
+                                      interpret)
 
     def cond(state):
         _, _, n, delta, streak = state
@@ -207,8 +282,12 @@ def segment_morph_sharded(u0, p: CVParams = CVParams(), mesh=None,
     u0s = jax.device_put(u0, NamedSharding(mesh, img_spec))
     ls = _init_ls(u0, p, ls0)
     lss = jax.device_put(ls, NamedSharding(mesh, P("x", "y")))
+    # use_pallas=False: GSPMD cannot partition a pallas_call - the jnp
+    # while_loop is the program class this path is designed around; the
+    # kernel route would make XLA gather the full arrays to one device
     return segment_morph(u0s, p, ls0=lss, smoothing=smoothing,
-                         lambda1=lambda1, lambda2=lambda2)
+                         lambda1=lambda1, lambda2=lambda2,
+                         use_pallas=False)
 
 
 def _force_plane(u0, ls, l1, l2):

@@ -76,12 +76,16 @@ def gac_iteration(ls, dgx, dgy, mask, balloon: int, k, smoothing: int):
 
 
 @functools.partial(jax.jit, static_argnames=("p", "smoothing", "balloon",
-                                             "threshold"))
+                                             "threshold", "use_pallas",
+                                             "k", "interpret"))
 def segment_gac(g, p: CVParams = CVParams(),
                 ls0: Optional[jax.Array] = None,
                 smoothing: int = 1,
                 balloon: int = 0,
-                threshold: float = 0.5) -> GACResult:
+                threshold: float = 0.5,
+                use_pallas: Optional[bool] = None,
+                k: Optional[int] = None,
+                interpret: bool = False) -> GACResult:
     """Segment the edge map g to convergence (flip tol) or p.max_iter.
 
     Same convergence machinery as segment_morph: mask-flip fraction with
@@ -89,10 +93,23 @@ def segment_gac(g, p: CVParams = CVParams(),
     period-2 limit cycles ARE convergence), shared
     patience/min_iter/divergence loop_continue. ``balloon``/``threshold``
     are static (they pick the compiled program); ``g`` should come from
-    ops.morph.inverse_gaussian_gradient (values in (0, 1])."""
+    ops.morph.inverse_gaussian_gradient (values in (0, 1]).
+
+    On TPU (auto; ``use_pallas``/``k`` override) the loop runs the
+    banded Pallas kernel in k-iteration chunks (trajectory-EXACT for
+    any k - the GAC body has no reductions), with chunk-granular
+    convergence: the flip metric is the chunk flip fraction (even k
+    makes a period-2 limit cycle read exactly 0, subsuming the 2-cycle
+    detector), a below-tol chunk credits k iterations to the patience
+    streak, and max_iter stays an exact cap. Stopping is conservative
+    vs the per-iteration path by at most one chunk."""
     ls_init = _init_ls(g, p, ls0)
     b = int(balloon)
     s = int(smoothing)
+    use_k, kk = _route_kernel(g.shape, k, s, "gac", use_pallas, interpret)
+    if use_k:
+        return _segment_gac_chunked(g, p, ls_init, s, b, float(threshold),
+                                    kk, interpret)
     dgx, dgy, mask = _prep(g, b, float(threshold))
     # NaN-poison: a non-finite edge map must abort the loop, not freeze
     # the binary state (comparisons against NaN are False, so the flip
@@ -116,6 +133,50 @@ def segment_gac(g, p: CVParams = CVParams(),
     init = (ls_init, ls_init, jnp.int32(0),
             jnp.asarray(jnp.inf, g.dtype), jnp.int32(0))
     ls, _, iters, delta, _ = jax.lax.while_loop(cond, body, init)
+    return GACResult(ls, ls >= 0.5, iters, delta)
+
+
+def _segment_gac_chunked(g, p: CVParams, ls_init, s: int, b: int,
+                         threshold: float, kk: int,
+                         interpret: bool) -> GACResult:
+    """Tolerance-mode MorphGAC through the banded kernel, k iterations
+    per chunk (see segment_gac docstring for the semantics)."""
+    from ..ops.pallas_morph import gac_chunk
+
+    # g is a loop invariant: poison ONCE outside the loop (a non-finite
+    # edge map must abort, not freeze the binary state at 0 flips)
+    poison = 0.0 * jnp.sum(g)
+    kw = dict(smoothing=s, parity0=0, balloon=b, threshold=threshold,
+              interpret=interpret)
+
+    def not_stopped(state):
+        _, n, delta, streak = state
+        done = jnp.logical_and(streak >= p.patience, n >= p.min_iter)
+        diverged = jnp.logical_and(n > 0,
+                                   jnp.logical_not(jnp.isfinite(delta)))
+        return jnp.logical_not(jnp.logical_or(done, diverged))
+
+    def run_chunk(state, size):
+        ls, n, _, streak = state
+        ls_new = gac_chunk(ls, g, k=size, **kw)
+        flips = jnp.mean((ls_new != ls).astype(ls.dtype)) + poison
+        streak = jnp.where(flips < p.tol, streak + size, 0)
+        return (ls_new, n + size, flips, streak)
+
+    full = (p.max_iter // kk) * kk
+    rem = p.max_iter - full
+
+    def cond(state):
+        return jnp.logical_and(state[1] < full, not_stopped(state))
+
+    init = (ls_init, jnp.int32(0), jnp.asarray(jnp.inf, g.dtype),
+            jnp.int32(0))
+    state = jax.lax.while_loop(cond, lambda st: run_chunk(st, kk), init)
+    if rem:
+        state = jax.lax.cond(
+            jnp.logical_and(state[1] < p.max_iter, not_stopped(state)),
+            lambda st: run_chunk(st, rem), lambda st: st, state)
+    ls, iters, delta, _ = state
     return GACResult(ls, ls >= 0.5, iters, delta)
 
 
@@ -180,8 +241,11 @@ def segment_gac_sharded(g, p: CVParams = CVParams(), mesh=None,
     gs = jax.device_put(g, NamedSharding(mesh, P("x", "y")))
     ls = _init_ls(g, p, ls0)
     lss = jax.device_put(ls, NamedSharding(mesh, P("x", "y")))
+    # use_pallas=False: GSPMD cannot partition a pallas_call (see
+    # segment_morph_sharded)
     return segment_gac(gs, p, ls0=lss, smoothing=smoothing,
-                       balloon=balloon, threshold=threshold)
+                       balloon=balloon, threshold=threshold,
+                       use_pallas=False)
 
 
 def _route_kernel(shape, k, smoothing, kind, use_pallas, interpret):

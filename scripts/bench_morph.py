@@ -10,7 +10,10 @@ reductions - expect it to be HBM-bound, i.e. well above the PDE kernels
 in Mpix-it/s; the interesting number is the ratio to the packed banded
 PDE rate at the same size (README headline table).
 
-Run: python scripts/bench_morph.py [iters] [name-substring ...]
+Run: python scripts/bench_morph.py [iters] [k=N] [name-substring ...]
+(k=N overrides the kernel chunk depth on the kernel legs; N*smoothing
+must be even or the auto route silently resolves to jnp - each leg
+prints its RESOLVED route so a mislabeled A/B is impossible.)
 """
 
 import sys
@@ -21,7 +24,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from chan_vese_tpu.models.morph import segment_morph_iterations
+from chan_vese_tpu.models.morph_gac import _route_kernel
 from chan_vese_tpu.params import CVParams
+
+
+def route_label(shape2d, up, kk, kind):
+    """The route a leg will ACTUALLY take (ADVICE r4: an odd k= override
+    fails the (k*smoothing)%2 check and the auto leg silently falls back
+    to jnp - print the resolved route so the A/B labels stay honest)."""
+    if up is False:
+        return "jnp(forced)"
+    try:
+        use_k, rk = _route_kernel(shape2d, kk, 1, kind, up, False)
+    except ValueError as e:
+        return f"ERROR({e})"
+    return f"kernel(k={rk})" if use_k else "jnp(fallback)"
 
 
 def timeit(run, *args, reps=3):
@@ -71,10 +88,12 @@ def main():
             if only and not any(s in name.lower() for s in only):
                 continue
             u = jnp.asarray(rng.uniform(0, 255, shape).astype(np.float32))
+            route = route_label(shape[:2], up, kk, "acwe")
+            print(f"{name:12s} route={route}", flush=True)
             t = timeit(run_morph(up), u)
             mpix = shape[0] * shape[1] * iters / t / 1e6
             print(f"{name:12s} morph smoothing=1: {mpix:9.1f} Mpix-it/s "
-                  f"({t:.4f}s)", flush=True)
+                  f"({t:.4f}s) [{route}]", flush=True)
 
     # MorphGAC: the reduction-free sibling (balloon + attraction +
     # smoothing, zero reductions in the loop body) on a precomputed
@@ -100,10 +119,12 @@ def main():
                 continue
             g = jnp.asarray(rng.uniform(0.05, 1.0, shape)
                             .astype(np.float32))
+            route = route_label(shape, up, kk, "gac")
+            print(f"{name:12s} route={route}", flush=True)
             t = timeit(run_gac(up), g)
             mpix = shape[0] * shape[1] * iters / t / 1e6
             print(f"{name:12s} gac balloon=1 smoothing=1: {mpix:9.1f} "
-                  f"Mpix-it/s ({t:.4f}s)", flush=True)
+                  f"Mpix-it/s ({t:.4f}s) [{route}]", flush=True)
 
 
 if __name__ == "__main__":

@@ -10,6 +10,9 @@ This probe lowers + compiles WITHOUT executing, printing a timestamped
 line per phase, then (optionally, arg "run") executes one tiny chunk.
 
 Run: python scripts/probe_morph_compile.py [k] [run]
+(k must keep (k*smoothing) % 2 == 0 - smoothing=1 here, so even k - or
+_route_kernel resolves to the jnp path / rejects a forced kernel; an
+odd k is stamped + rejected up front rather than crashing untimed.)
 """
 
 import sys
@@ -28,9 +31,16 @@ def stamp(msg):
 
 
 def main():
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    do_run = "run" in sys.argv[2:]
+    # defensive parse (ADVICE r4): 'probe_morph_compile.py run' must not
+    # ValueError on int('run'); odd k must be stamped, not crash untimed
+    args = sys.argv[1:]
+    k = int(args.pop(0)) if args and args[0].isdigit() else 8
+    do_run = "run" in args
     stamp(f"backend={jax.default_backend()} k={k}")
+    if (k * 1) % 2 != 0:
+        stamp(f"REJECT: k={k} odd - (k*smoothing) % 2 == 0 required "
+              f"(chunk-parity invariant, ops/pallas_morph.py); use even k")
+        return
     p = CVParams()
 
     @jax.jit
