@@ -356,18 +356,29 @@ def main(argv=None) -> int:
                                        segment_gac_sharded)
         from .ops.morph import inverse_gaussian_gradient
 
-        if args.pyramid or args.checkpoint_dir or args.trace_energy:
+        if args.checkpoint_dir or args.trace_energy:
             warn_dropped("morphological-GAC",
-                         ("--pyramid", args.pyramid),
                          ("--checkpoint-dir", args.checkpoint_dir),
                          ("--trace-energy", args.trace_energy))
+        if args.pyramid and args.mesh is not None:
+            warn_dropped("sharded morphological-GAC",
+                         ("--pyramid", True))
+            args.pyramid = 0
         s = args.morph_smoothing
         g = inverse_gaussian_gradient(u0, args.gac_alpha, args.gac_sigma)
         thr = (float(np.percentile(np.asarray(g), 40))
                if args.gac_threshold == "auto"
                else float(args.gac_threshold))
         kw = dict(smoothing=s, balloon=args.balloon, threshold=thr)
-        if fixed:
+        if args.pyramid:
+            from .models.pyramid import segment_pyramid_gac
+
+            res = segment_pyramid_gac(
+                u0, p, levels=args.pyramid, gac_alpha=args.gac_alpha,
+                gac_sigma=args.gac_sigma, **kw)
+            mask, iters, delta = res.mask, int(res.iters), res.delta
+            log(f"pyramid levels (coarse->fine iters): {res.level_iters}")
+        elif fixed:
             tr = segment_gac_fixed(g, p, iters=args.iters, **kw)
             mask, iters, delta = tr.mask, args.iters, tr.delta[-1]
             if args.evolution_gif:
@@ -386,8 +397,17 @@ def main(argv=None) -> int:
         elif args.mesh is not None:
             from .parallel.mesh import make_grid_mesh
 
-            res = segment_gac_sharded(g, p, mesh=make_grid_mesh(*args.mesh),
-                                      **kw)
+            gmesh = make_grid_mesh(*args.mesh)
+            if args.comm_k > 1:
+                # communication-avoiding chunks: one deep halo exchange
+                # per k iterations, trajectory-exact for GAC
+                from .parallel.sharded_morph import \
+                    segment_gac_sharded_chunked
+
+                res = segment_gac_sharded_chunked(
+                    g, p, mesh=gmesh, comm_k=args.comm_k, **kw)
+            else:
+                res = segment_gac_sharded(g, p, mesh=gmesh, **kw)
             mask, iters, delta = res.mask, int(res.iters), res.delta
         else:
             res = segment_gac(g, p, **kw)
@@ -406,11 +426,33 @@ def main(argv=None) -> int:
         from .models.morph import (segment_morph, segment_morph_fixed,
                                    segment_morph_sharded)
 
-        if args.pyramid or args.checkpoint_dir:
+        if args.checkpoint_dir:
             warn_dropped("morphological",
-                         ("--pyramid", args.pyramid),
                          ("--checkpoint-dir", args.checkpoint_dir))
+        if args.pyramid and args.mesh is not None:
+            warn_dropped("sharded morphological", ("--pyramid", True))
+            args.pyramid = 0
         s = args.morph_smoothing
+        if args.pyramid:
+            from .models.pyramid import segment_pyramid_morph
+
+            res = segment_pyramid_morph(u0, p, levels=args.pyramid,
+                                        smoothing=s, lambda1=lam1,
+                                        lambda2=lam2)
+            log(f"pyramid levels (coarse->fine iters): {res.level_iters}")
+            from .ops.morph import binary_means as _bm
+
+            c1, c2 = _bm(u0, res.ls)
+            mask, iters, delta = res.mask, int(res.iters), res.delta
+            if diverged_exit(iters, c1, c2, delta):
+                return 1
+            log(f"morphACWE: {iters} iters; c1={np.asarray(c1)}, "
+                f"c2={np.asarray(c2)}")
+            if args.output:
+                image_io.save_mask(args.output, np.asarray(mask))
+            if args.overlay:
+                image_io.save_overlay(args.overlay, img, np.asarray(mask))
+            return 0
         mesh = None
         if args.mesh is not None:
             # GSPMD path: place the inputs on the grid mesh; the same
@@ -453,8 +495,18 @@ def main(argv=None) -> int:
                                             frames)
             delta = tr.delta[-1]
         elif mesh is not None:
-            res = segment_morph_sharded(u0, p, mesh=mesh, smoothing=s,
-                                        lambda1=lam1, lambda2=lam2)
+            if args.comm_k > 1:
+                # communication-avoiding chunks (frozen means per chunk,
+                # the banded kernel's trajectory class)
+                from .parallel.sharded_morph import \
+                    segment_morph_sharded_chunked
+
+                res = segment_morph_sharded_chunked(
+                    u0, p, mesh=mesh, smoothing=s, comm_k=args.comm_k,
+                    lambda1=lam1, lambda2=lam2)
+            else:
+                res = segment_morph_sharded(u0, p, mesh=mesh, smoothing=s,
+                                            lambda1=lam1, lambda2=lam2)
             mask, iters = res.mask, int(res.iters)
             c1, c2, delta = res.c1, res.c2, res.delta
         else:

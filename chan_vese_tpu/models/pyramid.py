@@ -297,3 +297,133 @@ def segment_pyramid_sharded(u0, p: CVParams = CVParams(), mesh=None,
 
     return PyramidResult(res.phi, res.mask, res.iters, res.delta,
                          res.c1, res.c2, tuple(level_iters))
+
+
+# ---------------------------------------------------------------------------
+# pyramid x morphological family (binary level sets)
+# ---------------------------------------------------------------------------
+
+class MorphPyramidResult(NamedTuple):
+    ls: jax.Array       # final full-resolution binary level set
+    mask: jax.Array     # ls >= 0.5 (bool)
+    iters: jax.Array    # iterations run at the FINEST level
+    delta: jax.Array    # finest level's final (chunk) flip fraction
+    level_iters: Tuple[int, ...]  # per-level iterations, coarse -> fine
+
+
+def upsample_ls2x(ls: jax.Array) -> jax.Array:
+    """Nearest-neighbor 2x upsample of a BINARY level set (each coarse
+    cell becomes a 2x2 block). No redistance needed - the morphological
+    state carries no amplitude, only the sign pattern."""
+    return jnp.repeat(jnp.repeat(ls, 2, axis=0), 2, axis=1)
+
+
+_up_ls = jax.jit(upsample_ls2x)
+
+
+def segment_pyramid_morph(u0, p: CVParams = CVParams(),
+                          levels: Optional[int] = None,
+                          ls0: Optional[jax.Array] = None,
+                          smoothing: int = 1,
+                          lambda1=None, lambda2=None,
+                          min_dim: int = 128) -> MorphPyramidResult:
+    """Coarse-to-fine MorphACWE to convergence.
+
+    The basin-rescue/contour-travel argument that bought the PDE family
+    7.2x (docs/BENCHMARKS.md pyramid section) applies identically to
+    binary level sets: the discrete force only flips pixels WITH a
+    nonzero level-set gradient, so a contour travels at most ~1 px per
+    iteration and a from-scratch fine run pays O(distance) iterations;
+    the coarse levels cover that distance at 1/4, 1/16, ... the pixels.
+    Across levels the binary state needs only a nearest-neighbor 2x
+    blow-up (upsample_ls2x) - no redistance, there is no amplitude.
+
+    Each level runs models/morph.segment_morph (tolerance mode with the
+    2-cycle limit detector; banded-kernel-routed on TPU where geometry
+    allows - the kernel's H % 8 / W % 128 envelope holds at every level
+    when it holds at full resolution with levels <= 4, since pooling
+    divides both dims by 2). ``ls0`` (optional) seeds the COARSEST
+    level (mean-pooled, >= 0.5 threshold per level).
+    """
+    from .morph import segment_morph
+
+    L = plan_levels(*u0.shape[:2], levels=levels, min_dim=min_dim)
+
+    images = [u0]
+    for _ in range(L):
+        images.append(_pool(images[-1]))
+
+    ls = None
+    if ls0 is not None:
+        ls = jnp.asarray(ls0 >= 0.5 if ls0.dtype != bool else ls0,
+                         u0.dtype)
+        for _ in range(L):
+            ls = (_pool(ls) >= 0.5).astype(u0.dtype)
+
+    level_iters = []
+    res = None
+    for lvl, u in enumerate(reversed(images)):  # coarse -> fine
+        res = segment_morph(u, p, ls0=ls, smoothing=smoothing,
+                            lambda1=lambda1, lambda2=lambda2)
+        level_iters.append(int(res.iters))
+        if lvl < L:
+            ls = _up_ls(res.ls)
+
+    return MorphPyramidResult(res.ls, res.mask, res.iters, res.delta,
+                              tuple(level_iters))
+
+
+def segment_pyramid_gac(u0, p: CVParams = CVParams(),
+                        levels: Optional[int] = None,
+                        ls0: Optional[jax.Array] = None,
+                        smoothing: int = 1,
+                        balloon: int = 0,
+                        threshold: float = 0.5,
+                        gac_alpha: float = 5.0,
+                        gac_sigma: float = 3.0,
+                        min_dim: int = 128) -> MorphPyramidResult:
+    """Coarse-to-fine MorphGAC to convergence.
+
+    Takes the RAW image (not a precomputed edge map): the
+    inverse_gaussian_gradient edge map is recomputed per level from the
+    mean-pooled image with the SAME alpha/sigma - pooling halves feature
+    sizes in pixels while the blur scale stays fixed, so coarse levels
+    see proportionally smoother edge basins (exactly the coarse-to-fine
+    effect wanted; pooling a full-resolution g instead would blur the
+    very edge minima the attraction needs). The balloon composes
+    naturally with the warm start: a warm-started contour sits where
+    g < threshold, so the balloon is inactive there and only the
+    attraction refines it.
+
+    ``threshold`` may be the float threshold (applied at every level) -
+    the compat-style 'auto' percentile should be resolved by the caller
+    (cli.py does, from the finest-level edge map).
+    """
+    from ..ops.morph import inverse_gaussian_gradient
+    from .morph_gac import segment_gac
+
+    L = plan_levels(*u0.shape[:2], levels=levels, min_dim=min_dim)
+
+    images = [u0]
+    for _ in range(L):
+        images.append(_pool(images[-1]))
+
+    ls = None
+    if ls0 is not None:
+        ls = jnp.asarray(ls0 >= 0.5 if ls0.dtype != bool else ls0,
+                         u0.dtype)
+        for _ in range(L):
+            ls = (_pool(ls) >= 0.5).astype(u0.dtype)
+
+    level_iters = []
+    res = None
+    for lvl, u in enumerate(reversed(images)):  # coarse -> fine
+        g = inverse_gaussian_gradient(u, gac_alpha, gac_sigma)
+        res = segment_gac(g, p, ls0=ls, smoothing=smoothing,
+                          balloon=balloon, threshold=threshold)
+        level_iters.append(int(res.iters))
+        if lvl < L:
+            ls = _up_ls(res.ls)
+
+    return MorphPyramidResult(res.ls, res.mask, res.iters, res.delta,
+                              tuple(level_iters))

@@ -320,3 +320,101 @@ def test_pyramid_cli_flag(tmp_path):
     rc = main([str(src), "-o", str(out), "--pyramid", "2", "--iters", "40",
                "--init", "circle"])
     assert rc == 0
+
+
+# --------------------------------------------------------------------------
+# pyramid x morphological family
+# --------------------------------------------------------------------------
+
+def _disk512(seed=0):
+    rng = np.random.default_rng(seed)
+    H = W = 512
+    yy, xx = np.mgrid[:H, :W]
+    gt = (yy - 256) ** 2 + (xx - 256) ** 2 < 150 ** 2
+    img = np.where(gt, 200.0, 0.0) + rng.normal(0, 5, (H, W))
+    return jnp.asarray(img), gt
+
+
+def test_pyramid_morph_matches_direct_and_saves_work():
+    from chan_vese_tpu.models.morph import segment_morph
+    from chan_vese_tpu.models.pyramid import segment_pyramid_morph
+
+    u, gt = _disk512()
+    p = CVParams(max_iter=500, tol=1e-5, patience=4, min_iter=4,
+                 init="circle")
+    res = segment_pyramid_morph(u, p, levels=2)
+    assert iou(np.asarray(res.mask), gt) > 0.99
+    direct = segment_morph(u, p, use_pallas=False)
+    assert iou(np.asarray(direct.mask), gt) > 0.99
+    # the finest level refines locally: it must need strictly fewer
+    # iterations than the direct full-resolution run (measured 5 vs 36)
+    assert int(res.iters) < int(direct.iters)
+    assert len(res.level_iters) == 3
+
+
+def test_pyramid_morph_ls0_seeds_coarsest():
+    from chan_vese_tpu.models.pyramid import segment_pyramid_morph
+
+    u, gt = _disk512()
+    # seed with the ground truth: every level starts converged-ish, so
+    # iteration counts collapse to the patience floor
+    p = CVParams(max_iter=500, tol=1e-5, patience=3, min_iter=3)
+    res = segment_pyramid_morph(u, p, levels=2,
+                                ls0=jnp.asarray(gt.astype(np.float64)))
+    assert iou(np.asarray(res.mask), gt) > 0.99
+    assert int(res.iters) <= 8
+
+
+def test_pyramid_gac_converges_from_small_seed():
+    from chan_vese_tpu.models.pyramid import segment_pyramid_gac
+
+    u, gt = _disk512()
+    p = CVParams(max_iter=500, tol=1e-5, patience=4, min_iter=4,
+                 init="small-disk")
+    res = segment_pyramid_gac(u, p, levels=2, balloon=1, threshold=0.3,
+                              gac_alpha=5.0, gac_sigma=2.0)
+    assert iou(np.asarray(res.mask), gt) > 0.99
+    # the balloon's contour travel happens at the COARSE level: the
+    # finest level is local refinement only (measured 5 vs 27 coarse)
+    assert int(res.iters) < res.level_iters[0]
+
+
+def test_pyramid_morph_cli_flag(tmp_path):
+    from chan_vese_tpu.cli import main
+    from chan_vese_tpu.utils import image_io
+
+    u, gt = _disk512()
+    src = tmp_path / "in.npy"
+    np.save(src, np.asarray(u, np.float32))
+    out = tmp_path / "m.png"
+    rc = main([str(src), "--morph", "--pyramid", "2", "--init", "circle",
+               "-o", str(out), "--f64", "--quiet"])
+    assert rc == 0
+    mask = image_io.load_image(str(out)) > 127
+    assert iou(mask, gt) > 0.99
+
+    outg = tmp_path / "g.png"
+    rc = main([str(src), "--morph-gac", "--pyramid", "2", "--balloon",
+               "1", "--init", "small-disk", "--gac-alpha", "5",
+               "--gac-sigma", "2", "--gac-threshold", "0.3",
+               "-o", str(outg), "--f64", "--quiet"])
+    assert rc == 0
+    mask = image_io.load_image(str(outg)) > 127
+    assert iou(mask, gt) > 0.99
+
+
+def test_pyramid_morph_mesh_drops_pyramid(tmp_path):
+    """--morph --pyramid --mesh: pyramid dropped with a warning, the
+    sharded path still runs (composition rule)."""
+    from chan_vese_tpu.cli import main
+    from chan_vese_tpu.utils import image_io
+
+    u, gt = _disk512()
+    src = tmp_path / "in.npy"
+    np.save(src, np.asarray(u, np.float32))
+    out = tmp_path / "m.png"
+    rc = main([str(src), "--morph", "--pyramid", "2", "--mesh", "2", "2",
+               "--init", "circle", "-o", str(out), "--f64", "--quiet"])
+    assert rc == 0
+    mask = image_io.load_image(str(out)) > 127
+    assert iou(mask, gt) > 0.99

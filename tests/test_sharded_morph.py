@@ -226,3 +226,32 @@ def test_sharded_wrappers_pin_jnp_route():
     res = segment_morph_sharded(u, CVParams(max_iter=30), mesh=mesh)
     ref = segment_morph(u, CVParams(max_iter=30), use_pallas=False)
     np.testing.assert_array_equal(np.asarray(res.ls), np.asarray(ref.ls))
+
+
+def test_cli_morph_comm_k(tmp_path):
+    """--morph/--morph-gac + --mesh + --comm-k routes the chunked
+    communication-avoiding drivers (masks match the comm_k=1 path)."""
+    from chan_vese_tpu.cli import main
+    from chan_vese_tpu.utils import image_io
+
+    u = np.asarray(_disk_image(noise=3.0))
+    src = tmp_path / "in.npy"
+    np.save(src, u.astype(np.float32))
+    out1 = tmp_path / "m1.png"
+    outk = tmp_path / "mk.png"
+    base = [str(src), "--morph", "--init", "checkerboard", "--f64",
+            "--quiet", "--mesh", "2", "4"]
+    assert main(base + ["-o", str(out1)]) == 0
+    assert main(base + ["-o", str(outk), "--comm-k", "4"]) == 0
+    m1 = image_io.load_image(str(out1)) > 127
+    mk = image_io.load_image(str(outk)) > 127
+    assert float(np.sum(m1 & mk) / np.sum(m1 | mk)) > 0.99
+
+    outg = tmp_path / "g.png"
+    rc = main([str(src), "--morph-gac", "--balloon", "1", "--init",
+               "small-disk", "--gac-alpha", "5", "--gac-sigma", "2",
+               "--gac-threshold", "0.3", "--mesh", "2", "4",
+               "--comm-k", "4", "-o", str(outg), "--f64", "--quiet"])
+    assert rc == 0
+    mg = image_io.load_image(str(outg)) > 127
+    assert mg.any() and not mg.all()
