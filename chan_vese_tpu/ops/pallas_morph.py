@@ -258,7 +258,26 @@ def _morph_banded_kernel(ls_hbm, aux_hbm, out_hbm,
     it = functools.partial(_iterate, kind=kind, smoothing=smoothing,
                            parity0=parity0, balloon=balloon, thr_b=thr_b,
                            one=jnp.ones((), dt), zero=jnp.zeros((), dt))
-    for j in range(k):
+    # k-loop structure (measured 2026-08-20, scripts/probe_morph_bisect):
+    # Mosaic compile time explodes super-linearly in the STATICALLY
+    # unrolled body size x tile area - k=2 compiles in 3 s, k=8 in
+    # 250 s at 512x1280, and k=8 at 4K sat >25 min with no output (the
+    # round-4 wedge; the concat->roll _sl/_sr rewrite alone did NOT fix
+    # it). So unroll only the minimal u keeping the SIoIS/ISoSI parity
+    # compile-time static ((u*s) % 2 == 0: iteration j = u*t + i has
+    # parity (parity0 + i*s + c) independent of the traced t) and run
+    # the k//u trips as a fori_loop - the exact structure of the PDE
+    # _banded_kernel_fusej. Trailing k % u iterations (tolerance-driver
+    # remainder chunks) unroll at static positions after the loop.
+    u = 1 if smoothing % 2 == 0 else 2
+
+    def trip(t, _):
+        for i in range(u):
+            work_scr[slot] = it(work_scr[slot], aux_scr[slot], i)
+        return 0
+
+    jax.lax.fori_loop(0, k // u, trip, 0, unroll=False)
+    for j in range((k // u) * u, k):
         work_scr[slot] = it(work_scr[slot], aux_scr[slot], j)
 
     store_dma(i, slot).start()
