@@ -68,8 +68,14 @@ from .pallas_sweep import _VMEM_LIMIT
 # declared scratch = 3 tiles x 2 slots; the morphological body's Mosaic
 # temporaries are the 8 shifted neighbor planes of the active op (far
 # lighter than the PDE sweep's ~16 spill tiles - no face-coefficient
-# chains, no transcendentals)
+# chains, no transcendentals). GAC budgets more tile-rows per row: its
+# body recomputes dgx/dgy/balloon-mask from the g tile each iteration
+# on TOP of the neighbor planes - measured 2026-08-20 on chip: 4K GAC
+# k=8 at the 18-tile sizing was a compile-time VMEM OOM (131.4M of
+# 128M, +3.4M over) while every ACWE leg fit; 24 tiles shortens bands
+# ~25% and clears it
 _TILES = 18
+_TILES_GAC = 24
 _VMEM_BUDGET = _VMEM_LIMIT  # tests shrink this to force multi-band layouts
 
 
@@ -87,7 +93,7 @@ def band_rows_morph(h: int, w: int, k: int, smoothing: int,
                     kind: str) -> int:
     """Largest multiple-of-8 band height fitting VMEM with k-deep halos."""
     hal = _halo_morph(k, smoothing, kind)
-    per_row = w * 4 * _TILES
+    per_row = w * 4 * (_TILES if kind == "acwe" else _TILES_GAC)
     b = max(8, (_VMEM_BUDGET // per_row) // 8 * 8)
     return min(b, max(8, ((h - 2 * hal) // 8) * 8))
 
