@@ -252,12 +252,17 @@ def _route_kernel(shape, k, smoothing, kind, use_pallas, interpret):
     """Resolve (use_kernel, k) for the banded morphological kernel.
 
     Auto (None): on TPU (or in interpret mode), with supported geometry,
-    k defaulting to 8 - even, so (k*smoothing) % 2 == 0 keeps the
-    SIoIS/ISoSI chunk parity compile-time static (ops/pallas_morph.py).
+    k defaulting to the MEASURED per-kind best (2026-08-20 on-chip
+    ladder, artifacts/ab_morph_kdepth_2026-08-20.out): ACWE k=8 (4K
+    22298/23531/21692 at k=4/8/16; 8K k=8 +6.5% over k=4, k=16 VMEM
+    OOM), GAC k=4 (4K 15290 vs 14410 at k=8 - GAC's 25%-shorter bands
+    make deep halos cost more than they amortize). Both even, so
+    (k*smoothing) % 2 == 0 keeps the SIoIS/ISoSI chunk parity
+    compile-time static (ops/pallas_morph.py).
     """
     from ..ops.pallas_morph import supports_morph_banded
 
-    kk = 8 if k is None else int(k)
+    kk = (8 if kind == "acwe" else 4) if k is None else int(k)
     ok = (supports_morph_banded(*shape, kk, smoothing, kind)
           and (kk * smoothing) % 2 == 0
           and (interpret or jax.default_backend() == "tpu"))

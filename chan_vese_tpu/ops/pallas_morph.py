@@ -104,10 +104,24 @@ def supports_morph_banded(h: int, w: int, k: int, smoothing: int,
     require (k * smoothing) % 2 == 0 so the SIoIS/ISoSI parity at a
     chunk's first iteration is chunk-invariant (parity0 is a
     compile-time constant of the kernel); odd products are still usable
-    by alternating parity0 across chunks at the Python level (tests)."""
+    by alternating parity0 across chunks at the Python level (tests).
+
+    The last clause rejects geometries whose scoped-VMEM footprint
+    would blow the compile: Mosaic's scoped usage tracks the TILE
+    height T = b + 2*halo (the PDE band-sizing lesson - spills scale
+    with T, not b). Calibrated against the 2026-08-20 on-chip ladder:
+    ACWE scoped = ~13.7 tiles of T x W f32 (8K k=16, T=272: OOM at
+    114.4M of the 96M limit; every measured-good config <= 94.3M) ->
+    factor 14; GAC's heavier body at its 24-row sizing stays <= 16
+    tiles across measured-good configs -> factor 16. A rejected
+    geometry falls back to the jnp path (the route is printed by
+    scripts/bench_morph.py)."""
     hal = _halo_morph(k, smoothing, kind)
+    b = band_rows_morph(h, w, k, smoothing, kind)
+    scoped_tiles = 14 if kind == "acwe" else 16
     return (w % 128 == 0 and h % 8 == 0 and 1 <= k <= 64
-            and band_rows_morph(h, w, k, smoothing, kind) + 2 * hal <= h)
+            and b + 2 * hal <= h
+            and (b + 2 * hal) * w * 4 * scoped_tiles <= _VMEM_BUDGET)
 
 
 # ---------------------------------------------------------------------------
