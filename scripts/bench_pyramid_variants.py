@@ -124,8 +124,17 @@ def main():
         from chan_vese_tpu.models.morph import segment_morph
         from chan_vese_tpu.models.pyramid import segment_pyramid_morph
 
+        # Single CENTERED disk: the morphological force only moves the
+        # contour where |grad ls| > 0, so a circle init centered on the
+        # target converges to IoU 1.0 while the contour-travel distance
+        # (the quantity the pyramid collapses) stays resolution-scaled.
+        # The two_disks fixture stalls the morph flow at IoU 0.64 in
+        # BOTH legs (first on-chip record) - equal quality, no signal.
         H, W = 2160, 3840
-        img, gt = two_disks(H, W, noise=8.0, dtype=np.float32)
+        yy, xx = np.mgrid[:H, :W].astype(np.float32)
+        gt = np.hypot(yy - H / 2, xx - W / 2) < 800
+        img = np.where(gt, 217.0, 38.0) + 8 * rng.standard_normal(
+            (H, W)).astype(np.float32)
         u = jnp.asarray(img)
         p = CVParams(init="circle", tol=1e-5, patience=4, min_iter=4)
         pd = p.replace(max_iter=20000)
@@ -149,8 +158,15 @@ def main():
         from chan_vese_tpu.models.pyramid import segment_pyramid_gac
         from chan_vese_tpu.ops.morph import inverse_gaussian_gradient
 
+        # centered disk with the small-disk seed INSIDE it (the on-chip
+        # CLI drive configuration that converged IoU 1.0 in 528 it);
+        # the two_disks center seed sat in BACKGROUND -> balloon grew
+        # the complement (IoU 0, meaningless)
         H, W = 2160, 3840
-        img, gt = two_disks(H, W, noise=3.0, dtype=np.float32)
+        yy, xx = np.mgrid[:H, :W].astype(np.float32)
+        gt = np.hypot(yy - H / 2, xx - W / 2) < 800
+        img = np.where(gt, 217.0, 38.0) + 3 * rng.standard_normal(
+            (H, W)).astype(np.float32)
         u = jnp.asarray(img)
         p = CVParams(init="small-disk", tol=1e-5, patience=4, min_iter=4,
                      max_iter=20000)
