@@ -33,14 +33,18 @@ from chan_vese_tpu.params import CVParams
 from fixtures import iou, two_disks
 
 
-def timed(fn, reps=2):
+def timed(fn, reps=2, quality=None):
+    """Time fn(r) whose return must force the solve via a SCALAR only
+    (a full-mask readback through the ~tunnel costs hundreds of ms at
+    4K and would swamp both legs); ``quality`` (optional) is called
+    once AFTER timing for the IoU/labels check."""
     out = fn(0.0)  # warm
     best = float("inf")
     for r in range(reps):
         t0 = time.perf_counter()
         out = fn(float(r + 1))
         best = min(best, time.perf_counter() - t0)
-    return best, out
+    return best, (quality(out) if quality else out)
 
 
 def main():
@@ -67,16 +71,19 @@ def main():
         def pyr(r):
             res = segment_pyramid_sharded(
                 u + jnp.float32(r), p, mesh=mesh, comm_k=8)
-            m = np.asarray(res.mask)
-            return res.level_iters, iou(m, gt)
+            float(res.delta)  # force via scalar
+            return res
 
         def direct(r):
             res = segment_sharded(u + jnp.float32(r), pd, mesh,
                                   comm_k=8)
-            return int(res.iters), iou(np.asarray(res.mask), gt)
+            float(res.delta)
+            return res
 
-        t_p, (li, iou_p) = timed(pyr)
-        t_d, (it_d, iou_d) = timed(direct)
+        t_p, (li, iou_p) = timed(pyr, quality=lambda r: (
+            r.level_iters, iou(np.asarray(r.mask), gt)))
+        t_d, (it_d, iou_d) = timed(direct, quality=lambda r: (
+            int(r.iters), iou(np.asarray(r.mask), gt)))
         print(f"sharded 1x1 comm_k=8 4K: pyramid {t_p*1e3:8.1f} ms "
               f"(levels {li}, IoU {iou_p:.3f}) vs direct "
               f"{t_d*1e3:8.1f} ms ({it_d} it, IoU {iou_d:.3f}) "
@@ -105,15 +112,19 @@ def main():
         def pyr(r):
             res = segment_pyramid_multiphase(u + jnp.float32(r), p,
                                              m_sets=2, phis0=phis0)
-            return res.level_iters, np.asarray(res.labels)
+            float(res.delta)
+            return res
 
         def direct(r):
             res = segment_multiphase(u + jnp.float32(r), pd, m_sets=2,
                                      phis0=phis0)
-            return int(res.iters), np.asarray(res.labels)
+            float(res.delta)
+            return res
 
-        t_p, (li, lab_p) = timed(pyr)
-        t_d, (it_d, lab_d) = timed(direct)
+        t_p, (li, lab_p) = timed(pyr, quality=lambda r: (
+            r.level_iters, np.asarray(r.labels)))
+        t_d, (it_d, lab_d) = timed(direct, quality=lambda r: (
+            int(r.iters), np.asarray(r.labels)))
         agree = float(np.mean(lab_p == lab_d))
         print(f"multiphase M=2 1024^2: pyramid {t_p*1e3:8.1f} ms "
               f"(levels {li}) vs direct {t_d*1e3:8.1f} ms ({it_d} it), "
@@ -141,14 +152,18 @@ def main():
 
         def pyr(r):
             res = segment_pyramid_morph(u + jnp.float32(r), p)
-            return res.level_iters, iou(np.asarray(res.mask), gt)
+            float(res.delta)
+            return res
 
         def direct(r):
             res = segment_morph(u + jnp.float32(r), pd)
-            return int(res.iters), iou(np.asarray(res.mask), gt)
+            float(res.delta)
+            return res
 
-        t_p, (li, iou_p) = timed(pyr)
-        t_d, (it_d, iou_d) = timed(direct)
+        t_p, (li, iou_p) = timed(pyr, quality=lambda r: (
+            r.level_iters, iou(np.asarray(r.mask), gt)))
+        t_d, (it_d, iou_d) = timed(direct, quality=lambda r: (
+            int(r.iters), iou(np.asarray(r.mask), gt)))
         print(f"morph ACWE 4K: pyramid {t_p*1e3:8.1f} ms (levels {li}, "
               f"IoU {iou_p:.3f}) vs direct {t_d*1e3:8.1f} ms ({it_d} it, "
               f"IoU {iou_d:.3f}) => {t_d/t_p:.1f}x", flush=True)
@@ -175,15 +190,19 @@ def main():
             res = segment_pyramid_gac(u + jnp.float32(r), p, balloon=1,
                                       threshold=0.3, gac_alpha=5.0,
                                       gac_sigma=2.0)
-            return res.level_iters, iou(np.asarray(res.mask), gt)
+            float(res.delta)
+            return res
 
         def direct(r):
             g = inverse_gaussian_gradient(u + jnp.float32(r), 5.0, 2.0)
             res = segment_gac(g, p, balloon=1, threshold=0.3)
-            return int(res.iters), iou(np.asarray(res.mask), gt)
+            float(res.delta)
+            return res
 
-        t_p, (li, iou_p) = timed(pyr)
-        t_d, (it_d, iou_d) = timed(direct)
+        t_p, (li, iou_p) = timed(pyr, quality=lambda r: (
+            r.level_iters, iou(np.asarray(r.mask), gt)))
+        t_d, (it_d, iou_d) = timed(direct, quality=lambda r: (
+            int(r.iters), iou(np.asarray(r.mask), gt)))
         print(f"morph GAC 4K: pyramid {t_p*1e3:8.1f} ms (levels {li}, "
               f"IoU {iou_p:.3f}) vs direct {t_d*1e3:8.1f} ms ({it_d} it, "
               f"IoU {iou_d:.3f}) => {t_d/t_p:.1f}x", flush=True)
