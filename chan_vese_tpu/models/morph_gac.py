@@ -277,7 +277,7 @@ def _route_kernel(shape, k, smoothing, kind, use_pallas, interpret):
 @functools.partial(jax.jit, static_argnames=("p", "iters", "smoothing",
                                              "balloon", "threshold",
                                              "start_iter", "use_pallas",
-                                             "k", "interpret"))
+                                             "k", "interpret", "pre_dg"))
 def segment_gac_iterations(g, p: CVParams = CVParams(), iters: int = 100,
                            ls0: Optional[jax.Array] = None,
                            smoothing: int = 1,
@@ -286,7 +286,8 @@ def segment_gac_iterations(g, p: CVParams = CVParams(), iters: int = 100,
                            start_iter: int = 0,
                            use_pallas: Optional[bool] = None,
                            k: Optional[int] = None,
-                           interpret: bool = False) -> GACResult:
+                           interpret: bool = False,
+                           pre_dg: bool = False) -> GACResult:
     """Lean fixed-iteration MorphGAC: no per-iteration trace.
 
     The raw-throughput twin of segment_gac_fixed (scripts/bench_morph.py
@@ -307,21 +308,25 @@ def segment_gac_iterations(g, p: CVParams = CVParams(), iters: int = 100,
     use_k, kk = _route_kernel(g.shape, k, s, "gac", use_pallas, interpret)
 
     if use_k:
-        from ..ops.pallas_morph import gac_chunk
+        from ..ops.pallas_morph import gac_aux_stack, gac_chunk
 
         parity0 = (int(start_iter) * s) % 2
         kw = dict(smoothing=s, parity0=parity0, balloon=b,
-                  threshold=float(threshold), interpret=interpret)
+                  threshold=float(threshold), interpret=interpret,
+                  pre_dg=pre_dg)
+        # pre_dg: hoist the (dgx, dgy, mask) run invariants outside the
+        # chunk loop (one jnp pass for the whole run)
+        aux = gac_aux_stack(g, b, float(threshold)) if pre_dg else g
         full, rem = divmod(int(iters), kk)
 
         def body(_, ls):
-            return gac_chunk(ls, g, k=kk, **kw)
+            return gac_chunk(ls, aux, k=kk, **kw)
 
         ls = jax.lax.fori_loop(0, full, body, ls_init)
         if rem:
             # the remainder chunk starts at iteration start+full*k whose
             # parity equals parity0 ((k*s) % 2 == 0 by construction)
-            ls = gac_chunk(ls, g, k=rem, **kw)
+            ls = gac_chunk(ls, aux, k=rem, **kw)
     else:
         dgx, dgy, mask = _prep(g, b, float(threshold))
         s0 = jnp.asarray(start_iter, jnp.int32)

@@ -10,7 +10,7 @@ reductions - expect it to be HBM-bound, i.e. well above the PDE kernels
 in Mpix-it/s; the interesting number is the ratio to the packed banded
 PDE rate at the same size (README headline table).
 
-Run: python scripts/bench_morph.py [iters] [k=N] [name-substring ...]
+Run: python scripts/bench_morph.py [iters] [k=N] [predg=0|1] [name ...]
 (k=N overrides the kernel chunk depth on the kernel legs; N*smoothing
 must be even or the auto route silently resolves to jnp - each leg
 prints its RESOLVED route so a mislabeled A/B is impossible.)
@@ -58,13 +58,17 @@ def main():
     rest = sys.argv[1:]
     iters = int(rest.pop(0)) if rest and rest[0].isdigit() else 800
     kk = None
+    predg = False
     for a in list(rest):
         if a.startswith("k="):
             kk = int(a[2:])
             rest.remove(a)
+        elif a.startswith("predg="):
+            predg = bool(int(a[6:]))
+            rest.remove(a)
     only = [a.lower() for a in rest]
-    print(f"backend={jax.default_backend()} iters={iters} k={kk}",
-          flush=True)
+    print(f"backend={jax.default_backend()} iters={iters} k={kk} "
+          f"pre_dg={predg}", flush=True)
     rng = np.random.default_rng(0)
     p = CVParams()
 
@@ -107,7 +111,8 @@ def main():
             res = segment_gac_iterations(g + 1e-6 * r, p, iters=iters,
                                          smoothing=1, balloon=1,
                                          threshold=0.3, use_pallas=up,
-                                         k=kk if up is not False else None)
+                                         k=kk if up is not False else None,
+                                         pre_dg=predg and up is not False)
             return res.ls[0, 0]
         return run
 

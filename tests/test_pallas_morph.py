@@ -187,3 +187,52 @@ def test_acwe_chunk_tpu_compiled_bitwise():
                        interpret=True)
     got = morph_chunk(ls0, f, k=8, smoothing=1, parity0=0)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("k,balloon", [(4, 1), (4, -1), (6, 0)])
+def test_gac_chunk_pre_dg_bitwise(k, balloon):
+    """pre_dg=True (preloaded dgx/dgy/mask 3-plane aux stack) is bitwise
+    the recompute path AND the jnp trajectory."""
+    H, W = 128, 128
+    g = _rand((H, W), 7, lo=0.05)
+    ls0 = _rand_ls((H, W), 8)
+    kw = dict(k=k, smoothing=1, parity0=0, balloon=balloon,
+              threshold=0.4, interpret=True)
+    a = gac_chunk(ls0, g, **kw)
+    b = gac_chunk(ls0, g, pre_dg=True, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    want = segment_gac_fixed(g, CVParams(), iters=k, ls0=ls0,
+                             smoothing=1, balloon=balloon, threshold=0.4)
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(want.ls))
+
+
+def test_gac_iterations_pre_dg_matches():
+    """The lean driver's pre_dg route (hoisted aux stack) == default."""
+    H, W = 96, 128
+    g = _rand((H, W), 9, lo=0.05)
+    ls0 = _rand_ls((H, W), 10)
+    p = CVParams()
+    a = segment_gac_iterations(g, p, iters=11, ls0=ls0, smoothing=1,
+                               balloon=1, threshold=0.3, use_pallas=True,
+                               k=4, interpret=True)
+    b = segment_gac_iterations(g, p, iters=11, ls0=ls0, smoothing=1,
+                               balloon=1, threshold=0.3, use_pallas=True,
+                               k=4, interpret=True, pre_dg=True)
+    np.testing.assert_array_equal(np.asarray(a.ls), np.asarray(b.ls))
+
+
+@pytest.mark.tpu
+def test_gac_chunk_pre_dg_tpu_compiled_bitwise():
+    """Compiled pre_dg twin on the real chip == interpret."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the real chip")
+    H, W = 256, 256
+    g = _rand((H, W), 11, lo=0.05).astype(jnp.float32)
+    ls0 = _rand_ls((H, W), 12).astype(jnp.float32)
+    kw = dict(k=4, smoothing=1, parity0=0, balloon=1, threshold=0.4,
+              pre_dg=True)
+    want = gac_chunk(ls0, g, interpret=True, **kw)
+    got = gac_chunk(ls0, g, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
