@@ -100,17 +100,22 @@ def main():
                2160 * 3840, iters, t)
 
     if want("multiphase-mp2"):
-        from chan_vese_tpu.models.multiphase import \
-            segment_multiphase_fixed
+        # segment_multiphase(fixed=True) = the production hot loop
+        # (fused mp2 resident kernel); segment_multiphase_fixed is the
+        # TRACE twin whose per-iteration energy diagnostic costs as
+        # much as the iteration (bench_configs.py config-3 rationale;
+        # the first BENCH_FAMILIES record used the trace twin - 2320
+        # vs config 3's 5410 - a bench bug, not a routing gap)
+        from chan_vese_tpu.models.multiphase import segment_multiphase
 
         @jax.jit
         def run_mp(u, r):
-            res = segment_multiphase_fixed(u + r, p, m_sets=2,
-                                           iters=iters_small)
+            res = segment_multiphase(u + r, p, m_sets=2, fixed=True,
+                                     max_iter=iters_small)
             return res.phis[0, 0, 0]
 
         t = _t(run_mp, u512)
-        report("multiphase-mp2", "512^2 fused 4-phase auto",
+        report("multiphase-mp2", "512^2 fused mp2 resident (production)",
                u512.size, iters_small, t)
 
     if want("batched-stack"):
