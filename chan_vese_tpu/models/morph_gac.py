@@ -106,7 +106,8 @@ def segment_gac(g, p: CVParams = CVParams(),
     ls_init = _init_ls(g, p, ls0)
     b = int(balloon)
     s = int(smoothing)
-    use_k, kk = _route_kernel(g.shape, k, s, "gac", use_pallas, interpret)
+    use_k, kk = _route_kernel(g.shape, k, s, "gac_pre", use_pallas,
+                              interpret)
     if use_k:
         return _segment_gac_chunked(g, p, ls_init, s, b, float(threshold),
                                     kk, interpret)
@@ -141,13 +142,15 @@ def _segment_gac_chunked(g, p: CVParams, ls_init, s: int, b: int,
                          interpret: bool) -> GACResult:
     """Tolerance-mode MorphGAC through the banded kernel, k iterations
     per chunk (see segment_gac docstring for the semantics)."""
-    from ..ops.pallas_morph import gac_chunk
+    from ..ops.pallas_morph import gac_aux_stack, gac_chunk
 
     # g is a loop invariant: poison ONCE outside the loop (a non-finite
     # edge map must abort, not freeze the binary state at 0 flips)
     poison = 0.0 * jnp.sum(g)
+    # the pre_dg aux stack is a run invariant too - hoisted here
+    aux = gac_aux_stack(g, b, threshold)
     kw = dict(smoothing=s, parity0=0, balloon=b, threshold=threshold,
-              interpret=interpret)
+              interpret=interpret, pre_dg=True)
 
     def not_stopped(state):
         _, n, delta, streak = state
@@ -158,7 +161,7 @@ def _segment_gac_chunked(g, p: CVParams, ls_init, s: int, b: int,
 
     def run_chunk(state, size):
         ls, n, _, streak = state
-        ls_new = gac_chunk(ls, g, k=size, **kw)
+        ls_new = gac_chunk(ls, aux, k=size, **kw)
         flips = jnp.mean((ls_new != ls).astype(ls.dtype)) + poison
         streak = jnp.where(flips < p.tol, streak + size, 0)
         return (ls_new, n + size, flips, streak)
@@ -287,7 +290,7 @@ def segment_gac_iterations(g, p: CVParams = CVParams(), iters: int = 100,
                            use_pallas: Optional[bool] = None,
                            k: Optional[int] = None,
                            interpret: bool = False,
-                           pre_dg: bool = False) -> GACResult:
+                           pre_dg: bool = True) -> GACResult:
     """Lean fixed-iteration MorphGAC: no per-iteration trace.
 
     The raw-throughput twin of segment_gac_fixed (scripts/bench_morph.py
@@ -305,7 +308,12 @@ def segment_gac_iterations(g, p: CVParams = CVParams(), iters: int = 100,
     ls_init = _init_ls(g, p, ls0)
     b = int(balloon)
     s = int(smoothing)
-    use_k, kk = _route_kernel(g.shape, k, s, "gac", use_pallas, interpret)
+    # pre_dg (default, measured 2026-08-20: +1.7% at 4K, +9.9% at 8K -
+    # artifacts/ab_predg_2026-08-20.out) sizes bands for the 3-plane aux
+    # stack, so route on the kind actually used
+    use_k, kk = _route_kernel(g.shape, k, s,
+                              "gac_pre" if pre_dg else "gac",
+                              use_pallas, interpret)
 
     if use_k:
         from ..ops.pallas_morph import gac_aux_stack, gac_chunk
