@@ -187,9 +187,23 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
-    out = {"backend": jax.default_backend(),
-           "date": time.strftime("%Y-%m-%d %H:%M"),
-           "families": results}
+    if only:
+        # filtered runs MERGE into the existing record instead of
+        # clobbering the other families' rows
+        try:
+            with open("BENCH_FAMILIES.json") as fh:
+                out = json.load(fh)
+        except (OSError, ValueError):
+            out = {"families": []}
+        keep = [r for r in out.get("families", [])
+                if r["family"] not in {x["family"] for x in results}]
+        out["families"] = keep + results
+        out["backend"] = jax.default_backend()
+        out["date"] = time.strftime("%Y-%m-%d %H:%M")
+    else:
+        out = {"backend": jax.default_backend(),
+               "date": time.strftime("%Y-%m-%d %H:%M"),
+               "families": results}
     with open("BENCH_FAMILIES.json", "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"# wrote BENCH_FAMILIES.json ({len(results)} families)")

@@ -86,6 +86,7 @@ def main():
     for kind, up in [("", None), ("-jnp", False)]:
         for base, shape in [("4K gray", (2160, 3840)),
                             ("8K gray", (4320, 7680)),
+                            ("16K gray", (8640, 15360)),
                             ("4K RGB", (2160, 3840, 3)),
                             ("8K RGB", (4320, 7680, 3))]:
             name = base + kind
@@ -118,7 +119,8 @@ def main():
 
     for kind, up in [("", None), ("-jnp", False)]:
         for base, shape in [("4K gac", (2160, 3840)),
-                            ("8K gac", (4320, 7680))]:
+                            ("8K gac", (4320, 7680)),
+                            ("16K gac", (8640, 15360))]:
             name = base + kind
             if only and not any(s in name.lower() for s in only):
                 continue
