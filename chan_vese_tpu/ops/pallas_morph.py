@@ -94,12 +94,27 @@ def _halo_morph(k: int, smoothing: int, kind: str) -> int:
     return -(-_reach(kind, smoothing) * k // 8) * 8
 
 
+_SCOPED_TILES = {"acwe": 14, "gac": 16, "gac_pre": 20}
+
+
 def band_rows_morph(h: int, w: int, k: int, smoothing: int,
                     kind: str) -> int:
-    """Largest multiple-of-8 band height fitting VMEM with k-deep halos."""
+    """Largest multiple-of-8 band height fitting VMEM with k-deep halos.
+
+    TWO ceilings: the declared-scratch budget (per-kind _TILES rows/row)
+    AND the calibrated scoped-footprint model, which tracks the TILE
+    height T = b + 2*halo (_SCOPED_TILES of T x W f32 - see
+    supports_morph_banded). At 16K width the scoped ceiling BINDS: the
+    budget formula's b=88 gives T*W past the measured OOM line, but
+    shrinking to b=64 (T=112) fits - a ~43% halo-redundancy tax that
+    still beats the 2.45G jnp fallback by an order of magnitude. At
+    4K/8K defaults the scoped ceiling is slack and b is unchanged."""
     hal = _halo_morph(k, smoothing, kind)
     per_row = w * 4 * _TILES_BY_KIND[kind]
-    b = max(8, (_VMEM_BUDGET // per_row) // 8 * 8)
+    b_budget = max(8, (_VMEM_BUDGET // per_row) // 8 * 8)
+    t_scoped = _VMEM_BUDGET // (w * 4 * _SCOPED_TILES[kind])
+    b_scoped = (t_scoped - 2 * hal) // 8 * 8
+    b = min(b_budget, max(8, b_scoped))
     return min(b, max(8, ((h - 2 * hal) // 8) * 8))
 
 
@@ -123,7 +138,7 @@ def supports_morph_banded(h: int, w: int, k: int, smoothing: int,
     scripts/bench_morph.py)."""
     hal = _halo_morph(k, smoothing, kind)
     b = band_rows_morph(h, w, k, smoothing, kind)
-    scoped_tiles = {"acwe": 14, "gac": 16, "gac_pre": 20}[kind]
+    scoped_tiles = _SCOPED_TILES[kind]
     return (w % 128 == 0 and h % 8 == 0 and 1 <= k <= 64
             and b + 2 * hal <= h
             and (b + 2 * hal) * w * 4 * scoped_tiles <= _VMEM_BUDGET)
