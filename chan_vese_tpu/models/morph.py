@@ -302,7 +302,8 @@ def _force_plane(u0, ls, l1, l2):
 @functools.partial(jax.jit, static_argnames=("p", "iters", "smoothing",
                                              "lambda1", "lambda2",
                                              "start_iter", "use_pallas",
-                                             "k", "interpret"))
+                                             "k", "interpret",
+                                             "fuse_force"))
 def segment_morph_iterations(u0, p: CVParams = CVParams(),
                              iters: int = 100,
                              ls0: Optional[jax.Array] = None,
@@ -311,7 +312,8 @@ def segment_morph_iterations(u0, p: CVParams = CVParams(),
                              start_iter: int = 0,
                              use_pallas: Optional[bool] = None,
                              k: Optional[int] = None,
-                             interpret: bool = False) -> MorphResult:
+                             interpret: bool = False,
+                             fuse_force: bool = False) -> MorphResult:
     """Lean fixed-iteration MorphACWE: no per-iteration trace.
 
     segment_morph_fixed pays two extra full-array reductions per
@@ -334,10 +336,41 @@ def segment_morph_iterations(u0, p: CVParams = CVParams(),
     l1, l2 = _lambdas(u0, p, lambda1, lambda2)
     ls_init = _init_ls(u0, p, ls0)
     s = int(smoothing)
-    use_k, kk = _route_kernel(u0.shape[:2], k, s, "acwe", use_pallas,
+    route_kind = ("acwe_fused" if fuse_force and u0.ndim == 2
+                  else "acwe")
+    use_k, kk = _route_kernel(u0.shape[:2], k, s, route_kind, use_pallas,
                               interpret)
 
-    if use_k:
+    if use_k and fuse_force and u0.ndim == 2:
+        # fully fused chunks: force in-kernel from SMEM scalars, region
+        # partials out - ZERO full-array jnp passes between chunks
+        # (ops/pallas_morph._morph_fused_kernel). Same frozen-means
+        # trajectory up to sum_in reduction order.
+        from ..ops.pallas_morph import morph_chunk_fused
+
+        parity0 = (int(start_iter) * s) % 2
+        full, rem = divmod(int(iters), kk)
+        n_pix = jnp.asarray(u0.size, u0.dtype)
+        sum_u = jnp.sum(u0)
+        c_in0, c_out0 = binary_means(u0, ls_init)
+
+        def chunk(carry, kc):
+            ls, ci, co = carry
+            ls, parts = morph_chunk_fused(ls, u0, ci, co, l1, l2, k=kc,
+                                          smoothing=s, parity0=parity0,
+                                          interpret=interpret)
+            n_in, s_in = parts[0], parts[1]
+            ci = s_in / (n_in + 1e-8)
+            co = (sum_u - s_in) / (n_pix - n_in + 1e-8)
+            return (ls, ci, co)
+
+        carry = jax.lax.fori_loop(
+            0, full, lambda _, cr: chunk(cr, kk),
+            (ls_init, c_in0, c_out0))
+        if rem:
+            carry = chunk(carry, rem)
+        ls = carry[0]
+    elif use_k:
         from ..ops.pallas_morph import morph_chunk
 
         parity0 = (int(start_iter) * s) % 2

@@ -265,7 +265,7 @@ def _route_kernel(shape, k, smoothing, kind, use_pallas, interpret):
     """
     from ..ops.pallas_morph import supports_morph_banded
 
-    kk = (8 if kind == "acwe" else 4) if k is None else int(k)
+    kk = (8 if kind.startswith("acwe") else 4) if k is None else int(k)
     ok = (supports_morph_banded(*shape, kk, smoothing, kind)
           and (kk * smoothing) % 2 == 0
           and (interpret or jax.default_backend() == "tpu"))

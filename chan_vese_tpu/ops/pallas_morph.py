@@ -80,13 +80,14 @@ _TILES_GAC = 24
 # its body drops the per-iteration dg recompute temporaries
 _TILES_GAC_PRE = 28
 _TILES_BY_KIND = {"acwe": _TILES, "gac": _TILES_GAC,
-                  "gac_pre": _TILES_GAC_PRE}
+                  "gac_pre": _TILES_GAC_PRE,
+                  "acwe_fused": 22}  # 4 declared tile-pairs (ls/u0/f/work)
 _VMEM_BUDGET = _VMEM_LIMIT  # tests shrink this to force multi-band layouts
 
 
 def _reach(kind: str, smoothing: int) -> int:
     """Neighbor reach of ONE full iteration."""
-    return (1 if kind == "acwe" else 2) + 2 * smoothing
+    return (1 if kind.startswith("acwe") else 2) + 2 * smoothing
 
 
 def _halo_morph(k: int, smoothing: int, kind: str) -> int:
@@ -94,7 +95,7 @@ def _halo_morph(k: int, smoothing: int, kind: str) -> int:
     return -(-_reach(kind, smoothing) * k // 8) * 8
 
 
-_SCOPED_TILES = {"acwe": 14, "gac": 16, "gac_pre": 20}
+_SCOPED_TILES = {"acwe": 14, "gac": 16, "gac_pre": 20, "acwe_fused": 16}
 
 
 def band_rows_morph(h: int, w: int, k: int, smoothing: int,
@@ -259,6 +260,109 @@ def _iterate(u, aux, j, *, kind, smoothing, parity0, balloon, thr_b,
     return u
 
 
+def _morph_fused_kernel(c_ref, ls_hbm, u0_hbm, out_hbm, part_ref,
+                        ls_scr, u0_scr, f_scr, work_scr, sems,
+                        *, H, W, b, k, hal, smoothing, parity0):
+    """ACWE variant with the force fused IN-KERNEL (kind='acwe_fused'):
+    aux = the RAW image (a run invariant - one HBM load per chunk
+    instead of a fresh force plane written and re-read every chunk);
+    the frozen force f = l1*(u0-c_in)^2 - l2*(u0-c_out)^2 is one cheap
+    VPU pass per band from the SMEM scalars c_ref = (c_in, c_out, l1,
+    l2), and the kernel RETURNS the owned-row region partials
+    (n_in, sum_u*ls) of its FINAL state so the driver refreshes the
+    next chunk's means with ZERO full-array jnp passes - the PDE
+    _banded_kernel's c_ref/part_ref scheme (ops/pallas_banded.py).
+    Same frozen-means-per-chunk trajectory; only the reduction ORDER of
+    sum_in differs from the jnp driver (bandwise vs full-array tree),
+    a ~1e-7 relative means difference that can flip a pixel only on an
+    exact force-sign tie."""
+    T = b + 2 * hal
+    i = pl.program_id(0)
+    nbands = pl.num_programs(0)
+
+    def window(ii):
+        g0 = pl.multiple_of(jnp.minimum(ii * b, H - b), 8)
+        s = pl.multiple_of(jnp.clip(g0 - hal, 0, H - T), 8)
+        return g0, s
+
+    def load_dmas(ii, slot):
+        _, s = window(ii)
+        return (pltpu.make_async_copy(ls_hbm.at[pl.ds(s, T), :],
+                                      ls_scr.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(u0_hbm.at[pl.ds(s, T), :],
+                                      u0_scr.at[slot], sems.at[slot, 1]))
+
+    def store_dma(ii, slot):
+        g0, s = window(ii)
+        o = pl.multiple_of(g0 - s, 8)
+        return pltpu.make_async_copy(
+            work_scr.at[slot].at[pl.ds(o, b), :],
+            out_hbm.at[pl.ds(g0, b), :], sems.at[slot, 2])
+
+    slot = i % 2
+
+    @pl.when(i == 0)
+    def _():
+        for dma in load_dmas(i, slot):
+            dma.start()
+
+    @pl.when(i + 1 < nbands)
+    def _():
+        for dma in load_dmas(i + 1, (i + 1) % 2):
+            dma.start()
+
+    for dma in load_dmas(i, slot):
+        dma.wait()
+
+    @pl.when(i >= 2)
+    def _():
+        store_dma(i - 2, slot).wait()
+
+    c_in, c_out, l1, l2 = (c_ref[0, 0], c_ref[0, 1], c_ref[0, 2],
+                           c_ref[0, 3])
+    u0t = u0_scr[slot]
+    f_scr[slot] = l1 * (u0t - c_in) ** 2 - l2 * (u0t - c_out) ** 2
+
+    work_scr[slot] = ls_scr[slot]
+    dt = ls_scr.dtype
+    it = functools.partial(_iterate, kind="acwe", smoothing=smoothing,
+                           parity0=parity0, balloon=0, thr_b=0.0,
+                           one=jnp.ones((), dt), zero=jnp.zeros((), dt))
+    u = 1 if smoothing % 2 == 0 else 2
+
+    def trip(t, _):
+        for j in range(u):
+            work_scr[slot] = it(work_scr[slot], f_scr[slot], j)
+        return 0
+
+    jax.lax.fori_loop(0, k // u, trip, 0, unroll=False)
+    for j in range((k // u) * u, k):
+        work_scr[slot] = it(work_scr[slot], f_scr[slot], j)
+
+    # owned-row region partials of the final state (next chunk's means).
+    # Ownership = the NON-overlapping partition [i*b, (i+1)*b) in GLOBAL
+    # rows (the PDE _banded_kernel convention): the last band's window
+    # clamps to H-b and overlaps its predecessor, so the local owned
+    # range would double-count the overlap rows.
+    _, s = window(i)
+    grow = (jax.lax.broadcasted_iota(jnp.int32, (T, W), 0) + s)
+    hi = jnp.minimum((i + 1) * b, H)
+    m = ((grow >= i * b) & (grow < hi)).astype(dt)
+    lsf = work_scr[slot]
+    part_ref[i, 0] = jnp.sum(lsf * m)
+    part_ref[i, 1] = jnp.sum(u0_scr[slot] * lsf * m)
+
+    store_dma(i, slot).start()
+
+    @pl.when(i == nbands - 1)
+    def _():
+        store_dma(i, slot).wait()
+
+    @pl.when((i == nbands - 1) & (nbands >= 2))
+    def _():
+        store_dma(i - 1, (i - 1) % 2).wait()
+
+
 def _morph_banded_kernel(ls_hbm, aux_hbm, out_hbm,
                          ls_scr, aux_scr, work_scr, sems,
                          *, H, W, b, k, hal, kind, smoothing, parity0,
@@ -403,6 +507,64 @@ def morph_chunk(ls, f, k: int = 8, smoothing: int = 1, parity0: int = 0,
     return _call_morph(ls, f, k=k, smoothing=smoothing, kind="acwe",
                        parity0=parity0, balloon=0, thr_b=0.0,
                        interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "smoothing", "parity0",
+                                             "interpret"))
+def morph_chunk_fused(ls, u0, c_in, c_out, l1, l2, k: int = 8,
+                      smoothing: int = 1, parity0: int = 0,
+                      interpret: bool = False):
+    """k MorphACWE iterations with the force fused in-kernel and the
+    next chunk's region partials returned: (ls_new, (n_in, sum_in)).
+    Gray (H, W) images; u0 is the RAW image (run invariant), c_in/c_out
+    the frozen means for this chunk, l1/l2 scalars. Same frozen-means
+    trajectory as morph_chunk up to sum_in reduction order
+    (_morph_fused_kernel docstring)."""
+    H, W = ls.shape
+    kind = "acwe_fused"
+    if not supports_morph_banded(H, W, k, smoothing, kind):
+        raise ValueError(f"fused morph path unsupported for {ls.shape}, "
+                         f"k={k}, smoothing={smoothing}")
+    hal = _halo_morph(k, smoothing, kind)
+    b = band_rows_morph(H, W, k, smoothing, kind)
+    nbands = pl.cdiv(H, b)
+    T = b + 2 * hal
+
+    kernel = functools.partial(
+        _morph_fused_kernel, H=H, W=W, b=b, k=k, hal=hal,
+        smoothing=smoothing, parity0=parity0)
+    c = jnp.stack([jnp.asarray(v, ls.dtype) for v in
+                   (c_in, c_out, l1, l2)]).reshape(1, 4)
+
+    ls_new, parts = pl.pallas_call(
+        kernel,
+        grid=(nbands,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(ls.shape, ls.dtype),
+            jax.ShapeDtypeStruct((nbands, 2), ls.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, T, W), ls.dtype),   # level-set tiles
+            pltpu.VMEM((2, T, W), ls.dtype),   # image tiles
+            pltpu.VMEM((2, T, W), ls.dtype),   # in-band frozen force
+            pltpu.VMEM((2, T, W), ls.dtype),   # in-chunk iterate
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(c, ls, u0)
+    return ls_new, jnp.sum(parts, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "smoothing", "parity0",

@@ -59,6 +59,7 @@ def main():
     iters = int(rest.pop(0)) if rest and rest[0].isdigit() else 800
     kk = None
     predg = False
+    fusef = False
     for a in list(rest):
         if a.startswith("k="):
             kk = int(a[2:])
@@ -66,9 +67,12 @@ def main():
         elif a.startswith("predg="):
             predg = bool(int(a[6:]))
             rest.remove(a)
+        elif a.startswith("fusef="):
+            fusef = bool(int(a[6:]))
+            rest.remove(a)
     only = [a.lower() for a in rest]
     print(f"backend={jax.default_backend()} iters={iters} k={kk} "
-          f"pre_dg={predg}", flush=True)
+          f"pre_dg={predg} fuse_force={fusef}", flush=True)
     rng = np.random.default_rng(0)
     p = CVParams()
 
@@ -77,7 +81,9 @@ def main():
         def run(u, r):
             res = segment_morph_iterations(u + r, p, iters=iters,
                                            smoothing=1, use_pallas=up,
-                                           k=kk if up is not False else None)
+                                           k=kk if up is not False else None,
+                                           fuse_force=(fusef
+                                                       and up is not False))
             return res.ls[0, 0]
         return run
 

@@ -236,3 +236,61 @@ def test_gac_chunk_pre_dg_tpu_compiled_bitwise():
     want = gac_chunk(ls0, g, interpret=True, **kw)
     got = gac_chunk(ls0, g, **kw)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_morph_chunk_fused_matches_reference():
+    """morph_chunk_fused (in-kernel force + region partials) == the
+    explicit-force morph_chunk trajectory bitwise (f64 interpret), and
+    its partials == the jnp region sums of the final state."""
+    H, W = 128, 128
+    u0 = _rand((H, W), 20, lo=0.0, hi=255.0)
+    ls0 = _rand_ls((H, W), 21)
+    from chan_vese_tpu.ops.pallas_morph import morph_chunk_fused
+
+    c_in, c_out = binary_means(u0, ls0)
+    f = 1.0 * (u0 - c_in) ** 2 - 1.0 * (u0 - c_out) ** 2
+    want = morph_chunk(ls0, f, k=4, smoothing=1, parity0=0,
+                       interpret=True)
+    got, parts = morph_chunk_fused(ls0, u0, c_in, c_out, 1.0, 1.0, k=4,
+                                   smoothing=1, parity0=0,
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_allclose(float(parts[0]), float(jnp.sum(got)),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(float(parts[1]),
+                               float(jnp.sum(u0 * got)), rtol=1e-12)
+
+
+def test_morph_iterations_fuse_force_matches():
+    """The fuse_force driver route == the explicit-force kernel route
+    on masks (means differ only in sum_in reduction order)."""
+    H, W = 128, 128
+    u0 = _rand((H, W), 22, lo=0.0, hi=255.0)
+    p = CVParams()
+    a = segment_morph_iterations(u0, p, iters=19, smoothing=1,
+                                 use_pallas=True, k=4, interpret=True)
+    b = segment_morph_iterations(u0, p, iters=19, smoothing=1,
+                                 use_pallas=True, k=4, interpret=True,
+                                 fuse_force=True)
+    np.testing.assert_array_equal(np.asarray(a.ls), np.asarray(b.ls))
+
+
+@pytest.mark.tpu
+def test_morph_chunk_fused_tpu_compiled():
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the real chip")
+    H, W = 256, 256
+    u0 = _rand((H, W), 23, lo=0.0, hi=255.0).astype(jnp.float32)
+    ls0 = _rand_ls((H, W), 24).astype(jnp.float32)
+    from chan_vese_tpu.ops.pallas_morph import morph_chunk_fused
+
+    c_in, c_out = binary_means(u0, ls0)
+    kw = dict(k=4, smoothing=1, parity0=0)
+    want, wparts = morph_chunk_fused(ls0, u0, c_in, c_out, 1.0, 1.0,
+                                     interpret=True, **kw)
+    got, gparts = morph_chunk_fused(ls0, u0, c_in, c_out, 1.0, 1.0, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_allclose(np.asarray(gparts), np.asarray(wparts),
+                               rtol=1e-6)
