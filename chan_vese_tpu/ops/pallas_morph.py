@@ -95,7 +95,9 @@ def _halo_morph(k: int, smoothing: int, kind: str) -> int:
     return -(-_reach(kind, smoothing) * k // 8) * 8
 
 
-_SCOPED_TILES = {"acwe": 14, "gac": 16, "gac_pre": 20, "acwe_fused": 16}
+# acwe_fused measured 97.41M actual scoped at a T=192 8K tile (~16.6
+# effective tiles, OOM at factor 16); 18 keeps opt-in geometries inside
+_SCOPED_TILES = {"acwe": 14, "gac": 16, "gac_pre": 20, "acwe_fused": 18}
 
 
 def band_rows_morph(h: int, w: int, k: int, smoothing: int,
