@@ -81,7 +81,9 @@ _TILES_GAC = 24
 _TILES_GAC_PRE = 28
 _TILES_BY_KIND = {"acwe": _TILES, "gac": _TILES_GAC,
                   "gac_pre": _TILES_GAC_PRE,
-                  "acwe_fused": 22}  # 4 declared tile-pairs (ls/u0/f/work)
+                  "acwe_fused": 22,  # 4 declared tile-pairs (ls/u0/f/work)
+                  # sharded-canvas variants: base + rim-refresh temps
+                  "acwe_sh": 20, "gac_pre_sh": 30}
 _VMEM_BUDGET = _VMEM_LIMIT  # tests shrink this to force multi-band layouts
 
 
@@ -97,7 +99,8 @@ def _halo_morph(k: int, smoothing: int, kind: str) -> int:
 
 # acwe_fused measured 97.41M actual scoped at a T=192 8K tile (~16.6
 # effective tiles, OOM at factor 16); 18 keeps opt-in geometries inside
-_SCOPED_TILES = {"acwe": 14, "gac": 16, "gac_pre": 20, "acwe_fused": 18}
+_SCOPED_TILES = {"acwe": 14, "gac": 16, "gac_pre": 20, "acwe_fused": 18,
+                 "acwe_sh": 16, "gac_pre_sh": 22}
 
 
 def band_rows_morph(h: int, w: int, k: int, smoothing: int,
@@ -214,19 +217,29 @@ def _erode8_t(u):
 
 
 def _iterate(u, aux, j, *, kind, smoothing, parity0, balloon, thr_b,
-             one, zero):
+             one, zero, rim=None):
     """One full morphological iteration (force + smoothing) on the tile.
 
     ``j`` and all parameters are compile-time constants: the caller
     unrolls the k-loop in Python, so the SIoIS/ISoSI parity at
-    iteration j, cycle c - parity0 + j*smoothing + c - is static."""
-    if kind == "acwe":
+    iteration j, cycle c - parity0 + j*smoothing + c - is static.
+
+    ``rim`` (sharded-canvas mode): a callback applied BEFORE every
+    elementary stencil read, refreshing the depth-1 global-edge replica
+    ring of a halo-padded shard block (the per-op cadence is
+    load-bearing - parallel/sharded_morph.py module docstring; depth 1
+    suffices because every elementary op reads exactly 1 deep and the
+    ring is re-refreshed before the next read, the _resync_rim
+    argument of ops/pallas_sweep.py)."""
+    r = rim if rim is not None else (lambda x: x)
+    if kind.startswith("acwe"):
+        u = r(u)
         f = aux
         gx = _sd(u) - _su(u)
         gy = _sr(u) - _sl(u)
         a = (jnp.abs(gx) + jnp.abs(gy)) * f
         u = jnp.where(a < 0, one, jnp.where(a > 0, zero, u))
-    elif kind == "gac_pre":
+    elif kind.startswith("gac_pre"):
         # preloaded invariants: aux = (3, T, W) stack of dgx, dgy, mask
         # (run invariants of the GAC flow, computed ONCE by the driver -
         # saves ~8 tile-ops of in-tile dg recompute per iteration at the
@@ -235,9 +248,12 @@ def _iterate(u, aux, j, *, kind, smoothing, parity0, balloon, thr_b,
         # tile's outermost row where the in-tile recompute is clamped)
         dgx, dgy, mask = aux[0], aux[1], aux[2]
         if balloon > 0:
+            u = r(u)
             u = jnp.where(mask > 0, _dilate8_t(u), u)
         elif balloon < 0:
+            u = r(u)
             u = jnp.where(mask > 0, _erode8_t(u), u)
+        u = r(u)
         dux = 0.5 * (_sd(u) - _su(u))
         duy = 0.5 * (_sr(u) - _sl(u))
         a = dgx * dux + dgy * duy
@@ -256,9 +272,9 @@ def _iterate(u, aux, j, *, kind, smoothing, parity0, balloon, thr_b,
         u = jnp.where(a > 0, one, jnp.where(a < 0, zero, u))
     for c in range(smoothing):
         if (parity0 + j * smoothing + c) % 2 == 0:
-            u = _sup_inf_t(_inf_sup_t(u))
+            u = _sup_inf_t(r(_inf_sup_t(r(u))))
         else:
-            u = _inf_sup_t(_sup_inf_t(u))
+            u = _inf_sup_t(r(_sup_inf_t(r(u))))
     return u
 
 
@@ -365,14 +381,25 @@ def _morph_fused_kernel(c_ref, ls_hbm, u0_hbm, out_hbm, part_ref,
         store_dma(i - 1, (i - 1) % 2).wait()
 
 
-def _morph_banded_kernel(ls_hbm, aux_hbm, out_hbm,
-                         ls_scr, aux_scr, work_scr, sems,
-                         *, H, W, b, k, hal, kind, smoothing, parity0,
-                         balloon, thr_b):
+def _morph_banded_kernel(*refs, H, W, b, k, hal, kind, smoothing,
+                         parity0, balloon, thr_b, pads=None):
     """Grid (nbands,): band i runs all k iterations Python-unrolled,
     with a work_scr ref round-trip after every iteration so nothing
     tile-sized stays live across iteration boundaries (the register-
-    pressure discipline of _banded_kernel_fusej's step())."""
+    pressure discipline of _banded_kernel_fusej's step()).
+
+    Sharded-canvas mode (``pads`` = static (pt, pb, pcl, pcr) pad
+    depths of a halo-padded shard block; a leading SMEM flags ref
+    carries the traced is_top/is_bot/is_left/is_right edge booleans):
+    a depth-1 replica-ring refresh runs before EVERY elementary
+    stencil op via the rim callback - 4 static shifts + 4 selects per
+    refresh (see _iterate's rim docstring)."""
+    if pads is None:
+        ls_hbm, aux_hbm, out_hbm, ls_scr, aux_scr, work_scr, sems = refs
+        flags_ref = None
+    else:
+        (flags_ref, ls_hbm, aux_hbm, out_hbm,
+         ls_scr, aux_scr, work_scr, sems) = refs
     T = b + 2 * hal
     i = pl.program_id(0)
     nbands = pl.num_programs(0)
@@ -384,7 +411,8 @@ def _morph_banded_kernel(ls_hbm, aux_hbm, out_hbm,
 
     def load_dmas(ii, slot):
         _, s = window(ii)
-        aux_src = (aux_hbm.at[:, pl.ds(s, T), :] if kind == "gac_pre"
+        aux_src = (aux_hbm.at[:, pl.ds(s, T), :]
+                   if kind.startswith("gac_pre")
                    else aux_hbm.at[pl.ds(s, T), :])
         return (pltpu.make_async_copy(ls_hbm.at[pl.ds(s, T), :],
                                       ls_scr.at[slot], sems.at[slot, 0]),
@@ -419,9 +447,29 @@ def _morph_banded_kernel(ls_hbm, aux_hbm, out_hbm,
 
     work_scr[slot] = ls_scr[slot]
     dt = ls_scr.dtype
+    rim = None
+    if pads is not None:
+        pt, pb, pcl, pcr = pads
+        _, s_band = window(i)
+        is_top = flags_ref[0, 0] > 0
+        is_bot = flags_ref[0, 1] > 0
+        is_left = flags_ref[0, 2] > 0
+        is_right = flags_ref[0, 3] > 0
+
+        def rim(x):
+            grow = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+                    + s_band)
+            cols = _col_ids(x.shape)
+            x = jnp.where(is_top & (grow == pt - 1), _sd(x), x)
+            x = jnp.where(is_bot & (grow == H - pb), _su(x), x)
+            x = jnp.where(is_left & (cols == pcl - 1), _sr(x), x)
+            x = jnp.where(is_right & (cols == W - pcr), _sl(x), x)
+            return x
+
     it = functools.partial(_iterate, kind=kind, smoothing=smoothing,
                            parity0=parity0, balloon=balloon, thr_b=thr_b,
-                           one=jnp.ones((), dt), zero=jnp.zeros((), dt))
+                           one=jnp.ones((), dt), zero=jnp.zeros((), dt),
+                           rim=rim)
     # k-loop structure (measured 2026-08-20, scripts/probe_morph_bisect):
     # Mosaic compile time explodes super-linearly in the STATICALLY
     # unrolled body size x tile area - k=2 compiles in 3 s, k=8 in
@@ -456,7 +504,7 @@ def _morph_banded_kernel(ls_hbm, aux_hbm, out_hbm,
 
 
 def _call_morph(ls, aux, *, k, smoothing, kind, parity0, balloon, thr_b,
-                interpret):
+                interpret, pads=None, flags=None):
     H, W = ls.shape
     if not supports_morph_banded(H, W, k, smoothing, kind):
         raise ValueError(f"morph banded path unsupported for "
@@ -469,20 +517,28 @@ def _call_morph(ls, aux, *, k, smoothing, kind, parity0, balloon, thr_b,
     kernel = functools.partial(
         _morph_banded_kernel, H=H, W=W, b=b, k=k, hal=hal, kind=kind,
         smoothing=smoothing, parity0=parity0, balloon=balloon,
-        thr_b=thr_b)
+        thr_b=thr_b, pads=pads)
+
+    plane_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    if pads is not None:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + plane_specs
+        args = (flags, ls, aux)
+    else:
+        in_specs = plane_specs
+        args = (ls, aux)
 
     return pl.pallas_call(
         kernel,
         grid=(nbands,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(ls.shape, ls.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, T, W), ls.dtype),   # level-set tiles
-            pltpu.VMEM((2, 3, T, W) if kind == "gac_pre"
+            pltpu.VMEM((2, 3, T, W) if kind.startswith("gac_pre")
                        else (2, T, W), ls.dtype),  # aux plane tiles
             pltpu.VMEM((2, T, W), ls.dtype),   # in-chunk iterate
             pltpu.SemaphoreType.DMA((2, 3)),
@@ -491,7 +547,7 @@ def _call_morph(ls, aux, *, k, smoothing, kind, parity0, balloon, thr_b,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(ls, aux)
+    )(*args)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "smoothing", "parity0",
@@ -612,3 +668,39 @@ def gac_aux_stack(g, balloon: int, threshold: float):
     mask = ((g > thr_b).astype(g.dtype) if balloon
             else jnp.zeros_like(g))
     return jnp.stack([dgx, dgy, mask])
+
+
+@functools.partial(jax.jit, static_argnames=("k", "smoothing", "parity0",
+                                             "pads", "interpret"))
+def morph_chunk_shard(ls_pad, f_pad, flags, pads, k: int = 8,
+                      smoothing: int = 1, parity0: int = 0,
+                      interpret: bool = False):
+    """k MorphACWE iterations on a halo-PADDED shard block (kernel-per-
+    shard inside a comm_k chunk, parallel/sharded_morph.py). ``pads`` =
+    static (pt, pb, pcl, pcr) pad depths; ``flags`` = (1, 4) traced
+    is_top/is_bot/is_left/is_right as {0., 1.} floats. The depth-1
+    global-edge replica ring is refreshed in-kernel before every
+    elementary op (rim callback); interior-edge pads rely on the
+    exchanged-halo validity budget exactly like the jnp chunk loop."""
+    return _call_morph(ls_pad, f_pad, k=k, smoothing=smoothing,
+                       kind="acwe_sh", parity0=parity0, balloon=0,
+                       thr_b=0.0, interpret=interpret, pads=pads,
+                       flags=flags)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "smoothing", "parity0",
+                                             "balloon", "threshold",
+                                             "pads", "interpret"))
+def gac_chunk_shard(ls_pad, aux_pad, flags, pads, k: int = 4,
+                    smoothing: int = 1, parity0: int = 0,
+                    balloon: int = 0, threshold: float = 0.5,
+                    interpret: bool = False):
+    """k MorphGAC iterations on a halo-padded shard block; ``aux_pad`` =
+    the padded (3, Hp, Wp) dg/mask stack (gac_aux_stack of the padded
+    edge map - run invariant). Same rim-refresh semantics as
+    morph_chunk_shard; trajectory-exact for any k."""
+    thr_b = threshold / abs(float(balloon)) if balloon else 0.0
+    return _call_morph(ls_pad, aux_pad, k=k, smoothing=smoothing,
+                       kind="gac_pre_sh", parity0=parity0,
+                       balloon=int(balloon), thr_b=thr_b,
+                       interpret=interpret, pads=pads, flags=flags)

@@ -164,15 +164,25 @@ def _chunk_loop(p: CVParams, comm_k: int, run_chunk, ls0_loc, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=("p", "smoothing", "comm_k",
-                                             "mesh", "lambda1", "lambda2"))
+                                             "mesh", "lambda1", "lambda2",
+                                             "use_kernel", "interpret"))
 def _morph_chunked_jit(u0, ls0, p: CVParams, smoothing: int, comm_k: int,
-                       mesh, lambda1, lambda2):
+                       mesh, lambda1, lambda2, use_kernel: bool = False,
+                       interpret: bool = False):
     vec = u0.ndim == 3
     H, W = u0.shape[:2]
     s = int(smoothing)
     D = _reach("acwe", s) * comm_k
     nx, ny = mesh.shape["x"], mesh.shape["y"]
-    _check_geom(H, W, nx, ny, D)
+    h_loc, w_loc = _check_geom(H, W, nx, ny, D)
+    # alignment pads for the kernel-per-shard path (static): the padded
+    # block (h+2D+rb, w+2D+rc) must satisfy the kernel's H%8 / W%128
+    # envelope; extra pads are edge-replica at build time and STALE
+    # in-chunk - their corruption needs > comm_k iterations to reach the
+    # owned block (distance D+1 at reach*comm_k = D travel)
+    rb = (-(h_loc + 2 * D)) % 8
+    rc = (-(w_loc + 2 * D)) % 128
+    pads = (D, D + rb, D, D + rc)
     n_pix = jnp.asarray(H * W, ls0.dtype)
     from ..models.morph import _lambdas
     l1, l2 = _lambdas(u0, p, lambda1, lambda2)
@@ -186,6 +196,12 @@ def _morph_chunked_jit(u0, ls0, p: CVParams, smoothing: int, comm_k: int,
         else:
             u0p = exchange_halo2d(u0_loc, D)
         sum_u = lax.psum(jnp.sum(u0_loc, axis=(-2, -1)), ("x", "y"))
+        if use_kernel:
+            ix, iy = lax.axis_index("x"), lax.axis_index("y")
+            flags = jnp.stack([
+                (ix == 0), (ix == nx - 1), (iy == 0), (iy == ny - 1)
+            ]).astype(jnp.float32).reshape(1, 4)
+            u0p_pad = jnp.pad(u0p, ((0, rb), (0, rc)), mode="edge")
 
         def means(ls):
             """Frozen per-chunk region means: ONE psum pair."""
@@ -211,17 +227,33 @@ def _morph_chunked_jit(u0, ls0, p: CVParams, smoothing: int, comm_k: int,
             else:
                 fp = l1 * (u0p - c_in) ** 2 - l2 * (u0p - c_out) ** 2
             lsp = exchange_halo2d(ls, D)
-            one = jnp.ones((), ls.dtype)
-            zero = jnp.zeros((), ls.dtype)
-            for j in range(size):
-                lsp = _refresh_global_pads(lsp, D)
-                gx = shift_down(lsp) - shift_up(lsp)
-                gy = shift_right(lsp) - shift_left(lsp)
-                aux = (jnp.abs(gx) + jnp.abs(gy)) * fp
-                lsp = jnp.where(aux < 0, one,
-                                jnp.where(aux > 0, zero, lsp))
-                lsp = _smooth_padded(lsp, (n + j) * s, s, D)
-            ls_new = lsp[D:-D, D:-D]
+            if use_kernel and size == comm_k:
+                # kernel-per-shard: the banded kernel on the alignment-
+                # padded block, depth-1 rim refresh in-kernel; full
+                # chunks only (the remainder takes the bitwise-equal
+                # jnp body below). parity0=0 is chunk-invariant because
+                # (comm_k*s) % 2 == 0 is required for this path.
+                from ..ops.pallas_morph import morph_chunk_shard
+
+                fpk = l1 * (u0p_pad - c_in) ** 2 \
+                    - l2 * (u0p_pad - c_out) ** 2
+                lsk = jnp.pad(lsp, ((0, rb), (0, rc)), mode="edge")
+                lsk = morph_chunk_shard(lsk, fpk, flags, pads, k=size,
+                                        smoothing=s, parity0=0,
+                                        interpret=interpret)
+                ls_new = lsk[D:D + h_loc, D:D + w_loc]
+            else:
+                one = jnp.ones((), ls.dtype)
+                zero = jnp.zeros((), ls.dtype)
+                for j in range(size):
+                    lsp = _refresh_global_pads(lsp, D)
+                    gx = shift_down(lsp) - shift_up(lsp)
+                    gy = shift_right(lsp) - shift_left(lsp)
+                    aux = (jnp.abs(gx) + jnp.abs(gy)) * fp
+                    lsp = jnp.where(aux < 0, one,
+                                    jnp.where(aux > 0, zero, lsp))
+                    lsp = _smooth_padded(lsp, (n + j) * s, s, D)
+                ls_new = lsp[D:-D, D:-D]
             flips = lax.psum(jnp.sum((ls_new != ls).astype(ls.dtype)),
                              ("x", "y")) / n_pix
             # NaN-poison via the frozen force (non-finite image/means
@@ -244,21 +276,66 @@ def _morph_chunked_jit(u0, ls0, p: CVParams, smoothing: int, comm_k: int,
     return mapped(u0_cf, ls0)
 
 
+def _route_shard_kernel(shape2d, mesh, comm_k, smoothing, kind,
+                        use_pallas, interpret):
+    """Resolve the kernel-per-shard route for the chunked sharded
+    drivers: supported iff the alignment-PADDED local block clears the
+    kernel envelope, (comm_k*smoothing) % 2 == 0 (static in-kernel
+    parity), and the backend compiles Mosaic."""
+    from ..ops.pallas_morph import supports_morph_banded
+
+    H, W = shape2d
+    nx, ny = mesh.shape["x"], mesh.shape["y"]
+    s = int(smoothing)
+    D = _reach("acwe" if kind == "acwe_sh" else "gac", s) * comm_k
+    if H % nx or W % ny:
+        return False
+    h, w = H // nx, W // ny
+    if D > min(h, w):
+        return False
+    rb = (-(h + 2 * D)) % 8
+    rc = (-(w + 2 * D)) % 128
+    ok = (supports_morph_banded(h + 2 * D + rb, w + 2 * D + rc, comm_k,
+                                s, kind)
+          and (comm_k * s) % 2 == 0
+          and (interpret or jax.default_backend() == "tpu"))
+    if use_pallas is None:
+        return ok
+    if use_pallas and not ok:
+        raise ValueError(f"kernel-per-shard unsupported for {shape2d} "
+                         f"on {nx}x{ny}, comm_k={comm_k}, "
+                         f"smoothing={smoothing}")
+    return bool(use_pallas)
+
+
 def segment_morph_sharded_chunked(u0, p: CVParams = CVParams(),
                                   mesh=None,
                                   ls0: Optional[jax.Array] = None,
                                   smoothing: int = 1,
                                   comm_k: int = 8,
-                                  lambda1=None, lambda2=None):
+                                  lambda1=None, lambda2=None,
+                                  use_pallas: Optional[bool] = None,
+                                  interpret: bool = False):
     """Communication-avoiding sharded MorphACWE: one deep halo exchange
     + one psum pair per comm_k iterations (module docstring). Frozen-
     means-per-chunk trajectory class; comm_k=1 reproduces the published
     per-iteration scheme bitwise. Prefer even comm_k so period-2 limit
-    cycles read as converged."""
+    cycles read as converged.
+
+    On TPU (auto; ``use_pallas`` overrides) full gray chunks run the
+    banded Pallas kernel PER SHARD on the alignment-padded local block
+    (ops/pallas_morph.morph_chunk_shard: in-kernel depth-1 rim refresh
+    at global edges) - the per-shard compute then runs at kernel rather
+    than jnp speed; the remainder chunk and vector images use the
+    bitwise-equal jnp body."""
     from ..models.morph import MorphResult, _init_ls
 
     if mesh is None:
         raise ValueError("segment_morph_sharded_chunked needs a mesh")
+    use_k = (u0.ndim == 2
+             and _route_shard_kernel(u0.shape, mesh, int(comm_k),
+                                     int(smoothing), "acwe_sh",
+                                     use_pallas, interpret))
     img_spec = P("x", "y", None) if u0.ndim == 3 else P("x", "y")
     u0s = jax.device_put(u0, NamedSharding(mesh, img_spec))
     lss = jax.device_put(_init_ls(u0, p, ls0),
@@ -266,21 +343,26 @@ def segment_morph_sharded_chunked(u0, p: CVParams = CVParams(),
     with jax.set_mesh(mesh):
         ls, iters, delta, c1, c2 = _morph_chunked_jit(
             u0s, lss, p, int(smoothing), int(comm_k), mesh,
-            lambda1, lambda2)
+            lambda1, lambda2, use_kernel=use_k, interpret=interpret)
     return MorphResult(ls, ls >= 0.5, iters, delta, c1, c2)
 
 
 @functools.partial(jax.jit, static_argnames=("p", "smoothing", "comm_k",
                                              "mesh", "balloon",
-                                             "threshold"))
+                                             "threshold", "use_kernel",
+                                             "interpret"))
 def _gac_chunked_jit(g, ls0, p: CVParams, smoothing: int, comm_k: int,
-                     mesh, balloon: int, threshold: float):
+                     mesh, balloon: int, threshold: float,
+                     use_kernel: bool = False, interpret: bool = False):
     H, W = g.shape
     s = int(smoothing)
     b = int(balloon)
     D = _reach("gac", s) * comm_k
     nx, ny = mesh.shape["x"], mesh.shape["y"]
-    _check_geom(H, W, nx, ny, D)
+    h_loc, w_loc = _check_geom(H, W, nx, ny, D)
+    rb = (-(h_loc + 2 * D)) % 8
+    rc = (-(w_loc + 2 * D)) % 128
+    pads = (D, D + rb, D, D + rc)
     n_pix = jnp.asarray(H * W, ls0.dtype)
 
     def local_fn(g_loc, ls_loc):
@@ -296,10 +378,39 @@ def _gac_chunked_jit(g, ls0, p: CVParams, smoothing: int, comm_k: int,
             mask = jnp.zeros_like(gp)
         # g is a run invariant: poison once (models/morph_gac.py)
         poison = 0.0 * jnp.sum(g_loc)
+        if use_kernel:
+            ix, iy = lax.axis_index("x"), lax.axis_index("y")
+            flags = jnp.stack([
+                (ix == 0), (ix == nx - 1), (iy == 0), (iy == ny - 1)
+            ]).astype(jnp.float32).reshape(1, 4)
+            # padded run-invariant dg/mask stack (the pre_dg form)
+            gpp = jnp.pad(gp, ((0, rb), (0, rc)), mode="edge")
+            dgxp = 0.5 * (shift_down(gpp) - shift_up(gpp))
+            dgyp = 0.5 * (shift_right(gpp) - shift_left(gpp))
+            if b:
+                maskp = (gpp > threshold / abs(float(b))) \
+                    .astype(gpp.dtype)
+            else:
+                maskp = jnp.zeros_like(gpp)
+            aux_pad = jnp.stack([dgxp, dgyp, maskp])
 
         def run_chunk(state, size):
             ls, n, _, streak = state
             lsp = exchange_halo2d(ls, D)
+            if use_kernel and size == comm_k:
+                from ..ops.pallas_morph import gac_chunk_shard
+
+                lsk = jnp.pad(lsp, ((0, rb), (0, rc)), mode="edge")
+                lsk = gac_chunk_shard(lsk, aux_pad, flags, pads,
+                                      k=size, smoothing=s, parity0=0,
+                                      balloon=b, threshold=threshold,
+                                      interpret=interpret)
+                ls_new = lsk[D:D + h_loc, D:D + w_loc]
+                flips = lax.psum(
+                    jnp.sum((ls_new != ls).astype(ls.dtype)),
+                    ("x", "y")) / n_pix + poison
+                streak = jnp.where(flips < p.tol, streak + size, 0)
+                return (ls_new, n + size, flips, streak)
             one = jnp.ones((), ls.dtype)
             zero = jnp.zeros((), ls.dtype)
             for j in range(size):
@@ -338,21 +449,31 @@ def segment_gac_sharded_chunked(g, p: CVParams = CVParams(), mesh=None,
                                 smoothing: int = 1,
                                 balloon: int = 0,
                                 threshold: float = 0.5,
-                                comm_k: int = 8):
+                                comm_k: int = 8,
+                                use_pallas: Optional[bool] = None,
+                                interpret: bool = False):
     """Communication-avoiding sharded MorphGAC: one deep halo exchange
     per comm_k iterations and NOT ONE collective in the iteration body -
     trajectory-EXACT vs the per-iteration GSPMD path for any comm_k
     (the GAC loop has no reductions; module docstring). Prefer even
-    comm_k so period-2 limit cycles read as converged."""
+    comm_k so period-2 limit cycles read as converged.
+
+    On TPU (auto; ``use_pallas`` overrides) full chunks run the banded
+    kernel per shard (gac_chunk_shard, preloaded padded dg stack,
+    in-kernel depth-1 rim refresh); bitwise the jnp chunk body."""
     from ..models.morph_gac import GACResult, _init_ls
 
     if mesh is None:
         raise ValueError("segment_gac_sharded_chunked needs a mesh")
+    use_k = _route_shard_kernel(g.shape, mesh, int(comm_k),
+                                int(smoothing), "gac_pre_sh",
+                                use_pallas, interpret)
     gs = jax.device_put(g, NamedSharding(mesh, P("x", "y")))
     lss = jax.device_put(_init_ls(g, p, ls0),
                          NamedSharding(mesh, P("x", "y")))
     with jax.set_mesh(mesh):
         ls, iters, delta = _gac_chunked_jit(
             gs, lss, p, int(smoothing), int(comm_k), mesh,
-            int(balloon), float(threshold))
+            int(balloon), float(threshold), use_kernel=use_k,
+            interpret=interpret)
     return GACResult(ls, ls >= 0.5, iters, delta)

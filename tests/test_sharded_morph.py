@@ -255,3 +255,78 @@ def test_cli_morph_comm_k(tmp_path):
     assert rc == 0
     mg = image_io.load_image(str(outg)) > 127
     assert mg.any() and not mg.all()
+
+
+# --------------------------------------------------------------------------
+# kernel-per-shard chunks (banded kernel on the padded local block)
+# --------------------------------------------------------------------------
+
+def test_morph_kernel_per_shard_bitwise():
+    """use_pallas=True chunks == the jnp chunk body bitwise (the
+    in-kernel depth-1 rim refresh must reproduce the jnp path's
+    full-depth per-op refresh exactly on owned cells), across a
+    geometry needing BOTH row and column alignment pads."""
+    u = _disk_image(H=96, W=160 + 96)  # w_loc=64 -> rc=128-alignment pad
+    mesh = make_grid_mesh(2, 4)
+    p = CVParams(max_iter=12, tol=0.0)
+    a = segment_morph_sharded_chunked(u, p, mesh=mesh, comm_k=4,
+                                      use_pallas=False)
+    b = segment_morph_sharded_chunked(u, p, mesh=mesh, comm_k=4,
+                                      use_pallas=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.ls), np.asarray(b.ls))
+
+
+def test_morph_kernel_per_shard_edge_disk_bitwise():
+    """Contour crossing image edges: global-edge shards exercise the
+    in-kernel rim refresh on all four sides."""
+    u = _edge_disk(96, 128)
+    mesh = make_grid_mesh(2, 2)
+    p = CVParams(max_iter=16, tol=0.0)
+    a = segment_morph_sharded_chunked(u, p, mesh=mesh, comm_k=4,
+                                      use_pallas=False)
+    b = segment_morph_sharded_chunked(u, p, mesh=mesh, comm_k=4,
+                                      use_pallas=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.ls), np.asarray(b.ls))
+
+
+def test_gac_kernel_per_shard_bitwise_vs_unsharded():
+    """GAC kernel-per-shard chunks == the UNSHARDED per-iteration
+    trajectory bitwise (trajectory-exact chunks x bitwise kernel x
+    bitwise rim refresh, composed)."""
+    u = _disk_image()
+    g = inverse_gaussian_gradient(u, alpha=5.0, sigma=3.0)
+    mesh = make_grid_mesh(2, 4)
+    p = CVParams(max_iter=12, tol=0.0)
+    got = segment_gac_sharded_chunked(g, p, mesh=mesh, smoothing=1,
+                                      balloon=1, threshold=0.3,
+                                      comm_k=4, use_pallas=True,
+                                      interpret=True)
+    want = segment_gac_fixed(g, p, iters=12, smoothing=1, balloon=1,
+                             threshold=0.3)
+    np.testing.assert_array_equal(np.asarray(got.ls), np.asarray(want.ls))
+
+
+def test_kernel_per_shard_remainder_mixes_bitwise():
+    """max_iter % comm_k != 0: full chunks on the kernel, remainder on
+    the jnp body - the mixed run must equal the all-jnp run bitwise."""
+    u = _disk_image()
+    g = inverse_gaussian_gradient(u, alpha=5.0, sigma=3.0)
+    mesh = make_grid_mesh(2, 2)
+    p = CVParams(max_iter=11, tol=0.0)  # 2 full k=4 chunks + rem 3
+    a = segment_gac_sharded_chunked(g, p, mesh=mesh, balloon=1,
+                                    threshold=0.3, comm_k=4,
+                                    use_pallas=False)
+    b = segment_gac_sharded_chunked(g, p, mesh=mesh, balloon=1,
+                                    threshold=0.3, comm_k=4,
+                                    use_pallas=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.ls), np.asarray(b.ls))
+
+
+def test_kernel_per_shard_route_rejects_unsupported():
+    u = _disk_image(96, 128)
+    mesh = make_grid_mesh(2, 4)
+    with pytest.raises(ValueError, match="kernel-per-shard"):
+        # odd comm_k*smoothing breaks the static in-kernel parity
+        segment_morph_sharded_chunked(u, CVParams(max_iter=6, tol=0.0),
+                                      mesh=mesh, comm_k=3,
+                                      use_pallas=True, interpret=True)
