@@ -330,3 +330,32 @@ def test_kernel_per_shard_route_rejects_unsupported():
         segment_morph_sharded_chunked(u, CVParams(max_iter=6, tol=0.0),
                                       mesh=mesh, comm_k=3,
                                       use_pallas=True, interpret=True)
+
+
+@pytest.mark.tpu
+def test_kernel_per_shard_tpu_compiled_bitwise():
+    """Compiled kernel-per-shard chunks on the real chip (1x1 mesh) ==
+    the jnp chunk body bitwise."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the real chip")
+    rng = np.random.default_rng(30)
+    H, W = 512, 640
+    yy, xx = np.mgrid[:H, :W]
+    img = np.where((yy - 256) ** 2 + (xx - 320) ** 2 < 150 ** 2,
+                   200.0, 0.0) + rng.normal(0, 5, (H, W))
+    u = jnp.asarray(img, jnp.float32)
+    mesh = make_grid_mesh(1, 1)
+    p = CVParams(max_iter=16, tol=0.0)
+    a = segment_morph_sharded_chunked(u, p, mesh=mesh, comm_k=8,
+                                      use_pallas=False)
+    b = segment_morph_sharded_chunked(u, p, mesh=mesh, comm_k=8,
+                                      use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(a.ls), np.asarray(b.ls))
+    g = inverse_gaussian_gradient(u, alpha=5.0, sigma=2.0)
+    ga = segment_gac_sharded_chunked(g, p, mesh=mesh, balloon=1,
+                                     threshold=0.3, comm_k=8,
+                                     use_pallas=False)
+    gb = segment_gac_sharded_chunked(g, p, mesh=mesh, balloon=1,
+                                     threshold=0.3, comm_k=8,
+                                     use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(ga.ls), np.asarray(gb.ls))
